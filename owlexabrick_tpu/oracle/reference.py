@@ -1,0 +1,281 @@
+"""Scalar numpy oracle: a literal, slow re-statement of the reference's
+device formulas (programs/exabrick.cu) used as the golden model in tests.
+
+This intentionally shares no code with the jit renderer: the production
+path is vectorized jnp over a BSP tree, the oracle is per-pixel python
+over brute-force region enumeration.  Agreement between the two is the
+correctness argument.
+
+Formula sources:
+  * basis accumulation      exabrick.cu:620-777  (addBasisFunctions)
+  * point sampling          exabrick.cu:781-816  (samplePoint)
+  * analytic gradients      exabrick.cu:883-942
+  * XF lookup               exabrick.cu:136-150
+  * DVR compositing         exabrick.cu:988-1016 (integrateVolume)
+  * in-region marching      exabrick.cu:1116-1185 (integrateBrick)
+  * iso-surface detection   exabrick.cu:1018-1114, 1187-1256
+  * raygen main loop        exabrick.cu:1576-1720
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.constants import (
+    NUM_XF_VALUES,
+    REGION_ADVANCE_EPS,
+    TERMINATION_THRESHOLD,
+)
+
+
+def lookup_xf_scalar(lut: np.ndarray, lo: float, hi: float,
+                     opacity_scale: float, v: float) -> np.ndarray:
+    n = lut.shape[0]
+    scalar = (n - 1) * (v - lo) / ((hi - lo) + 1e-20)
+    scalar = min(max(scalar + 0.5, 0.0), n - 1.0)
+    scalar /= n - 1.0
+    u = scalar * n - 0.5
+    i0 = math.floor(u)
+    frac = u - i0
+    i0c = min(max(i0, 0), n - 1)
+    i1c = min(max(i0 + 1, 0), n - 1)
+    rgba = lut[i0c] * (1.0 - frac) + lut[i1c] * frac
+    rgba = rgba.copy()
+    rgba[3] *= opacity_scale
+    return rgba
+
+
+def add_basis_functions(scene, brick_id: int, pos: np.ndarray, channel: int,
+                        need_derivative: bool = False):
+    """Returns (sum_weighted_values, sum_weights, sum_derivs, sum_deriv_coeffs)."""
+    lower = scene.brick_lower[brick_id]
+    size = scene.brick_size[brick_id]
+    cw = float(scene.brick_cell_width[brick_id])
+    begin = int(scene.brick_begin[brick_id])
+
+    local = (pos - lower) / cw - 0.5
+    idx_lo = np.maximum(np.floor(local).astype(np.int64), -1)
+    frac = local - idx_lo
+    neg = 1.0 - frac
+
+    swv = 0.0
+    sw = 0.0
+    sd = np.zeros(3)
+    sdc = np.zeros(3)
+    for dz in (0, 1):
+        iz = idx_lo[2] + dz
+        if iz < 0 or iz >= size[2]:
+            continue
+        wz = frac[2] if dz else neg[2]
+        for dy in (0, 1):
+            iy = idx_lo[1] + dy
+            if iy < 0 or iy >= size[1]:
+                continue
+            wy = frac[1] if dy else neg[1]
+            for dx in (0, 1):
+                ix = idx_lo[0] + dx
+                if ix < 0 or ix >= size[0]:
+                    continue
+                wx = frac[0] if dx else neg[0]
+                s = float(
+                    scene.scalars[channel, begin + ix + size[0] * (iy + size[1] * iz)]
+                )
+                w = wz * wy * wx
+                sw += w
+                swv += w * s
+                if need_derivative:
+                    gx = wz * wy * (1.0 if dx else -1.0)
+                    gy = wz * wx * (1.0 if dy else -1.0)
+                    gz = wy * wx * (1.0 if dz else -1.0)
+                    g = np.array([gx, gy, gz])
+                    sdc += g
+                    sd += g * s
+    return swv, sw, sd, sdc
+
+
+def sample_point(scene, region_id: int, pos: np.ndarray, channel: int):
+    """Basis-weighted sample over the region's brick list; returns
+    (ok, value)."""
+    swv = 0.0
+    sw = 0.0
+    for b in scene.region_bricks[region_id]:
+        if b < 0:
+            continue
+        v, w, _, _ = add_basis_functions(scene, int(b), pos, channel)
+        swv += v
+        sw += w
+    if sw <= 1e-20:
+        return False, 0.0
+    return True, swv / sw
+
+
+def sample_point_with_derivative(scene, region_id: int, pos: np.ndarray,
+                                 channel: int):
+    swv = 0.0
+    sw = 0.0
+    sd = np.zeros(3)
+    sdc = np.zeros(3)
+    for b in scene.region_bricks[region_id]:
+        if b < 0:
+            continue
+        v, w, d, dc = add_basis_functions(scene, int(b), pos, channel, True)
+        swv += v
+        sw += w
+        sd += d
+        sdc += dc
+    if sw <= 1e-20:
+        return False, 0.0, np.zeros(3)
+    # quotient-rule numerator only (exabrick.cu:916-921)
+    grad = sw * sd - swv * sdc
+    return True, swv / sw, grad
+
+
+def box_test(o, d, lo, hi, tmin, tmax):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_lo = (lo - o) / d
+        t_hi = (hi - o) / d
+    t_nr = np.minimum(t_lo, t_hi)
+    t_fr = np.maximum(t_lo, t_hi)
+    t0 = max(tmin, np.max(t_nr))
+    t1 = min(tmax, np.min(t_fr))
+    return (t0 < t1), t0, t1
+
+
+def region_active(scene, fs, region_id: int, num_channels: int) -> bool:
+    """activeForVolumeSampling over all channels (exabrick.cu:250-304)."""
+    vr = scene.region_value_range[region_id]
+    for c in range(num_channels):
+        lo, hi = float(fs.xf_domain[c][0]), float(fs.xf_domain[c][1])
+        if vr[0] > hi or vr[1] < lo:
+            continue
+        scaled_lo = (vr[0] - lo) / ((hi - lo) + 1e-20)
+        scaled_hi = (vr[1] - lo) / ((hi - lo) + 1e-20)
+        n = NUM_XF_VALUES
+        idx_lo = min(max(int(scaled_lo * (n - 1)), 0), n - 1)
+        idx_hi = min(max(int(scaled_hi * (n - 1)) + 1, 0), n - 1)
+        for i in range(idx_lo, idx_hi + 1):
+            cell_value = i / (n - 1) * (hi - lo) + lo
+            rgba = lookup_xf_scalar(
+                np.asarray(fs.xf_lut[c]), lo, hi,
+                float(fs.xf_opacity_scale), cell_value
+            )
+            if rgba[3] > 0.0:
+                return True
+    return False
+
+
+def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
+                    o, d, region_id: int, t0: float, t1: float,
+                    num_channels: int, gradient_shading: bool):
+    """Front-to-back march of one region interval (exabrick.cu:1116-1185,
+    PROPER_DISTANCE_IN_OPACITY_CORRECTION path)."""
+    global_dt = float(fs.dt)
+    finest_cw = float(scene.region_finest_cw[region_id])
+    dt = global_dt * finest_cw
+
+    i0 = int(math.ceil((t0 - dt * offset) / dt))
+    t_i = (offset + i0) * dt
+    while (t_i - dt) >= t0:
+        t_i -= dt
+    while t_i < t0:
+        t_i += dt
+
+    t_last = t0
+    while True:
+        t_next = min(t_i, t1)
+        t_sample = 0.5 * (min(t1, t_next) + t_last)
+        actual_dt = t_next - t_last
+        t_last = t_next
+
+        pos = o + t_sample * d
+        for c in range(num_channels):
+            if gradient_shading:
+                ok, value, grad = sample_point_with_derivative(
+                    scene, region_id, pos, c
+                )
+            else:
+                ok, value = sample_point(scene, region_id, pos, c)
+                grad = np.zeros(3)
+            if ok and actual_dt != 0.0:
+                sample = lookup_xf_scalar(
+                    np.asarray(fs.xf_lut[c]),
+                    float(fs.xf_domain[c][0]), float(fs.xf_domain[c][1]),
+                    float(fs.xf_opacity_scale), value,
+                )
+                if np.linalg.norm(grad) > finest_cw * 1e-6:
+                    light = -d
+                    scale = abs(light @ grad) / math.sqrt(
+                        (grad @ grad) * (light @ light)
+                    )
+                    sample[:3] *= scale
+                a = 1.0 - (1.0 - sample[3]) ** actual_dt
+                pixel_color[:3] += (1.0 - pixel_color[3]) * a * sample[:3]
+                pixel_color[3] += (1.0 - pixel_color[3]) * a
+        if pixel_color[3] >= TERMINATION_THRESHOLD:
+            break
+        if t_next >= t1:
+            break
+        t_i += dt
+    return pixel_color
+
+
+def _enumerate_region_hit(scene, fs, o, d, tmin, tmax, num_channels,
+                          require_active=True):
+    """Brute-force stand-in for the volume BVH: closest active region the
+    ray overlaps in [tmin, tmax]."""
+    best = (-1, 0.0, 0.0)
+    best_t0 = np.inf
+    n = scene.region_lo.shape[0]
+    for rid in range(n):
+        hit, t0, t1 = box_test(
+            o, d, scene.region_lo[rid], scene.region_hi[rid], tmin, tmax
+        )
+        if not hit or t0 >= best_t0:
+            continue
+        if require_active and not region_active(scene, fs, rid, num_channels):
+            continue
+        best = (rid, t0, t1)
+        best_t0 = t0
+    return best
+
+
+def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
+                  offset: float = 0.0, t_world_max: float = 2e10,
+                  space_skipping: bool = True,
+                  gradient_shading: bool = False) -> np.ndarray:
+    """Full DVR path of one ray (raygen main loop, exabrick.cu:1662-1699).
+    Returns accumulated RGBA (premultiplied by nothing; .w is opacity)."""
+    m = np.asarray(scene.voxel_from_world, np.float64)
+    o = m[:, :3] @ np.asarray(o_world, np.float64) + m[:, 3]
+    d = m[:, :3] @ np.asarray(d_world, np.float64)
+    dt_scale = float(np.linalg.norm(d))
+    d = d / dt_scale
+
+    pixel_color = np.zeros(4)
+    already = dt_scale * 0.0
+    while True:
+        rid, t0, t1 = _enumerate_region_hit(
+            scene, fs, o, d, already, t_world_max * dt_scale, num_channels,
+            require_active=space_skipping,
+        )
+        if rid < 0:
+            break
+        integrate_brick(
+            scene, fs, pixel_color, offset, o, d, rid, t0, t1,
+            num_channels, gradient_shading,
+        )
+        if pixel_color[3] >= TERMINATION_THRESHOLD:
+            pixel_color = np.array(
+                [*(pixel_color[:3] * pixel_color[3]), 1.0]
+            )
+            break
+        already = t1 * REGION_ADVANCE_EPS
+    return pixel_color
+
+
+def linear_to_srgb(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    return np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)

@@ -1,0 +1,354 @@
+"""TPU-native DVR core: stackless BSP traversal + masked wavefront marching.
+
+Design (replaces the OptiX BVH + per-thread recursion of
+programs/exabrick.cu with XLA-friendly structure):
+
+  * Rays are processed as a flat (P,) batch; all control flow is
+    `lax.while_loop`/`fori_loop` with per-ray active masks — static
+    shapes, single compilation.
+  * The next region along a ray is found by *point location* in the BSP
+    recorded during region building: exactly `tree_depth` dependent
+    gathers, identical iteration count for every ray (no stack, no
+    divergence in trip count).  Holes and TF-culled regions are skipped by
+    advancing to the leaf box's exit distance — the same space-skipping
+    semantics as the reference's culled BVH (exabrick.cu:283-331) without
+    any rebuild: the per-region active mask is recomputed on the fly from
+    the current transfer function.
+  * Basis-function sampling is fully vectorized: each sample gathers
+    (K bricks x 8 corners) scalars in one gather op, where K is the
+    static max-bricks-per-region (padded with -1).
+
+Formula parity with the reference is kept bit-close (see oracle/) — same
+opacity correction, same midpoint sampling, same termination threshold.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.constants import (
+    REGION_ADVANCE_EPS,
+    TERMINATION_THRESHOLD,
+)
+from .xf import active_for_volume_sampling, lookup_xf
+
+_CORNERS = jnp.array(
+    [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], jnp.int32
+)  # (8, 3)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render options."""
+
+    num_channels: int = 1
+    gradient_shading_dvr: bool = False
+    space_skipping: bool = True
+    max_region_iters: int = 512
+
+
+# ----------------------------------------------------------------------------
+# BSP point location
+# ----------------------------------------------------------------------------
+
+def locate_leaf(scene, p):
+    """Find the BSP leaf node containing each point. p: (P,3) -> (P,) node."""
+    node0 = jnp.zeros(p.shape[0], jnp.int32)
+
+    def body(_, node):
+        axis = scene.tree_axis[node]
+        split = scene.tree_split[node]
+        child = scene.tree_child[node]
+        is_inner = axis < 3
+        ax = jnp.clip(axis, 0, 2)
+        pax = jnp.take_along_axis(p, ax[:, None], axis=1)[:, 0]
+        go_right = (pax >= split).astype(jnp.int32)
+        return jnp.where(is_inner, child + go_right, node)
+
+    return lax.fori_loop(0, scene.tree_depth, body, node0)
+
+
+def ray_box(o, d, lo, hi, tmin, tmax):
+    """Slab test; returns (hit, t0, t1). All (P,...)-batched."""
+    inv = 1.0 / d
+    t_lo = (lo - o) * inv
+    t_hi = (hi - o) * inv
+    t_nr = jnp.minimum(t_lo, t_hi)
+    t_fr = jnp.maximum(t_lo, t_hi)
+    t0 = jnp.maximum(tmin, t_nr.max(axis=-1))
+    t1 = jnp.minimum(tmax, t_fr.min(axis=-1))
+    return t0 < t1, t0, t1
+
+
+# ----------------------------------------------------------------------------
+# basis-function sampling (vectorized addBasisFunctions, exabrick.cu:620-816)
+# ----------------------------------------------------------------------------
+
+def sample_basis(scene, rid, pos, channel: int, need_grad: bool = False):
+    """Sample the basis-weighted field at (P,3) points lying in regions
+    (P,) rid.  Returns (ok, value[, grad]) with grad the quotient-rule
+    numerator (exabrick.cu:916-921)."""
+    bids = scene.region_bricks[rid]  # (P, K)
+    valid_b = bids >= 0
+    b = jnp.clip(bids, 0, None)
+    lower = scene.brick_lower[b]  # (P, K, 3)
+    size = scene.brick_size[b]  # (P, K, 3)
+    cw = scene.brick_cell_width[b]  # (P, K)
+    begin = scene.brick_begin[b]  # (P, K)
+
+    local = (pos[:, None, :] - lower) / cw[..., None] - 0.5
+    idx_lo = jnp.maximum(jnp.floor(local).astype(jnp.int32), -1)
+    frac = local - idx_lo.astype(local.dtype)
+    neg = 1.0 - frac
+
+    idx = idx_lo[:, :, None, :] + _CORNERS[None, None]  # (P, K, 8, 3)
+    inb = (idx >= 0) & (idx < size[:, :, None, :])
+    live = inb.all(-1) & valid_b[:, :, None]  # (P, K, 8)
+
+    hi_w = frac[:, :, None, :]
+    lo_w = neg[:, :, None, :]
+    w3 = jnp.where(_CORNERS[None, None] == 1, hi_w, lo_w)  # (P, K, 8, 3)
+    w = w3.prod(-1)
+
+    ic = jnp.clip(idx, 0, jnp.maximum(size[:, :, None, :] - 1, 0))
+    lin = begin[:, :, None] + ic[..., 0] + size[:, :, None, 0] * (
+        ic[..., 1] + size[:, :, None, 1] * ic[..., 2]
+    )
+    s = scene.scalars[channel][lin]  # (P, K, 8) gather
+
+    w = jnp.where(live, w, 0.0)
+    sw = w.sum((-1, -2))
+    swv = (w * s).sum((-1, -2))
+    ok = sw > 1e-20
+    value = swv / jnp.where(ok, sw, 1.0)
+
+    if not need_grad:
+        return ok, value
+
+    sign = jnp.where(_CORNERS[None, None] == 1, 1.0, -1.0)  # (1,1,8,3)
+    wx, wy, wz = w3[..., 0], w3[..., 1], w3[..., 2]
+    d3 = jnp.stack([wz * wy, wz * wx, wy * wx], axis=-1) * sign
+    d3 = jnp.where(live[..., None], d3, 0.0)
+    sdc = d3.sum((-3, -2))  # (P, 3)
+    sd = (d3 * s[..., None]).sum((-3, -2))
+    grad = sw[:, None] * sd - swv[:, None] * sdc
+    return ok, value, grad
+
+
+# ----------------------------------------------------------------------------
+# per-frame region activity (TF-aware space skipping)
+# ----------------------------------------------------------------------------
+
+def region_active_mask(scene, fs, num_channels: int):
+    """(N,) bool: does any channel's transfer function give this region's
+    value range non-zero opacity? (exabrick.cu:250-304)"""
+    m = jnp.zeros(scene.region_value_range.shape[0], bool)
+    for c in range(num_channels):
+        m = m | active_for_volume_sampling(
+            fs.xf_lut[c], fs.xf_domain[c], fs.xf_opacity_scale,
+            scene.region_value_range,
+        )
+    return m
+
+
+# ----------------------------------------------------------------------------
+# the integrator
+# ----------------------------------------------------------------------------
+
+def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba):
+    """March sample intervals within one region per ray
+    (integrateBrick, exabrick.cu:1116-1185; PROPER_DISTANCE path)."""
+    finest_cw = scene.region_finest_cw[jnp.clip(rid, 0, None)]
+    dt = fs.dt * finest_cw
+
+    i0 = jnp.ceil((t0 - dt * offset) / dt)
+    t_i = (offset + i0) * dt
+    # replicate the grid-snap fix-up loops (exabrick.cu:1141-1144)
+    for _ in range(3):
+        t_i = jnp.where(t_i - dt >= t0, t_i - dt, t_i)
+    for _ in range(3):
+        t_i = jnp.where(t_i < t0, t_i + dt, t_i)
+
+    marching = active & (t1 > t0)
+    t_last = t0
+
+    def cond(state):
+        marching, *_ = state
+        return marching.any()
+
+    def body(state):
+        marching, t_i, t_last, rgba = state
+        t_next = jnp.minimum(t_i, t1)
+        t_sample = 0.5 * (jnp.minimum(t1, t_next) + t_last)
+        actual_dt = t_next - t_last
+        pos = o + t_sample[:, None] * d
+
+        for c in range(cfg.num_channels):
+            if cfg.gradient_shading_dvr:
+                ok, value, grad = sample_basis(scene, rid, pos, c, True)
+            else:
+                ok, value = sample_basis(scene, rid, pos, c)
+                grad = None
+            sample = lookup_xf(
+                fs.xf_lut[c], fs.xf_domain[c], fs.xf_opacity_scale, value
+            )
+            rgb, a = sample[:, :3], sample[:, 3]
+            if grad is not None:
+                g2 = (grad * grad).sum(-1)
+                shade = jnp.abs((-d * grad).sum(-1)) / jnp.sqrt(
+                    jnp.maximum(g2, 1e-38)
+                )
+                use = jnp.sqrt(g2) > finest_cw * 1e-6
+                rgb = jnp.where(use[:, None], rgb * shade[:, None], rgb)
+            a = 1.0 - (1.0 - a) ** actual_dt
+            take = marching & ok & (actual_dt != 0.0)
+            contrib = (1.0 - rgba[:, 3]) * a
+            contrib = jnp.where(take, contrib, 0.0)
+            rgba = jnp.concatenate(
+                [
+                    rgba[:, :3] + contrib[:, None] * rgb,
+                    (rgba[:, 3] + contrib)[:, None],
+                ],
+                axis=1,
+            )
+
+        stop = (rgba[:, 3] >= TERMINATION_THRESHOLD) | (t_next >= t1)
+        return marching & ~stop, t_i + dt, t_next, rgba
+
+    _, _, _, rgba = lax.while_loop(cond, body, (marching, t_i, t_last, rgba))
+    return rgba
+
+
+def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
+              t_end_world=None):
+    """Volume-integrate a batch of rays (raygen DVR loop,
+    exabrick.cu:1662-1699).  Returns accumulated RGBA (P,4)."""
+    p = o_world.shape[0]
+    m = scene.voxel_from_world
+    o = o_world @ m[:, :3].T + m[:, 3]
+    d = d_world @ m[:, :3].T
+    dt_scale = jnp.linalg.norm(d, axis=-1)
+    d = d / dt_scale[:, None]
+
+    if t_end_world is None:
+        t_end = jnp.full(p, 2e10, o.dtype)
+    else:
+        t_end = t_end_world * dt_scale
+
+    hitb, tb0, tb1 = ray_box(
+        o, d, scene.voxel_bounds_lo, scene.voxel_bounds_hi,
+        jnp.zeros(p, o.dtype), t_end,
+    )
+
+    if cfg.space_skipping:
+        act_mask = region_active_mask(scene, fs, cfg.num_channels)
+    else:
+        act_mask = jnp.ones(scene.region_value_range.shape[0], bool)
+
+    span = jnp.maximum(tb1 - tb0, 0.0)
+    eps = jnp.maximum(span * 1e-6, 1e-5)
+
+    rgba0 = jnp.zeros((p, 4), o.dtype)
+    done0 = ~hitb
+    t_cur0 = jnp.maximum(tb0, 0.0)
+
+    def cond(state):
+        it, done, *_ = state
+        return (it < cfg.max_region_iters) & ~done.all()
+
+    def body(state):
+        it, done, t_cur, rgba = state
+        limit = jnp.minimum(t_end, tb1)
+        alive = ~done & (t_cur < limit)
+
+        probe = o + jnp.minimum(t_cur + eps, limit)[:, None] * d
+        node = locate_leaf(scene, probe)
+        lo = scene.tree_lo[node]
+        hi = scene.tree_hi[node]
+        rid = scene.tree_leaf[node]
+        hit, t0, t1 = ray_box(o, d, lo, hi, t_cur, limit)
+        # guard: if the probe missed (degenerate/zero-width leaf), step
+        # forward by eps to guarantee progress
+        t1 = jnp.where(hit, t1, t_cur + eps)
+
+        active = alive & hit & (rid >= 0) & act_mask[jnp.clip(rid, 0, None)]
+        rgba = _march_region(
+            scene, fs, cfg, o, d, jnp.clip(rid, 0, None), active,
+            t0, t1, offset, rgba,
+        )
+
+        saturated = rgba[:, 3] >= TERMINATION_THRESHOLD
+        newly = alive & saturated & ~done
+        # exabrick.cu:1694-1697: collapse to premultiplied-opaque
+        rgba = jnp.where(
+            newly[:, None],
+            jnp.concatenate(
+                [rgba[:, :3] * rgba[:, 3:4], jnp.ones((p, 1), rgba.dtype)],
+                axis=1,
+            ),
+            rgba,
+        )
+        done = done | ~alive | saturated
+        t_cur = jnp.where(alive, t1 * REGION_ADVANCE_EPS, t_cur)
+        done = done | (t_cur >= limit)
+        return it + 1, done, t_cur, rgba
+
+    _, _, _, rgba = lax.while_loop(cond, body, (0, done0, t_cur0, rgba0))
+    return rgba
+
+
+# ----------------------------------------------------------------------------
+# full frame: rays -> rgba -> composite over background -> accumulate
+# ----------------------------------------------------------------------------
+
+def linear_to_srgb(x):
+    return jnp.where(
+        x <= 0.0031308, 12.92 * x, 1.055 * jnp.power(jnp.maximum(x, 1e-20), 1 / 2.4) - 0.055
+    )
+
+
+def generate_rays(fs, width: int, height: int, jitter=None):
+    """Per-pixel rays from the frame state camera (programs/Camera.h:27-44).
+    jitter: (P,2) in [0,1) or None for pixel centers."""
+    px = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+    if jitter is None:
+        jx = jy = 0.5
+    else:
+        jx = jitter[:, 0]
+        jy = jitter[:, 1]
+    d = (
+        fs.cam_dir00[None]
+        + (px + jx)[:, None] * fs.cam_du[None]
+        + (py + jy)[:, None] * fs.cam_dv[None]
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(fs.cam_pos, d.shape)
+    return o, d
+
+
+def composite_background(rgba, bg):
+    w = rgba[:, 3:4]
+    return w * rgba[:, :3] + (1.0 - w) * bg
+
+
+def accumulate(color, accum, frame_id):
+    """Progressive accumulation (exabrick.cu:1709-1719).  Returns
+    (new_accum, display_color_srgb)."""
+    color = jnp.where(frame_id > 0, color + accum[:, :3], color)
+    new_accum = jnp.concatenate(
+        [color, jnp.ones((color.shape[0], 1), color.dtype)], axis=1
+    )
+    shown = color / (frame_id + 1.0)
+    return new_accum, linear_to_srgb(shown)
+
+
+def pack_rgba8(color_srgb):
+    """(P,3) float -> (P,) uint32 RGBA8 (exabrick.cu:62-76)."""
+    c = jnp.clip((color_srgb * 256.0).astype(jnp.int32), 0, 255).astype(jnp.uint32)
+    return c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16) | jnp.uint32(0xFF000000)

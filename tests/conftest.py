@@ -1,0 +1,41 @@
+import os
+
+# force CPU with 8 virtual devices BEFORE jax import: the standard way to
+# test sharded TPU code without a TPU slice
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# shared tiny AMR fixtures (the exaArtificial grammar, tools/artificial)
+# ---------------------------------------------------------------------------
+
+EX0 = "0 0 0 1 1 1 0 0.5\n"  # single cell
+EX1 = "0 0 0 2 2 2 0 0 0 0 0 0 0 0 1\n"  # 2^3, one hot corner
+EX2 = "0 0 0 8 8 8 0 0 1 2 3 4 5 6 7\n"  # 8^3 gradient
+# multi-level: coarse 4^3 level-1 block with a fine 4^3 level-0 block inside
+EX3 = "0 0 0 4 4 4 1 0 1 2 3 4 5 6 7\n8 0 0 4 4 4 0 1\n"
+# two levels side by side (level boundary continuity fixture)
+EX4 = "0 0 0 4 4 4 0 0 1 0 1 0 1 0 1\n4 0 0 2 2 2 1 2\n"
+
+
+@pytest.fixture(scope="session")
+def amr_fixture():
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    def make(text):
+        return parse_grids_text(text)
+
+    return make
