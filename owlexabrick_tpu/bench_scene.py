@@ -1,0 +1,41 @@
+"""Shared benchmark scene construction: synthetic multi-level AMR volume
+(the reproducible-without-data config from BASELINE.md: structured volume
+-> raw2cells threshold collapse -> builder -> regions)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .pipeline import scene_from_cells
+from .tools.raw2cells import volume_to_cells
+
+
+def synthetic_volume(n: int = 64) -> np.ndarray:
+    """Smooth multi-scale field: blobs + a shell, gives a real AMR level
+    mix under threshold collapse."""
+    z, y, x = np.meshgrid(*([np.linspace(-1, 1, n)] * 3), indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    v = (
+        np.exp(-18 * ((x - 0.3) ** 2 + (y - 0.2) ** 2 + z ** 2))
+        + 0.8 * np.exp(-24 * ((x + 0.4) ** 2 + y ** 2 + (z - 0.3) ** 2))
+        + 0.6 * np.exp(-60 * (r - 0.7) ** 2)
+    )
+    return v.astype(np.float32)
+
+
+def build_bench_scene(n: int = 64, threshold: float = 0.004,
+                      max_level: int = 3):
+    vol = synthetic_volume(n)
+    lower, level, scal = volume_to_cells(vol, threshold, max_level)
+    scene, bricks, cell_ids, regions, tree = scene_from_cells(
+        lower, level, [scal]
+    )
+    return scene, dict(
+        n_cells=int(lower.shape[0]),
+        n_bricks=int(bricks.num_bricks),
+        n_regions=int(regions.num_regions),
+        max_bricks_per_region=int(regions.max_bricks_per_region),
+        tree_depth=int(tree.depth),
+        levels=np.bincount(level).tolist(),
+        value_max=float(scal.max()),
+    )

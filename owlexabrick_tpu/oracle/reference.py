@@ -276,6 +276,159 @@ def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
     return pixel_color
 
 
+def _iso_region_active(scene, fs, region_id: int) -> bool:
+    vr = scene.region_value_range[region_id]
+    for i in range(len(fs.iso_enabled)):
+        if (
+            fs.iso_enabled[i]
+            and vr[0] <= float(fs.iso_value[i]) <= vr[1]
+        ):
+            return True
+    return False
+
+
+def trace_iso_ray(scene, fs, o_world, d_world, num_channels: int = 1,
+                  gradient_shading_iso: bool = True,
+                  colormap_channel: int = 0):
+    """Scalar iso-surface march (traceIsoRay + the integration functor,
+    exabrick.cu:1408-1460, 1018-1114).  Returns (t_hit_world, normal,
+    color) or (inf, 0, 0) on miss.  Reference quirk preserved: within the
+    first region containing a crossing, the first crossing sets the color
+    and the last crossing sets t_hit and the normal."""
+    m = np.asarray(scene.voxel_from_world, np.float64)
+    o = m[:, :3] @ np.asarray(o_world, np.float64) + m[:, 3]
+    d = m[:, :3] @ np.asarray(d_world, np.float64)
+    dt_scale = float(np.linalg.norm(d))
+    d = d / dt_scale
+
+    last_val = np.full(num_channels, -1e36)
+    last_t = np.zeros(num_channels)
+    already = 0.0
+    found = False
+    t_hit = np.inf
+    color = np.zeros(3)
+    normal = np.zeros(3)
+
+    while True:
+        best = (-1, 0.0, 0.0)
+        best_t0 = np.inf
+        for rid in range(scene.region_lo.shape[0]):
+            hit, t0, t1 = box_test(
+                o, d, scene.region_lo[rid], scene.region_hi[rid],
+                already, 2e10,
+            )
+            if not hit or t0 >= best_t0:
+                continue
+            if not _iso_region_active(scene, fs, rid):
+                continue
+            best = (rid, t0, t1)
+            best_t0 = t0
+        rid, t0, t1 = best
+        if rid < 0:
+            break
+
+        finest_cw = float(scene.region_finest_cw[rid])
+        dt = float(fs.dt) * finest_cw
+        i0 = math.ceil(t0 / dt)
+        t_i = i0 * dt
+        while (t_i - dt) >= t0:
+            t_i -= dt
+        while t_i < t0:
+            t_i += dt
+        t_last = t0
+        while True:
+            t_next = min(t_i, t1)
+            t_sample = 0.5 * (min(t1, t_next) + t_last)
+            t_last = t_next
+            pos = o + t_sample * d
+            for c in range(num_channels):
+                ok, value = sample_point(scene, rid, pos, c)
+                if ok:
+                    prev_v = last_val[c]
+                    prev_t = last_t[c]
+                    if prev_v >= -1e35:
+                        for i in range(len(fs.iso_enabled)):
+                            if not fs.iso_enabled[i]:
+                                continue
+                            if int(fs.iso_channel[i]) != c:
+                                continue
+                            iso = float(fs.iso_value[i])
+                            if not (
+                                (prev_v <= iso <= value)
+                                or (value <= iso <= prev_v)
+                            ):
+                                continue
+                            d1 = abs(prev_v - iso)
+                            d2 = abs(value - iso)
+                            denom = (d1 + d2) if (d1 + d2) > 0 else 1.0
+                            w1 = 1.0 - d1 / denom
+                            w2 = 1.0 - d2 / denom
+                            tavg = prev_t * w1 + t_sample * w2
+                            isopt = o + tavg * d
+                            g = np.zeros(3)
+                            rgb = np.array([1.0, 0.0, 0.0])
+                            if gradient_shading_iso:
+                                rok, rval, grad = (
+                                    sample_point_with_derivative(
+                                        scene, rid, isopt, c
+                                    )
+                                )
+                                if rok:
+                                    rgb = lookup_xf_scalar(
+                                        np.asarray(fs.xf_lut[c]),
+                                        float(fs.xf_domain[c][0]),
+                                        float(fs.xf_domain[c][1]),
+                                        float(fs.xf_opacity_scale), rval,
+                                    )[:3]
+                                    gl = np.linalg.norm(grad)
+                                    if gl > 0:
+                                        g = grad / gl
+                                        if g @ d > 0:
+                                            g = -g
+                                    if not np.isfinite(g).all():
+                                        g = np.zeros(3)
+                            else:
+                                rok, rval = sample_point(
+                                    scene, rid, isopt, c
+                                )
+                                if rok:
+                                    rgb = lookup_xf_scalar(
+                                        np.asarray(fs.xf_lut[c]),
+                                        float(fs.xf_domain[c][0]),
+                                        float(fs.xf_domain[c][1]),
+                                        float(fs.xf_opacity_scale), rval,
+                                    )[:3]
+                            if colormap_channel != 0:
+                                cok, cval = sample_point(
+                                    scene, rid, isopt, colormap_channel
+                                )
+                                if cok:
+                                    rgb = lookup_xf_scalar(
+                                        np.asarray(fs.xf_lut[0]),
+                                        float(fs.xf_domain[0][0]),
+                                        float(fs.xf_domain[0][1]),
+                                        float(fs.xf_opacity_scale), cval,
+                                    )[:3]
+                            gl = np.linalg.norm(g)
+                            if gl > 0:
+                                shade = 0.3 + 0.7 * abs(-d @ g) / gl
+                                rgb = rgb * shade
+                            if not found:
+                                color = rgb
+                            t_hit = tavg
+                            normal = g
+                            found = True
+                    last_val[c] = value
+                    last_t[c] = t_sample
+            if t_next >= t1:
+                break
+            t_i += dt
+        if found:
+            return t_hit / dt_scale, normal, color
+        already = t1 * REGION_ADVANCE_EPS
+    return np.inf, np.zeros(3), np.zeros(3)
+
+
 def linear_to_srgb(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float64)
     return np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)

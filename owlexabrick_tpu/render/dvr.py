@@ -44,12 +44,22 @@ _CORNERS = jnp.array(
 
 @dataclass(frozen=True)
 class RenderConfig:
-    """Static (compile-time) render options."""
+    """Static (compile-time) render options.
+
+    The reference keeps most of these as runtime launch params; here they
+    are compile-time so XLA can strip dead passes entirely (a disabled
+    feature costs nothing)."""
 
     num_channels: int = 1
     gradient_shading_dvr: bool = False
+    gradient_shading_iso: bool = True
     space_skipping: bool = True
     max_region_iters: int = 512
+    # surface passes
+    iso_surfaces: bool = False
+    ao_samples: int = 0
+    # secondary field used to colormap iso surfaces (LaunchParams.h:59-60)
+    colormap_channel: int = 0
 
 
 # ----------------------------------------------------------------------------
@@ -58,7 +68,8 @@ class RenderConfig:
 
 def locate_leaf(scene, p):
     """Find the BSP leaf node containing each point. p: (P,3) -> (P,) node."""
-    node0 = jnp.zeros(p.shape[0], jnp.int32)
+    # derive from p so the carry keeps p's varying mesh axes under shard_map
+    node0 = jnp.zeros_like(p[:, 0], dtype=jnp.int32)
 
     def body(_, node):
         axis = scene.tree_axis[node]
@@ -225,7 +236,7 @@ def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba):
 
 
 def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
-              t_end_world=None):
+              t_end_world=None, t_start_world=None):
     """Volume-integrate a batch of rays (raygen DVR loop,
     exabrick.cu:1662-1699).  Returns accumulated RGBA (P,4)."""
     p = o_world.shape[0]
@@ -239,10 +250,15 @@ def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
         t_end = jnp.full(p, 2e10, o.dtype)
     else:
         t_end = t_end_world * dt_scale
+    if t_start_world is None:
+        t_start = jnp.zeros(p, o.dtype)
+    else:
+        t_start = t_start_world * dt_scale
 
+    # clip to the union of region domains (the BSP root box — extends half
+    # a cell beyond the brick bounds, like the reference's BVH of domains)
     hitb, tb0, tb1 = ray_box(
-        o, d, scene.voxel_bounds_lo, scene.voxel_bounds_hi,
-        jnp.zeros(p, o.dtype), t_end,
+        o, d, scene.tree_lo[0], scene.tree_hi[0], t_start, t_end,
     )
 
     if cfg.space_skipping:
@@ -253,7 +269,8 @@ def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
     span = jnp.maximum(tb1 - tb0, 0.0)
     eps = jnp.maximum(span * 1e-6, 1e-5)
 
-    rgba0 = jnp.zeros((p, 4), o.dtype)
+    # initial carries derived from varying inputs (shard_map vma typing)
+    rgba0 = jnp.zeros((p, 4), o.dtype) + 0.0 * o[:, :1]
     done0 = ~hitb
     t_cur0 = jnp.maximum(tb0, 0.0)
 

@@ -1,0 +1,200 @@
+"""High-level renderer: the analog of the reference's OptixRenderer host
+object (exa/OptixRenderer.h:35-96) — owns the device scene, frame state,
+accumulation buffer, and the jitted per-frame step.
+
+Differences from the reference, by TPU design:
+  * no BVH rebuilds: TF/iso edits only change FrameState; the per-region
+    active mask is evaluated inside the jitted frame (exabrick.cu's bounds
+    programs become a (N,128) masked reduction)
+  * progressive accumulation is a device-side scan-friendly update
+  * per-pixel RNG is counter-based (threefry on pixel index + frame id)
+    instead of the reference's LCG<16> — deterministic and stateless.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import NUM_XF_VALUES
+from .camera import Camera
+from .dvr import (
+    RenderConfig,
+    accumulate,
+    composite_background,
+    generate_rays,
+    pack_rgba8,
+    trace_dvr,
+)
+from .frame import FrameState, make_frame_state, with_camera
+from .scene import to_device
+from .surfaces import SurfaceData, trace_surface_pass
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_step(scene, fs: FrameState, surf: SurfaceData, accum, *,
+                cfg: RenderConfig, width: int, height: int):
+    """One progressive frame: rays -> surfaces -> DVR -> accumulate.
+
+    Returns (new_accum, rgba8 (P,) uint32, linear color (P,3)).
+    """
+    p = width * height
+    key = jax.random.fold_in(jax.random.PRNGKey(0x9E3779B9), fs.frame_id)
+    jitter = jax.random.uniform(jax.random.fold_in(key, 1), (p, 2))
+    offset = jax.random.uniform(jax.random.fold_in(key, 2), (p,))
+
+    o, d = generate_rays(fs, width, height, jitter)
+
+    # surface pass: meshes, contour planes, iso surfaces (exabrick.cu:1475-1529)
+    t_hit, bg = trace_surface_pass(
+        scene, fs, surf, cfg, o, d, jax.random.fold_in(key, 3)
+    )
+
+    # clip box shrinks the volume interval (clipRay, exabrick.cu:1258-1264)
+    from .dvr import ray_box
+
+    chit, c0, c1 = ray_box(
+        o, d, fs.clip_lo, fs.clip_hi, jnp.zeros(p), t_hit
+    )
+    t_start = jnp.where(fs.clip_enabled, jnp.where(chit, c0, jnp.inf), 0.0)
+    t_end = jnp.where(fs.clip_enabled, jnp.where(chit, c1, 0.0), t_hit)
+
+    rgba = trace_dvr(
+        scene, fs, cfg, o, d, offset,
+        t_end_world=t_end, t_start_world=t_start,
+    )
+    color = composite_background(rgba, bg)
+    new_accum, shown = accumulate(color, accum, fs.frame_id)
+    return new_accum, pack_rgba8(shown), shown
+
+
+class Renderer:
+    """Stateful convenience wrapper used by the viewer/CLI."""
+
+    def __init__(
+        self,
+        scene,
+        width: int = 1024,
+        height: int = 1024,
+        cfg: Optional[RenderConfig] = None,
+        surfaces: Optional[SurfaceData] = None,
+        frame_state: Optional[FrameState] = None,
+    ):
+        self.scene = to_device(scene)
+        self.width = width
+        self.height = height
+        self.cfg = cfg or RenderConfig(num_channels=1)
+        self.surf = surfaces or SurfaceData.empty()
+        if frame_state is None:
+            cam = Camera.look_at(
+                from_=np.asarray(scene.world_bounds_hi) * 2.0,
+                at=0.5
+                * (
+                    np.asarray(scene.world_bounds_lo)
+                    + np.asarray(scene.world_bounds_hi)
+                ),
+                up=[0, 1, 0],
+                fovy_degrees=60.0,
+                width=width,
+                height=height,
+            )
+            frame_state = make_frame_state(cam, self.cfg.num_channels)
+            frame_state = dataclasses.replace(
+                frame_state,
+                clip_lo=np.asarray(scene.world_bounds_lo),
+                clip_hi=np.asarray(scene.world_bounds_hi),
+            )
+        self.fs = frame_state
+        self.reset_accumulation()
+
+    # -- state updates (each resets accumulation like the reference's
+    # resetAccumulation, exa/viewer.cpp:257-260) ------------------------
+    def reset_accumulation(self):
+        self.accum = jnp.zeros((self.width * self.height, 4), jnp.float32)
+        self.fs = dataclasses.replace(self.fs, frame_id=np.int32(0))
+
+    def update_camera(self, camera: Camera):
+        self.fs = with_camera(self.fs, camera)
+        self.reset_accumulation()
+
+    def update_xf(self, channel: int, colors, opacities, domain,
+                  opacity_scale: float = 1.0):
+        lut = np.asarray(self.fs.xf_lut).copy()
+        lut[channel, :, :3] = colors
+        lut[channel, :, 3] = opacities
+        dom = np.asarray(self.fs.xf_domain).copy()
+        dom[channel] = domain
+        self.fs = dataclasses.replace(
+            self.fs,
+            xf_lut=lut,
+            xf_domain=dom,
+            xf_opacity_scale=np.float32(opacity_scale),
+        )
+        self.reset_accumulation()
+
+    def update_dt(self, dt: float):
+        self.fs = dataclasses.replace(self.fs, dt=np.float32(dt))
+        self.reset_accumulation()
+
+    def update_iso_values(self, values, channels, enabled):
+        self.fs = dataclasses.replace(
+            self.fs,
+            iso_value=np.asarray(values, np.float32),
+            iso_channel=np.asarray(channels, np.int32),
+            iso_enabled=np.asarray(enabled, bool),
+        )
+        self.reset_accumulation()
+
+    def update_contour_planes(self, normals, offsets, channels, enabled):
+        n = np.asarray(normals, np.float32)
+        n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+        self.fs = dataclasses.replace(
+            self.fs,
+            contour_normal=n,
+            contour_offset=np.asarray(offsets, np.float32),
+            contour_channel=np.asarray(channels, np.int32),
+            contour_enabled=np.asarray(enabled, bool),
+        )
+        self.reset_accumulation()
+
+    def set_clip_box(self, enabled: bool, lo=None, hi=None):
+        self.fs = dataclasses.replace(
+            self.fs,
+            clip_enabled=np.bool_(enabled),
+            clip_lo=np.asarray(lo, np.float32) if lo is not None else self.fs.clip_lo,
+            clip_hi=np.asarray(hi, np.float32) if hi is not None else self.fs.clip_hi,
+        )
+        self.reset_accumulation()
+
+    def resize(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.reset_accumulation()
+
+    # -- frame ----------------------------------------------------------
+    def render(self) -> np.ndarray:
+        """Render one progressive frame; returns (H, W) uint32 RGBA8."""
+        self.accum, rgba8, _ = render_step(
+            self.scene, self.fs, self.surf, self.accum,
+            cfg=self.cfg, width=self.width, height=self.height,
+        )
+        self.fs = dataclasses.replace(
+            self.fs, frame_id=self.fs.frame_id + 1
+        )
+        return np.asarray(rgba8).reshape(self.height, self.width)
+
+    def render_frames(self, n: int) -> np.ndarray:
+        out = None
+        for _ in range(n):
+            out = self.render()
+        return out
+
+    def image_uint8(self, rgba8: np.ndarray) -> np.ndarray:
+        """(H, W) uint32 -> (H, W, 4) uint8, flipped to top-down for PNG."""
+        img = rgba8.view(np.uint8).reshape(self.height, self.width, 4)
+        return img[::-1]

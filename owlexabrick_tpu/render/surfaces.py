@@ -1,0 +1,394 @@
+"""Surface passes: triangle meshes, contour planes, ambient occlusion.
+
+Mirrors traceSurfaces (programs/exabrick.cu:1475-1529) and the raygen
+surface shading + AO (exabrick.cu:1596-1651), vectorized over the ray
+batch.  Iso-surfaces and streamlines plug into the same nearest-hit
+combiner (see iso.py / tracer.py).
+
+Triangle intersection is brute-force vectorized over a padded (T,)
+triangle table — the TPU-first replacement for a two-level BVH at the
+mesh sizes the reference viewer handles; rays x triangles batches map
+onto the VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import (
+    PRIMID_ISOSURFACE,
+    PRIMID_PLANE,
+    PRIMID_STREAMLINE,
+)
+from ..core.types import TriangleMesh, _pytree_dataclass
+from .xf import lookup_xf
+
+Array = Any
+
+
+@_pytree_dataclass
+class SurfaceData:
+    """Flattened triangle soup of every mesh (SurfaceGeomData analog)."""
+
+    tri_v0: Array  # (T, 3) float32
+    tri_e1: Array  # (T, 3) float32  (v1 - v0)
+    tri_e2: Array  # (T, 3) float32  (v2 - v0)
+    tri_n: Array  # (T, 3) float32 normalized geometric normal
+
+    # streamline segments (rounded cones), hidden when seg_t >= timestep
+    seg_a: Array  # (S, 3) float32
+    seg_b: Array  # (S, 3) float32
+    seg_t: Array  # (S,) int32 timestep of the segment's head
+    seg_radius: Array  # () float32
+
+    @property
+    def num_tris(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+    @property
+    def num_segments(self) -> int:
+        return int(self.seg_a.shape[0])
+
+    @staticmethod
+    def empty() -> "SurfaceData":
+        z = np.zeros((0, 3), np.float32)
+        return SurfaceData(
+            tri_v0=z, tri_e1=z, tri_e2=z, tri_n=z,
+            seg_a=z, seg_b=z, seg_t=np.zeros(0, np.int32),
+            seg_radius=np.float32(2.0),
+        )
+
+    @staticmethod
+    def from_meshes(meshes: List[TriangleMesh]) -> "SurfaceData":
+        if not meshes:
+            return SurfaceData.empty()
+        v0s, e1s, e2s = [], [], []
+        for m in meshes:
+            v = np.asarray(m.vertices, np.float32)
+            idx = np.asarray(m.indices, np.int64)
+            a = v[idx[:, 0]]
+            b = v[idx[:, 1]]
+            c = v[idx[:, 2]]
+            v0s.append(a)
+            e1s.append(b - a)
+            e2s.append(c - a)
+        v0 = np.concatenate(v0s)
+        e1 = np.concatenate(e1s)
+        e2 = np.concatenate(e2s)
+        n = np.cross(e1, e2)
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+        z = np.zeros((0, 3), np.float32)
+        return SurfaceData(
+            tri_v0=v0, tri_e1=e1, tri_e2=e2, tri_n=n.astype(np.float32),
+            seg_a=z, seg_b=z, seg_t=np.zeros(0, np.int32),
+            seg_radius=np.float32(2.0),
+        )
+
+
+# ----------------------------------------------------------------------------
+# triangle soup intersection (Moller-Trumbore, vectorized rays x tris)
+# ----------------------------------------------------------------------------
+
+def _ray_triangles(o, d, v0, e1, e2):
+    """o,d: (P,3); v0,e1,e2: (T,3). Returns t (P,T) with inf for miss."""
+    s1 = jnp.cross(d[:, None, :], e2[None])  # (P,T,3)
+    div = (s1 * e1[None]).sum(-1)
+    inv = jnp.where(div != 0.0, 1.0 / jnp.where(div == 0.0, 1.0, div), 0.0)
+    dd = o[:, None, :] - v0[None]
+    b1 = (dd * s1).sum(-1) * inv
+    s2 = jnp.cross(dd, e1[None])
+    b2 = (d[:, None, :] * s2).sum(-1) * inv
+    t = (e2[None] * s2).sum(-1) * inv
+    ok = (div != 0.0) & (b1 >= 0) & (b1 <= 1) & (b2 >= 0) & (b1 + b2 <= 1) & (t > 0)
+    return jnp.where(ok, t, jnp.inf)
+
+
+def trace_triangles(surf: SurfaceData, o, d, tmin, tmax):
+    """Nearest mesh hit -> (t_hit (P,), normal (P,3)); inf/zero on miss."""
+    p = o.shape[0]
+    if surf.num_tris == 0:
+        return jnp.full(p, jnp.inf, o.dtype), jnp.zeros((p, 3), o.dtype)
+    t = _ray_triangles(o, d, surf.tri_v0, surf.tri_e1, surf.tri_e2)
+    t = jnp.where((t >= tmin[:, None]) & (t <= tmax[:, None]), t, jnp.inf)
+    k = jnp.argmin(t, axis=1)
+    t_hit = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+    n = surf.tri_n[k]
+    return t_hit, n
+
+
+# ----------------------------------------------------------------------------
+# streamline segments as rounded cones (exabrick.cu:440-573)
+# ----------------------------------------------------------------------------
+
+def _ray_rounded_cones(o, d, pa, pb, r):
+    """Capsule (equal-radius rounded cone) intersection.
+    o,d: (P,3); pa,pb: (S,3); r scalar.  Returns t (P,S) inf-miss and
+    normals (P,S,3)."""
+    # shift origin near the segment for numerical robustness
+    ba = pb[None] - pa[None]  # (1,S,3)
+    oa = o[:, None, :] - pa[None]
+    baba = (ba * ba).sum(-1)
+    bard = (ba * d[:, None, :]).sum(-1)
+    baoa = (ba * oa).sum(-1)
+    rdoa = (d[:, None, :] * oa).sum(-1)
+    oaoa = (oa * oa).sum(-1)
+    # cylinder body
+    a = baba - bard * bard
+    b = baba * rdoa - baoa * bard
+    c = baba * oaoa - baoa * baoa - r * r * baba
+    h = b * b - a * c
+    a_safe = jnp.where(a == 0, 1.0, a)
+    t_body = (-b - jnp.sqrt(jnp.maximum(h, 0.0))) / a_safe
+    y = baoa + t_body * bard
+    body_ok = (h >= 0) & (y > 0) & (y < baba) & (a != 0)
+
+    # caps (spheres at both ends)
+    def sphere(ctr):
+        oc = o[:, None, :] - ctr[None]
+        bq = (oc * d[:, None, :]).sum(-1)
+        cq = (oc * oc).sum(-1) - r * r
+        hq = bq * bq - cq
+        tq = -bq - jnp.sqrt(jnp.maximum(hq, 0.0))
+        return jnp.where(hq >= 0, tq, jnp.inf)
+
+    t_a = sphere(pa)
+    t_b = sphere(pb)
+    t_body = jnp.where(body_ok, t_body, jnp.inf)
+    t = jnp.minimum(t_body, jnp.minimum(t_a, t_b))
+    t = jnp.where(t > 0, t, jnp.inf)
+
+    hitp = o[:, None, :] + t[..., None] * d[:, None, :]
+    yy = ((hitp - pa[None]) * ba).sum(-1) / jnp.where(baba == 0, 1.0, baba)
+    yy = jnp.clip(yy, 0.0, 1.0)
+    axis_pt = pa[None] + yy[..., None] * ba
+    n = hitp - axis_pt
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return t, n
+
+
+def trace_streamlines(surf: SurfaceData, current_timestep, o, d, tmin, tmax):
+    """Nearest visible streamline segment (segments at/after the current
+    timestep are hidden, exabrick.cu:536-570)."""
+    p = o.shape[0]
+    if surf.num_segments == 0:
+        return jnp.full(p, jnp.inf, o.dtype), jnp.zeros((p, 3), o.dtype)
+    t, n = _ray_rounded_cones(o, d, surf.seg_a, surf.seg_b, surf.seg_radius)
+    visible = (surf.seg_t < current_timestep)[None, :]
+    dead = (jnp.abs(surf.seg_a) >= 2e10).any(-1) | (
+        jnp.abs(surf.seg_b) >= 2e10
+    ).any(-1)
+    t = jnp.where(visible & ~dead[None, :], t, jnp.inf)
+    t = jnp.where((t >= tmin[:, None]) & (t <= tmax[:, None]), t, jnp.inf)
+    k = jnp.argmin(t, axis=1)
+    rows = jnp.arange(t.shape[0])
+    return t[rows, k], n[rows, k]
+
+
+# ----------------------------------------------------------------------------
+# contour planes (exabrick.cu:1267-1406)
+# ----------------------------------------------------------------------------
+
+def trace_contour_planes(scene, fs, cfg, o, d, tmin, tmax):
+    """Nearest enabled contour plane hit within the world-space bounds box.
+
+    The reference clips the plane against the bounds box and intersects
+    the resulting polygon; an axis-aligned-box-clipped plane hit is
+    equivalent to: ray-plane hit point inside the box.
+    """
+    from .dvr import locate_leaf
+
+    p = o.shape[0]
+    t_best = jnp.full(p, jnp.inf, o.dtype)
+    color = jnp.zeros((p, 3), o.dtype)
+    normal = jnp.zeros((p, 3), o.dtype)
+    w_lo = scene.world_bounds_lo
+    w_hi = scene.world_bounds_hi
+    span = w_hi - w_lo
+
+    for i in range(fs.contour_enabled.shape[0]):
+        n = fs.contour_normal[i]
+        # offset is expressed in the unit cube scaled to world bounds
+        # (exabrick.cu:1356-1362): plane dot(n, (p - lo)/span) = offset
+        denom = (n * d).sum(-1)
+        # plane in world space: dot(n/span', p) = offset + dot(n, lo/span)
+        ns = n / span
+        off = fs.contour_offset[i] + (ns * w_lo).sum()
+        t = (off - (ns * o).sum(-1)) / jnp.where(denom == 0, 1.0, (ns * d).sum(-1))
+        hitp = o + t[:, None] * d
+        inside = ((hitp >= w_lo) & (hitp <= w_hi)).all(-1)
+        ok = (
+            fs.contour_enabled[i]
+            & ((ns * d).sum(-1) != 0)
+            & inside
+            & (t >= tmin)
+            & (t <= tmax)
+            & (t < t_best)
+        )
+        # sample the field at the hit to colormap the plane
+        # (samplePointWithInfRay, exabrick.cu:818-830: value used whether or
+        # not the sample is valid, matching the reference)
+        m = scene.voxel_from_world
+        pv = hitp @ m[:, :3].T + m[:, 3]
+        node = locate_leaf(scene, pv)
+        rid = scene.tree_leaf[node]
+        c = jnp.clip(fs.contour_channel[i], 0, cfg.num_channels - 1)
+        _, val = _sample_channel(scene, cfg, jnp.clip(rid, 0, None), pv, c)
+        rgba = _lookup_channel(fs, cfg, c, val)
+        t_best = jnp.where(ok, t, t_best)
+        color = jnp.where(ok[:, None], rgba[:, :3], color)
+        normal = jnp.where(ok[:, None], n[None], normal)
+    return t_best, color, normal
+
+
+def _sample_channel(scene, cfg, rid, pos, channel):
+    """sample_basis with a *traced* channel index via lax.switch."""
+    from .dvr import sample_basis
+
+    if cfg.num_channels == 1:
+        return sample_basis(scene, rid, pos, 0)
+    return jax.lax.switch(
+        channel,
+        [lambda r, p, c=c: sample_basis(scene, r, p, c)
+         for c in range(cfg.num_channels)],
+        rid, pos,
+    )
+
+
+def _lookup_channel(fs, cfg, channel, value):
+    if cfg.num_channels == 1:
+        return lookup_xf(fs.xf_lut[0], fs.xf_domain[0], fs.xf_opacity_scale, value)
+    return jax.lax.switch(
+        channel,
+        [lambda v, c=c: lookup_xf(fs.xf_lut[c], fs.xf_domain[c],
+                                  fs.xf_opacity_scale, v)
+         for c in range(cfg.num_channels)],
+        value,
+    )
+
+
+# ----------------------------------------------------------------------------
+# combined surface pass + shading + AO
+# ----------------------------------------------------------------------------
+
+def _nearest_surface(scene, fs, surf, cfg, o, d, tmin, tmax,
+                     include_contours: bool, include_iso: bool,
+                     current_timestep=None):
+    """traceSurfaces: nearest hit among meshes, contour planes, streamlines
+    and iso surfaces.  Returns (t, normal, base_color, ambient, kind)."""
+    p = o.shape[0]
+    t = jnp.full(p, jnp.inf, o.dtype)
+    normal = jnp.zeros((p, 3), o.dtype)
+    base = jnp.zeros((p, 3), o.dtype)
+    ambient = jnp.zeros(p, o.dtype)
+    kind = jnp.full(p, -1, jnp.int32)
+
+    tt, tn = trace_triangles(surf, o, d, tmin, tmax)
+    win = tt < t
+    t = jnp.where(win, tt, t)
+    normal = jnp.where(win[:, None], tn, normal)
+    base = jnp.where(win[:, None], 0.8, base)
+    ambient = jnp.where(win, 0.2, ambient)
+    kind = jnp.where(win, 0, kind)
+
+    if include_contours:
+        ct, cc, cn = trace_contour_planes(scene, fs, cfg, o, d, tmin, tmax)
+        win = ct < t
+        t = jnp.where(win, ct, t)
+        normal = jnp.where(win[:, None], cn, normal)
+        base = jnp.where(win[:, None], cc, base)
+        ambient = jnp.where(win, 0.0, ambient)
+        kind = jnp.where(win, PRIMID_PLANE, kind)
+
+    if surf.num_segments > 0:
+        ts = current_timestep if current_timestep is not None else jnp.int32(0)
+        st, sn = trace_streamlines(surf, ts, o, d, tmin, tmax)
+        win = st < t
+        t = jnp.where(win, st, t)
+        normal = jnp.where(win[:, None], sn, normal)
+        base = jnp.where(win[:, None], jnp.asarray([0.8, 0.2, 0.1]), base)
+        ambient = jnp.where(win, 0.2, ambient)
+        kind = jnp.where(win, PRIMID_STREAMLINE, kind)
+
+    if include_iso and cfg.iso_surfaces:
+        from .iso import trace_iso_rays
+
+        it, in_, ic = trace_iso_rays(scene, fs, cfg, o, d, tmin, tmax)
+        win = it < t
+        t = jnp.where(win, it, t)
+        normal = jnp.where(win[:, None], in_, normal)
+        base = jnp.where(win[:, None], ic, base)
+        ambient = jnp.where(win, 0.0, ambient)
+        kind = jnp.where(win, PRIMID_ISOSURFACE, kind)
+
+    return t, normal, base, ambient, kind
+
+
+def _onb(w):
+    """make_orthonormal_basis (exabrick.cu:78-83), batched."""
+    cond = (jnp.abs(w[:, 0]) > jnp.abs(w[:, 1]))[:, None]
+    v1 = jnp.stack([-w[:, 2], jnp.zeros_like(w[:, 0]), w[:, 0]], -1)
+    v2 = jnp.stack([jnp.zeros_like(w[:, 0]), w[:, 2], -w[:, 1]], -1)
+    v = jnp.where(cond, v1, v2)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    u = jnp.cross(v, w)
+    return u, v
+
+
+def trace_surface_pass(scene, fs, surf, cfg, o, d, key):
+    """Full surface pass of the raygen program: nearest surface, AO,
+    shaded background color.  Returns (t_hit (P,), bg (P,3))."""
+    p = o.shape[0]
+    tmin = jnp.full(p, 1e-6, o.dtype)
+    tmax = jnp.full(p, 2e10, o.dtype)
+
+    t, n, base, ambient, kind = _nearest_surface(
+        scene, fs, surf, cfg, o, d, tmin, tmax,
+        include_contours=True, include_iso=True,
+        current_timestep=getattr(fs, "tracer_timestep", None),
+    )
+    hit = jnp.isfinite(t)
+    has_n = jnp.linalg.norm(n, axis=-1) > 0.0
+
+    # AO: 2 cosine-weighted hemisphere samples against everything but the
+    # contour planes (exabrick.cu:1612-1645)
+    shadow = jnp.zeros(p, o.dtype)
+    if cfg.ao_samples > 0:
+        isect = o + t[:, None] * d
+        isect = jnp.where(hit[:, None], isect, o)
+        u, v = _onb(n)
+        hits = jnp.zeros(p, o.dtype)
+        for s in range(cfg.ao_samples):
+            r = jax.random.uniform(jax.random.fold_in(key, s), (p, 2))
+            rr = jnp.sqrt(r[:, 0])
+            theta = 2.0 * jnp.pi * r[:, 1]
+            sp = jnp.stack(
+                [rr * jnp.cos(theta), rr * jnp.sin(theta),
+                 jnp.sqrt(1.0 - r[:, 0])], -1,
+            )
+            dir_ = sp[:, 0:1] * u + sp[:, 1:2] * v + sp[:, 2:3] * n
+            dir_ = dir_ / jnp.maximum(
+                jnp.linalg.norm(dir_, axis=-1, keepdims=True), 1e-20
+            )
+            at, *_ = _nearest_surface(
+                scene, fs, surf, cfg, isect, dir_,
+                jnp.full(p, 1e-4, o.dtype),
+                jnp.full(p, 1.0, o.dtype) * fs.ao_length,
+                include_contours=False, include_iso=cfg.iso_surfaces,
+            )
+            hits = hits + jnp.isfinite(at)
+        shadow = jnp.where(fs.ao_enabled, hits / cfg.ao_samples, 0.0)
+
+    shaded = ambient[:, None] + base * (
+        jnp.abs((d * n).sum(-1)) * (1.0 - shadow)
+    )[:, None]
+    bg = jnp.where(
+        hit[:, None],
+        jnp.where(has_n[:, None], shaded, base),
+        0.0,
+    )
+    return jnp.where(hit, t, 2e10), bg

@@ -19,8 +19,8 @@ from ..core.constants import NUM_XF_VALUES
 def lookup_xf(lut, domain, opacity_scale, value):
     """Vectorized XF lookup (matches exabrick.cu:136-150 + tex1D lerp).
 
-    lut: (..., N, 4); domain: (..., 2); value: (...,) broadcastable.
-    Returns (..., 4) RGBA with alpha scaled by opacity_scale.
+    lut: (N, 4) for one channel; domain: (2,); value: any shape.
+    Returns value.shape + (4,) RGBA with alpha scaled by opacity_scale.
     """
     n = lut.shape[-2]
     lo = domain[..., 0]
@@ -33,8 +33,8 @@ def lookup_xf(lut, domain, opacity_scale, value):
     frac = (u - i0)[..., None]
     i0 = jnp.clip(i0.astype(jnp.int32), 0, n - 1)
     i1 = jnp.clip(i0 + 1, 0, n - 1)
-    v0 = jnp.take_along_axis(lut, i0[..., None, None], axis=-2)[..., 0, :]
-    v1 = jnp.take_along_axis(lut, i1[..., None, None], axis=-2)[..., 0, :]
+    v0 = lut[i0]
+    v1 = lut[i1]
     rgba = v0 * (1.0 - frac) + v1 * frac
     alpha = rgba[..., 3:4] * opacity_scale
     return jnp.concatenate([rgba[..., :3], alpha], axis=-1)

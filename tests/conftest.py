@@ -9,6 +9,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# the axon site config forces platform "axon" (the TPU tunnel); tests must
+# run on the virtual CPU mesh
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,108 @@
+"""Golden-image tests: the jit wavefront DVR renderer must match the
+scalar numpy oracle (a literal restatement of the CUDA formulas)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owlexabrick_tpu.oracle import reference as oracle
+from owlexabrick_tpu.pipeline import scene_from_cells
+from owlexabrick_tpu.render.camera import Camera
+from owlexabrick_tpu.render.dvr import RenderConfig, trace_dvr
+from owlexabrick_tpu.render.frame import make_frame_state
+from owlexabrick_tpu.render.scene import to_device
+
+from conftest import EX2, EX3, EX4
+
+
+def _setup(amr_fixture, text, vmax, size=12):
+    lower, level, scal = amr_fixture(text)
+    scene, *_ = scene_from_cells(lower, level, [scal])
+    cam = Camera.look_at(
+        from_=[12.0, 10.0, 14.0], at=[4.0, 2.0, 2.0], up=[0, 1, 0],
+        fovy_degrees=50.0, width=size, height=size,
+    )
+    fs = make_frame_state(
+        cam, num_channels=1, xf_domains=[[0.0, vmax]], dt=0.7,
+    )
+    o, d = cam.rays(size, size)
+    return scene, fs, o, d
+
+
+@pytest.mark.parametrize(
+    "text,vmax", [(EX2, 7.0), (EX3, 7.0), (EX4, 2.0)]
+)
+def test_dvr_matches_oracle(amr_fixture, text, vmax):
+    scene, fs, o, d = _setup(amr_fixture, text, vmax)
+    cfg = RenderConfig(num_channels=1)
+    dscene = to_device(scene)
+    offset = jnp.zeros(o.shape[0])
+    rgba = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), offset
+        )
+    )
+    for i in range(o.shape[0]):
+        want = oracle.trace_dvr_ray(scene, fs, o[i], d[i], num_channels=1)
+        np.testing.assert_allclose(
+            rgba[i], want, rtol=5e-3, atol=5e-3,
+            err_msg=f"pixel {i} ray {o[i]}->{d[i]}",
+        )
+
+
+def test_dvr_space_skipping_equals_no_skipping(amr_fixture):
+    """With a full-range transfer function, space skipping must not change
+    the image; with a TF that zeroes everything, the image must be empty."""
+    scene, fs, o, d = _setup(amr_fixture, EX2, 7.0)
+    dscene = to_device(scene)
+    offset = jnp.zeros(o.shape[0])
+    f = jax.jit(trace_dvr, static_argnames="cfg")
+    a = np.asarray(f(dscene, fs, RenderConfig(space_skipping=True),
+                     jnp.asarray(o), jnp.asarray(d), offset))
+    b = np.asarray(f(dscene, fs, RenderConfig(space_skipping=False),
+                     jnp.asarray(o), jnp.asarray(d), offset))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    import dataclasses
+
+    fs0 = dataclasses.replace(fs, xf_lut=fs.xf_lut * np.array([1, 1, 1, 0.0]))
+    z = np.asarray(f(dscene, fs0, RenderConfig(space_skipping=True),
+                     jnp.asarray(o), jnp.asarray(d), offset))
+    assert np.abs(z).max() == 0.0
+
+
+def test_dvr_gradient_shading_runs(amr_fixture):
+    scene, fs, o, d = _setup(amr_fixture, EX2, 7.0, size=6)
+    dscene = to_device(scene)
+    offset = jnp.zeros(o.shape[0])
+    cfg = RenderConfig(num_channels=1, gradient_shading_dvr=True)
+    rgba = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), offset
+        )
+    )
+    assert np.isfinite(rgba).all()
+    for i in range(o.shape[0]):
+        want = oracle.trace_dvr_ray(
+            scene, fs, o[i], d[i], num_channels=1, gradient_shading=True
+        )
+        np.testing.assert_allclose(rgba[i], want, rtol=1e-2, atol=1e-2)
+
+
+def test_interleaved_offset_matches(amr_fixture):
+    scene, fs, o, d = _setup(amr_fixture, EX2, 7.0, size=6)
+    dscene = to_device(scene)
+    rng = np.random.default_rng(5)
+    offs = rng.uniform(0, 1, o.shape[0]).astype(np.float32)
+    cfg = RenderConfig(num_channels=1)
+    rgba = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), jnp.asarray(offs)
+        )
+    )
+    for i in range(o.shape[0]):
+        want = oracle.trace_dvr_ray(
+            scene, fs, o[i], d[i], num_channels=1, offset=float(offs[i])
+        )
+        np.testing.assert_allclose(rgba[i], want, rtol=5e-3, atol=5e-3)

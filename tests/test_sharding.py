@@ -1,0 +1,86 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owlexabrick_tpu.parallel.mesh import (
+    make_mesh,
+    make_sharded_renderer,
+    replicate,
+    shard_rays,
+)
+from owlexabrick_tpu.pipeline import scene_from_cells
+from owlexabrick_tpu.render.camera import Camera
+from owlexabrick_tpu.render.dvr import RenderConfig, trace_dvr, composite_background
+from owlexabrick_tpu.render.frame import make_frame_state
+from owlexabrick_tpu.render.scene import to_device
+from owlexabrick_tpu.render.surfaces import SurfaceData, trace_surface_pass
+
+from conftest import EX2
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX2)
+    scene, *_ = scene_from_cells(lower, level, [scal])
+    size = 16
+    cam = Camera.look_at([12.0, 10.0, 14.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         50.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7)
+    o, d = cam.rays(size, size)
+    return scene, fs, o, d
+
+
+def test_8way_pixel_sharding_matches_single(setup):
+    scene, fs, o, d = setup
+    assert len(jax.devices()) >= 8
+    cfg = RenderConfig(num_channels=1)
+    mesh = make_mesh(8, 1)
+    f = make_sharded_renderer(mesh, cfg)
+    surf = SurfaceData.empty()
+    sc = replicate(mesh, to_device(scene))
+    fsr = replicate(mesh, fs)
+    sfr = replicate(mesh, surf)
+    key = jax.random.PRNGKey(7)
+    os_, ds_ = shard_rays(mesh, o, d)
+    sharded = np.asarray(f(sc, fsr, sfr, os_, ds_, key))
+
+    # single-device reference with the same per-tile RNG layout
+    per = o.shape[0] // 8
+    single = np.zeros((o.shape[0], 3), np.float32)
+    dscene = to_device(scene)
+    fs = jax.tree.map(jnp.asarray, fs)
+    for tile in range(8):
+        k = jax.random.fold_in(jax.random.fold_in(key, 0), tile)
+        sl = slice(tile * per, (tile + 1) * per)
+        off = jax.random.uniform(jax.random.fold_in(k, 2), (per,))
+        t_hit, bg = trace_surface_pass(
+            dscene, fs, surf, cfg, jnp.asarray(o[sl]), jnp.asarray(d[sl]),
+            jax.random.fold_in(k, 3),
+        )
+        rgba = trace_dvr(
+            dscene, fs, cfg, jnp.asarray(o[sl]), jnp.asarray(d[sl]), off,
+            t_end_world=t_hit,
+        )
+        single[sl] = np.asarray(composite_background(rgba, bg))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_4x2_px_spp_mesh(setup):
+    scene, fs, o, d = setup
+    cfg = RenderConfig(num_channels=1)
+    mesh = make_mesh(4, 2)
+    f = make_sharded_renderer(mesh, cfg)
+    surf = SurfaceData.empty()
+    sc = replicate(mesh, to_device(scene))
+    out = np.asarray(
+        f(sc, replicate(mesh, fs), replicate(mesh, surf),
+          *shard_rays(mesh, o, d), jax.random.PRNGKey(1))
+    )
+    assert out.shape == (o.shape[0], 3)
+    assert np.isfinite(out).all()
+    assert out.max() > 0
