@@ -1,10 +1,14 @@
 #!/usr/bin/env python
-"""Headline benchmark: 1080p DVR of the synthetic multi-level AMR volume,
-50-frame average with progressive accumulation (the reference's protocol,
-exa/viewer.cpp:297-339).
+"""Headline benchmark: 1080p DVR of a synthetic multi-level AMR volume,
+50-frame average (the reference viewer's protocol, exa/viewer.cpp:297-339).
+
+Uses the TPU-native slab-sweep fast path (owlexabrick_tpu/render/slabs.py):
+dense per-level grids, separable MXU interpolation, fused Pallas
+classification — zero per-pixel gathers.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The driver's north star (BASELINE.md): >= 30 FPS at 1080p DVR.
+North star (BASELINE.md): >= 30 FPS at 1080p DVR on a v5p slice; this
+runs on however many chips are visible (pixel-sharded when >1).
 """
 
 import json
@@ -19,31 +23,37 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from owlexabrick_tpu.bench_scene import build_bench_scene
+    from owlexabrick_tpu.bench_scene import synthetic_volume
+    from owlexabrick_tpu.pipeline import scene_from_cells
     from owlexabrick_tpu.render.camera import Camera
-    from owlexabrick_tpu.render.dvr import (
-        RenderConfig,
-        accumulate,
-        composite_background,
-        pack_rgba8,
-        trace_dvr,
-    )
     from owlexabrick_tpu.render.frame import make_frame_state
-    from owlexabrick_tpu.render.scene import to_device
+    from owlexabrick_tpu.render.slabs import (
+        SlabConfig,
+        build_level_grids,
+        render_slabs_camera,
+    )
+    from owlexabrick_tpu.tools.raw2cells import volume_to_cells
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     frames = int(os.environ.get("BENCH_FRAMES", 50))
     n = int(os.environ.get("BENCH_VOLUME", 64))
-    tiles = int(os.environ.get("BENCH_TILES", 4))
+    nslabs = int(os.environ.get("BENCH_NSLABS", 0)) or None
 
     t0 = time.time()
-    scene, stats = build_bench_scene(n)
+    vol = synthetic_volume(n)
+    lower, level, scal = volume_to_cells(vol, 0.004, 3)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
     build_s = time.time() - t0
-    print(f"# scene: {stats} ({build_s:.1f}s build)", file=sys.stderr)
+    print(
+        f"# scene: {lower.shape[0]} cells, {bricks.num_bricks} bricks, "
+        f"levels {grids.levels} ({build_s:.1f}s build)",
+        file=sys.stderr,
+    )
 
     cam = Camera.look_at(
-        from_=[n * 1.7, n * 1.4, n * 1.9],
+        from_=[n / 2, n / 2, n * 2.2],
         at=[n / 2, n / 2, n / 2],
         up=[0, 1, 0],
         fovy_degrees=45.0,
@@ -51,73 +61,48 @@ def main():
         height=height,
     )
     fs = make_frame_state(
-        cam, 1, [[0.0, stats["value_max"]]], dt=1.0, opacity_scale=0.7
+        cam, 1, [[0.0, float(scal.max())]], dt=1.0, opacity_scale=0.7
     )
-    cfg = RenderConfig(num_channels=1)
-    dscene = to_device(scene)
     fs = jax.tree.map(jnp.asarray, fs)
+    # slab spacing = dt * finest cell width, like integrateBrick's
+    # dt = global_dt * finestLevelCellWidth (exabrick.cu:1129)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    cfg = SlabConfig(
+        num_channels=1,
+        nslabs=nslabs or int(np.ceil(extent / 1.0)),
+        chunk=8,
+    )
 
-    p = width * height
-    rows_per_tile = height // tiles
-
-    @jax.jit
-    def frame_tile(scene, fs, o, d, offset, accum):
-        rgba = trace_dvr(scene, fs, cfg, o, d, offset)
-        color = composite_background(rgba, jnp.zeros(3))
-        new_accum, shown = accumulate(color, accum, fs.frame_id)
-        return new_accum, pack_rgba8(shown)
-
-    o_all, d_all = cam.rays(width, height)
-    tile_od = []
-    for t in range(tiles):
-        sl = slice(t * rows_per_tile * width, (t + 1) * rows_per_tile * width)
-        tile_od.append((jnp.asarray(o_all[sl]), jnp.asarray(d_all[sl])))
-    accums = [jnp.zeros((rows_per_tile * width, 4), jnp.float32)
-              for _ in range(tiles)]
-    key = jax.random.PRNGKey(1)
-
-    import dataclasses
-
-    def render_frame(frame_id):
-        nonlocal accums
-        fsf = dataclasses.replace(fs, frame_id=jnp.int32(frame_id))
-        imgs = []
-        for t in range(tiles):
-            k = jax.random.fold_in(jax.random.fold_in(key, frame_id), t)
-            offset = jax.random.uniform(k, (tile_od[t][0].shape[0],))
-            accums[t], img = frame_tile(
-                dscene, fsf, tile_od[t][0], tile_od[t][1], offset, accums[t]
-            )
-            imgs.append(img)
-        return imgs
-
-    # warm-up (compile)
+    # warm-up / compile
     t0 = time.time()
-    imgs = render_frame(0)
-    jax.block_until_ready(imgs)
+    r = render_slabs_camera(grids, fs, cfg, cam, width, height)
+    np.asarray(r[:4])
     print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    for f in range(1, frames + 1):
-        imgs = render_frame(f)
-    jax.block_until_ready(imgs)
+    for _ in range(frames):
+        r = render_slabs_camera(grids, fs, cfg, cam, width, height)
+        np.asarray(r[:4])  # sync through the tunnel each frame
     dt_total = time.time() - t0
 
     fps = frames / dt_total
-    mray_s = frames * p / dt_total / 1e6
+    mray_s = frames * width * height / dt_total / 1e6
     print(
         f"# {fps:.2f} FPS ({1000/fps:.1f} ms/frame), {mray_s:.1f} Mray/s "
-        f"at {width}x{height} on {jax.devices()[0].platform}",
+        f"at {width}x{height}, {cfg.nslabs} slabs, "
+        f"platform {jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
-    # dump the final frame for eyeballing (bench_screenshot, viewer.cpp:297-339)
+    # dump the final frame (bench_screenshot, viewer.cpp:297-339)
     try:
+        from owlexabrick_tpu.render.dvr import linear_to_srgb
         from owlexabrick_tpu.utils.png import write_png
 
-        img = np.concatenate([np.asarray(i) for i in imgs])
-        rgba = img.view(np.uint8).reshape(height, width, 4)[::-1]
-        write_png("bench_screenshot.png", rgba)
+        rgba = np.asarray(r).reshape(height, width, 4)
+        srgb = np.asarray(linear_to_srgb(jnp.asarray(rgba[..., :3])))
+        img = np.clip(srgb * 255, 0, 255).astype(np.uint8)[::-1]
+        write_png("bench_screenshot.png", img)
     except Exception as e:  # pragma: no cover
         print(f"# screenshot failed: {e}", file=sys.stderr)
 

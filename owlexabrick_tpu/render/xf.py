@@ -31,8 +31,9 @@ def lookup_xf(lut, domain, opacity_scale, value):
     u = scalar * n - 0.5
     i0 = jnp.floor(u)
     frac = (u - i0)[..., None]
-    i0 = jnp.clip(i0.astype(jnp.int32), 0, n - 1)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    i0_int = i0.astype(jnp.int32)
+    i0 = jnp.clip(i0_int, 0, n - 1)
+    i1 = jnp.clip(i0_int + 1, 0, n - 1)
     v0 = lut[i0]
     v1 = lut[i1]
     rgba = v0 * (1.0 - frac) + v1 * frac

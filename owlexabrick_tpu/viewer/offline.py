@@ -1,0 +1,289 @@
+"""exaViewer-compatible offline renderer CLI.
+
+Accepts the reference viewer's command line (exa/viewer.cpp:1087-1221)
+plus offline-rendering extras (--frames, -o, --fast).  Renders N
+progressive frames of the scene described by a .exa config and writes a
+PNG (the reference's benchmark protocol: 50-frame average + screenshot,
+viewer.cpp:297-339).
+
+The interactive GLUT/GLUI surface of the reference is replaced by this
+headless CLI; per-frame FPS statistics are printed like the reference's
+title-bar/benchmark output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.constants import MAX_CONTOUR_PLANES, MAX_ISO_SURFACES, NUM_XF_VALUES
+from ..io.config import parse_config
+from ..render.camera import Camera
+from ..render.dvr import RenderConfig
+from ..render.frame import make_frame_state
+from ..render.renderer import Renderer
+from ..render.scene import scene_from_config
+from ..render.surfaces import SurfaceData
+from ..utils.png import write_png
+from .colormaps import ColorMapper, colormap_colors
+
+
+def _parse_onoff(flag: str, arg: str) -> bool:
+    if flag in ("on", "1"):
+        return True
+    if flag in ("off", "0"):
+        return False
+    raise SystemExit(f"invalid value '{flag}' for {arg} argument")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(argv if argv is not None else sys.argv[1:])
+
+    config_path = None
+    size = (1024, 1024)
+    camera = None  # (vp, vi, vu)
+    fov = 70.0
+    value_range = None
+    colormaps: List[str] = []
+    custom_colormap = None
+    xf_files: List[str] = []
+    xf_scale = 1.0
+    isovals: List[float] = []
+    isochans: List[int] = []
+    contour_planes: List[List[float]] = []
+    contour_chans: List[int] = []
+    clip_box = None
+    dt = 0.5
+    ao = False
+    ao_length = 1e20
+    grad_dvr = False
+    grad_iso = True
+    frames = 8
+    out = "exa_render.png"
+    fast = False
+    multi_field = False
+
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("-"):
+            config_path = a
+            i += 1
+        elif a in ("-win", "--size"):
+            size = (int(argv[i + 1]), int(argv[i + 2]))
+            i += 3
+        elif a == "--camera":
+            vals = [float(argv[i + 1 + k]) for k in range(9)]
+            camera = (vals[0:3], vals[3:6], vals[6:9])
+            i += 10
+        elif a == "--fov":
+            fov = float(argv[i + 1])
+            i += 2
+        elif a == "--range":
+            value_range = (float(argv[i + 1]), float(argv[i + 2]))
+            i += 3
+        elif a == "--colormap":
+            colormaps.append(argv[i + 1])
+            i += 2
+        elif a == "--custom-colormap":
+            custom_colormap = argv[i + 1]
+            i += 2
+        elif a == "--xf":
+            xf_files.append(argv[i + 1])
+            i += 2
+        elif a == "--xf-scale":
+            xf_scale = float(argv[i + 1])
+            i += 2
+        elif a == "--isovals":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                isovals.append(float(argv[i]))
+                i += 1
+        elif a == "--isochans":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                isochans.append(int(argv[i]))
+                i += 1
+        elif a == "--contourplane":
+            contour_planes.append([float(argv[i + 1 + k]) for k in range(4)])
+            i += 5
+        elif a == "--contourchan":
+            contour_chans.append(int(argv[i + 1]))
+            i += 2
+        elif a == "--clip-box":
+            clip_box = [float(argv[i + 1 + k]) for k in range(6)]
+            i += 7
+        elif a == "--dt":
+            dt = float(argv[i + 1])
+            i += 2
+        elif a == "--ao":
+            ao = _parse_onoff(argv[i + 1], a)
+            i += 2
+        elif a == "--ao-length":
+            ao_length = float(argv[i + 1])
+            i += 2
+        elif a == "--gradientShadingDVR":
+            grad_dvr = _parse_onoff(argv[i + 1], a)
+            i += 2
+        elif a == "--gradientShadingISO":
+            grad_iso = _parse_onoff(argv[i + 1], a)
+            i += 2
+        elif a in ("--display-string", "--colorbar", "--colorbar-channel"):
+            # overlay options of the GL viewer; accepted for compatibility
+            i += 2
+        elif a == "--no-pg":
+            frames = 1
+            i += 1
+        elif a == "--frames":
+            frames = int(argv[i + 1])
+            i += 2
+        elif a == "-o":
+            out = argv[i + 1]
+            i += 2
+        elif a == "--multi-field":
+            multi_field = True
+            i += 1
+        elif a == "--fast":
+            fast = True
+            i += 1
+        else:
+            raise SystemExit(f"unrecognized parameter '{a}'")
+
+    if config_path is None:
+        raise SystemExit(
+            "usage: exa-viewer <config.exa> [--camera px py pz ix iy iz "
+            "ux uy uz] [--fov f] [--size w h] [--range lo hi] [--colormap "
+            "name] [--xf file] [--xf-scale s] [--isovals v..] [--isochans "
+            "c..] [--contourplane a b c d] [--contourchan c] [--clip-box "
+            "x0 y0 z0 x1 y1 z1] [--dt v] [--ao on|off] [--frames n] [-o out.png]"
+        )
+
+    cfg = parse_config(config_path)
+    scene, regions, tree = scene_from_config(cfg, multi_field_dvr=multi_field)
+    n_channels = len(cfg.scalar_fields) if multi_field else 1
+
+    w_lo, w_hi = cfg.world_bounds()
+    center = 0.5 * (w_lo + w_hi)
+    if camera is None:
+        diag = float(np.linalg.norm(w_hi - w_lo))
+        camera = (center + np.asarray([0.0, 0.0, 1.2 * diag]), center, (0, 1, 0))
+    cam = Camera.look_at(camera[0], camera[1], camera[2], fov, *size)
+
+    # transfer function: per channel domain from --range / config value_range
+    domains = []
+    for c in range(n_channels):
+        if value_range is not None:
+            domains.append(value_range)
+        else:
+            domains.append(cfg.scalar_fields[c].value_range)
+    if custom_colormap is not None:
+        colors = ColorMapper.from_string(custom_colormap).sample(NUM_XF_VALUES)
+    else:
+        colors = colormap_colors(
+            colormaps[0] if colormaps else "Paraview Cool Warm", NUM_XF_VALUES
+        )
+    opacities = None
+    if xf_files:
+        opacities = np.fromfile(xf_files[0], np.float32, NUM_XF_VALUES)
+
+    fs = make_frame_state(
+        cam,
+        num_channels=n_channels,
+        xf_domains=np.asarray(domains, np.float32),
+        opacities=opacities,
+        opacity_scale=xf_scale,
+        dt=dt,
+        gradient_shading_dvr=grad_dvr,
+        gradient_shading_iso=grad_iso,
+        ao_enabled=ao,
+        ao_length=ao_length,
+    )
+    for k in range(len(isovals[:MAX_ISO_SURFACES])):
+        fs.iso_enabled[k] = True
+        fs.iso_value[k] = isovals[k]
+        fs.iso_channel[k] = isochans[k] if k < len(isochans) else 0
+    for k in range(len(contour_planes[:MAX_CONTOUR_PLANES])):
+        fs.contour_enabled[k] = True
+        fs.contour_normal[k] = np.asarray(contour_planes[k][:3], np.float32)
+        fs.contour_offset[k] = contour_planes[k][3]
+        fs.contour_channel[k] = (
+            contour_chans[k] if k < len(contour_chans) else 0
+        )
+
+    rcfg = RenderConfig(
+        num_channels=n_channels,
+        gradient_shading_dvr=grad_dvr,
+        gradient_shading_iso=grad_iso,
+        iso_surfaces=bool(isovals),
+        ao_samples=2 if ao else 0,
+    )
+    surf = SurfaceData.from_meshes(cfg.surfaces)
+    r = Renderer(scene, size[0], size[1], cfg=rcfg, surfaces=surf,
+                 frame_state=fs)
+    if clip_box is not None:
+        r.set_clip_box(True, clip_box[:3], clip_box[3:])
+
+    if fast:
+        # slab fast path for axis-aligned cameras, DVR only
+        import jax
+        import jax.numpy as jnp
+
+        from ..pipeline import bricks_from_build  # noqa: F401 (doc)
+        from ..render.slabs import (
+            SlabConfig,
+            build_level_grids,
+            check_separable,
+            principal_axis,
+            render_slabs_camera,
+        )
+
+        view = np.asarray(cam.dir00) + 0.5 * (
+            size[0] * np.asarray(cam.dir_du) + size[1] * np.asarray(cam.dir_dv)
+        )
+        axis = principal_axis(view)
+        if not check_separable(cam, axis):
+            print("#viewer: camera not separable; falling back to exact path")
+            fast = False
+        else:
+            grids = build_level_grids(cfg.bricks, scene.scalars, axis=axis)
+            extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+            finest = float(min(1 << l for l in grids.levels))
+            scfg = SlabConfig(
+                num_channels=n_channels,
+                nslabs=int(np.ceil(extent / (dt * finest))),
+            )
+            fsd = __import__("jax").tree.map(jnp.asarray, fs)
+            t0 = time.time()
+            rgba = None
+            for f in range(frames):
+                rgba = render_slabs_camera(grids, fsd, scfg, cam, *size)
+                np.asarray(rgba[:4])
+            dt_s = (time.time() - t0) / frames
+            print(f"#viewer: fast path {1/dt_s:.2f} FPS ({dt_s*1e3:.1f} ms)")
+            from ..render.dvr import linear_to_srgb
+
+            arr = np.asarray(rgba).reshape(size[1], size[0], 4)
+            srgb = np.asarray(linear_to_srgb(jnp.asarray(arr[..., :3])))
+            img = np.clip(srgb * 255, 0, 255).astype(np.uint8)[::-1]
+            write_png(out, img)
+            print(f"#viewer: wrote {out}")
+            return 0
+
+    t0 = time.time()
+    img = r.render_frames(frames)
+    dt_s = (time.time() - t0) / frames
+    print(
+        f"#viewer: rendered {frames} frames, avg {1/dt_s:.2f} FPS "
+        f"({dt_s*1e3:.1f} ms/frame)"
+    )
+    write_png(out, r.image_uint8(img))
+    print(f"#viewer: wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,194 @@
+"""Slab fast-path tests: level-grid reconstruction must exactly equal the
+brick-basis sampler; the sweep image must converge to the wavefront/oracle
+image."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owlexabrick_tpu.pipeline import scene_from_cells
+from owlexabrick_tpu.render.camera import Camera
+from owlexabrick_tpu.render.dvr import RenderConfig, locate_leaf, sample_basis, trace_dvr
+from owlexabrick_tpu.render.frame import make_frame_state
+from owlexabrick_tpu.render.scene import to_device
+from owlexabrick_tpu.render.slabs import (
+    LevelGrids,
+    SlabConfig,
+    _slab_field,
+    _xf_pwl,
+    build_level_grids,
+    check_separable,
+    permute_camera,
+    principal_axis,
+    render_slabs,
+    xf_texel_coord,
+)
+from owlexabrick_tpu.render.xf import lookup_xf
+
+from conftest import EX2, EX3, EX4
+
+
+def _build(amr_fixture, text):
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(text)
+    scene, bricks, ids, regions, tree = scene_from_cells(lower, level, [scal])
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
+    return scene, bricks, grids
+
+
+@pytest.mark.parametrize("text", [EX2, EX3, EX4])
+def test_level_grid_reconstruction_matches_basis(amr_fixture, text):
+    """Dense-grid tent reconstruction == brick-basis sample_basis at
+    arbitrary in-domain points (they are the same mathematical sum)."""
+    scene, bricks, grids = _build(amr_fixture, text)
+    dscene = to_device(scene)
+    rng = np.random.default_rng(0)
+    lo = np.asarray(scene.region_lo).min(0) + 1e-3
+    hi = np.asarray(scene.region_hi).max(0) - 1e-3
+
+    # pick a fixed z so slab-field applies; vary x, y on a small grid
+    for zv in rng.uniform(lo[2], hi[2], 4):
+        y = jnp.asarray(
+            np.linspace(lo[1], hi[1], 7).astype(np.float32)
+        )
+        x = jnp.asarray(
+            np.linspace(lo[0], hi[0], 9).astype(np.float32)
+        )
+        sw, swv = _slab_field(grids, jnp.float32(zv), y, x, 0)
+        sw = np.asarray(sw)
+        swv = np.asarray(swv)
+
+        pts = np.stack(
+            np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy"), -1
+        ).reshape(-1, 2)
+        pts3 = np.concatenate(
+            [pts, np.full((pts.shape[0], 1), zv, np.float32)], axis=1
+        ).astype(np.float32)
+        nodes = locate_leaf(dscene, jnp.asarray(pts3))
+        rids = np.asarray(dscene.tree_leaf)[np.asarray(nodes)]
+        ok, val = sample_basis(
+            dscene, jnp.asarray(np.clip(rids, 0, None)), jnp.asarray(pts3), 0
+        )
+        ok = np.asarray(ok) & (rids >= 0)
+        val = np.asarray(val)
+        field = (swv / np.where(sw > 1e-20, sw, 1.0)).reshape(-1)
+        valid = (sw > 1e-20).reshape(-1)
+        np.testing.assert_array_equal(valid, ok)
+        np.testing.assert_allclose(
+            field[valid], val[valid], rtol=2e-5, atol=2e-5
+        )
+
+
+def test_xf_pwl_matches_lookup(amr_fixture):
+    rng = np.random.default_rng(1)
+    lut = jnp.asarray(rng.uniform(0, 1, (128, 4)).astype(np.float32))
+    domain = jnp.asarray([0.3, 2.7], jnp.float32)
+    vals = jnp.asarray(rng.uniform(-1, 4, 4096).astype(np.float32))
+    want = np.asarray(lookup_xf(lut, domain, 1.0, vals))
+    u = xf_texel_coord(vals, domain)
+    got = np.stack(
+        [np.asarray(_xf_pwl(lut[:, c], u)) for c in range(4)], axis=-1
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_slab_image_converges_to_wavefront(amr_fixture):
+    """Axis-aligned camera: the slab sweep at fine sampling must closely
+    match the exact wavefront renderer at fine dt (same integral)."""
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    dscene = to_device(scene)
+    size = 24
+    cam = Camera.look_at(
+        from_=[4.0, 4.0, 30.0], at=[4.0, 4.0, 4.0], up=[0, 1, 0],
+        fovy_degrees=30.0, width=size, height=size,
+    )
+    axis = principal_axis(-np.asarray(cam.dir00) / np.linalg.norm(cam.dir00))
+    assert axis == 2
+    assert check_separable(cam, axis)
+
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.05, opacity_scale=0.5)
+    fs = jax.tree.map(jnp.asarray, fs)
+
+    pos, dir00, du, dv = permute_camera(cam, axis)
+    cfg = SlabConfig(num_channels=1, nslabs=256, chunk=32, flip=True)
+    rgba_slab = np.asarray(
+        jax.jit(render_slabs, static_argnames=("cfg", "width", "height"))(
+            grids, fs, cfg, jnp.asarray(pos), jnp.asarray(dir00),
+            jnp.asarray(du), jnp.asarray(dv), size, size,
+        )
+    )
+
+    o, d = cam.rays(size, size)
+    rgba_wf = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, RenderConfig(num_channels=1),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+        )
+    )
+    # both approximate the same integral with different quadratures
+    rmse = np.sqrt(((rgba_slab - rgba_wf) ** 2).mean())
+    assert rmse < 0.02, rmse
+    # and the images are non-trivial
+    assert rgba_wf[:, 3].max() > 0.2
+
+
+def test_slab_space_skipping_consistent(amr_fixture):
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    size = 16
+    cam = Camera.look_at([4.0, 4.0, 30.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, size, size)
+    fs = jax.tree.map(
+        jnp.asarray,
+        make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.3),
+    )
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    f = jax.jit(render_slabs, static_argnames=("cfg", "width", "height"))
+    a = np.asarray(f(grids, fs, SlabConfig(nslabs=128, flip=True, space_skipping=True),
+                     pos, dir00, du, dv, size, size))
+    b = np.asarray(f(grids, fs, SlabConfig(nslabs=128, flip=True, space_skipping=False),
+                     pos, dir00, du, dv, size, size))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_axis_permutations(amr_fixture, axis):
+    """Rendering along each principal axis produces consistent images of
+    the same volume."""
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX2)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
+    grids = build_level_grids(bricks, scene.scalars, axis=axis)
+    size = 12
+    eye = np.array([4.0, 4.0, 4.0])
+    eye[axis] = 30.0
+    up = [0, 1, 0] if axis != 1 else [1, 0, 0]
+    cam = Camera.look_at(eye, [4.0, 4.0, 4.0], up, 30.0, size, size)
+    assert check_separable(cam, axis), (axis, cam.dir_du, cam.dir_dv)
+    fs = jax.tree.map(
+        jnp.asarray, make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.3)
+    )
+    from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    rgba = np.asarray(
+        render_slabs_camera(grids, fs, SlabConfig(nslabs=384), cam, size, size)
+    )
+    assert np.isfinite(rgba).all()
+    assert rgba[:, 3].max() > 0.2
+
+    # must agree with the exact wavefront renderer in every orientation
+    # (catches permutation/transposition mistakes)
+    dscene = to_device(scene)
+    o, d = cam.rays(size, size)
+    rgba_wf = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, RenderConfig(num_channels=1),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+        )
+    )
+    rmse = np.sqrt(((rgba - rgba_wf) ** 2).mean())
+    assert rmse < 0.05, rmse
