@@ -1,1 +1,1 @@
-from .build import build_regions, compute_value_ranges
+from .build import build_regions, build_regions_py, compute_value_ranges

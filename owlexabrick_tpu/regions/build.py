@@ -32,12 +32,34 @@ def build_regions(
     bricks: Bricks,
     scalars: Optional[np.ndarray] = None,
     num_channels: Optional[int] = None,
+    backend: str = "auto",
 ) -> Tuple[Regions, RegionTree]:
     """Build regions + BSP tree from a brick table.
 
     ``scalars``: (C, total_cells) flattened per-brick cell values used for
     per-region value ranges (may be None -> ranges left [inf,-inf]).
+    ``backend``: "auto" uses the threaded C++ core when buildable
+    (native/exabrick_native.cpp — deterministically identical output),
+    "python" forces the numpy implementation.
     """
+    if backend in ("auto", "native"):
+        try:
+            from ..native import available, native_build_regions
+
+            if available():
+                return native_build_regions(bricks, scalars, num_channels)
+        except Exception:
+            if backend == "native":
+                raise
+    return build_regions_py(bricks, scalars, num_channels)
+
+
+def build_regions_py(
+    bricks: Bricks,
+    scalars: Optional[np.ndarray] = None,
+    num_channels: Optional[int] = None,
+) -> Tuple[Regions, RegionTree]:
+    """Pure-numpy region build (the reference/spec implementation)."""
     dom_lo, dom_hi = bricks.domains()
     n_bricks = bricks.num_bricks
 
@@ -107,7 +129,10 @@ def build_regions(
         best_pos = dlo.copy()
         best_dist = span.copy()
         for dim in range(3):
-            faces = np.concatenate([plo[:, dim], phi[:, dim]])
+            # per prim: upper face first, then lower (Regions.cpp:91-92);
+            # argmin keeps the first of equal minima, matching the
+            # sequential strict-< scan of the reference/native builder
+            faces = np.stack([phi[:, dim], plo[:, dim]], axis=1).ravel()
             inside = (faces > dlo[dim]) & (faces < dhi[dim])
             faces = faces[inside]
             if faces.size == 0:
@@ -153,8 +178,10 @@ def build_regions(
         axis_l[node] = split_dim
         split_l[node] = split_pos
         child_l[node] = first
-        stack.append((first, *l, dlo_l, dhi_l, depth + 1))
+        # left child processed first (LIFO stack) so region ids match the
+        # native builder's depth-first left-to-right order
         stack.append((first + 1, *r, dlo_r, dhi_r, depth + 1))
+        stack.append((first, *l, dlo_l, dhi_l, depth + 1))
 
     n_regions = len(regions_lo)
     if n_regions == 0:
