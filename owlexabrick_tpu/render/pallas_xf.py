@@ -177,6 +177,140 @@ def classify_field(sw: jax.Array, swv: jax.Array, sec: jax.Array,
     return tuple(x.reshape(s_, h, w) for x in out)
 
 
+def _composite_chunk_kernel(params_ref, lut_ref, d_ref, live_ref,
+                            sw_ref, swv_ref, sec_ref,
+                            r_ref, g_ref, b_ref, t_ref):
+    """Classify AND front-to-back composite a whole chunk of slabs in one
+    pass: per (8 x tc) pixel tile, loop the chunk's S slabs in VMEM,
+    producing the chunk's premultiplied rgb and accumulated transparency.
+
+    Removes the (S,H,W)-sized rgba intermediates and the cumprod passes of
+    the XLA formulation — HBM is touched once for sw/swv in and once for
+    the 4 output images.
+    """
+    n = lut_ref.shape[0]
+    lo = params_ref[0]
+    hi = params_ref[1]
+    dz = params_ref[2]
+    n_rows = params_ref[3].astype(jnp.int32)
+    n_cols = params_ref[4].astype(jnp.int32)
+
+    s_count = sw_ref.shape[0]
+    tr, tc = sw_ref.shape[1], sw_ref.shape[2]
+    row0 = pl.program_id(0) * tr
+    col0 = pl.program_id(1) * tc
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    inb = (rows < n_rows) & (cols < n_cols)
+    sec = sec_ref[:]
+
+    def slab(s, carry):
+        r_acc, g_acc, b_acc, t_run = carry
+        sw = sw_ref[s]
+        swv = swv_ref[s]
+        # TF-culled slabs contribute nothing (live gate folded into ok;
+        # chunk-level culling outside skips fully-dead chunks, and the
+        # chunk while_loop stops once every pixel saturates)
+        ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
+        value = swv / jnp.where(sw > 1e-20, sw, 1.0)
+
+        sc = (n - 1) * (value - lo) / ((hi - lo) + 1e-20)
+        sc = jnp.clip(sc + 0.5, 0.0, n - 1.0) / (n - 1.0)
+        u = jnp.clip(sc * n - 0.5, 0.0, n - 1.0)
+        u = jnp.where(inb, u, 0.0)
+
+        k_lo = jnp.clip(
+            jnp.floor(jnp.min(jnp.where(inb, u, n - 1.0))).astype(jnp.int32),
+            0, n - 2,
+        )
+        k_hi = jnp.clip(
+            jnp.floor(jnp.max(jnp.where(inb, u, 0.0))).astype(jnp.int32),
+            0, n - 2,
+        )
+
+        def knot(k, accs):
+            r, g, b, a = accs
+            ramp = jnp.clip(u - k.astype(u.dtype), 0.0, 1.0)
+            return (
+                r + ramp * d_ref[k + 1, 0],
+                g + ramp * d_ref[k + 1, 1],
+                b + ramp * d_ref[k + 1, 2],
+                a + ramp * d_ref[k + 1, 3],
+            )
+
+        base = [jnp.full_like(u, lut_ref[k_lo, c]) for c in range(4)]
+        r, g, b, a = jax.lax.fori_loop(k_lo, k_hi + 1, knot, tuple(base))
+
+        a = 1.0 - jnp.power(jnp.maximum(1.0 - a, 0.0), dz * sec)
+        a = jnp.where(ok, a, 0.0)
+        contrib = t_run * a
+        return (
+            r_acc + contrib * r,
+            g_acc + contrib * g,
+            b_acc + contrib * b,
+            t_run * (1.0 - a),
+        )
+
+    z = jnp.zeros((tr, tc), jnp.float32)
+    r, g, b, t = jax.lax.fori_loop(
+        0, s_count, slab, (z, z, z, jnp.ones((tr, tc), jnp.float32))
+    )
+    r_ref[:] = r
+    g_ref[:] = g
+    b_ref[:] = b
+    t_ref[:] = t
+
+
+def composite_chunk(sw: jax.Array, swv: jax.Array, sec: jax.Array,
+                    live: jax.Array, lut: jax.Array, domain, dz, *,
+                    interpret: bool | None = None):
+    """Fused classification + front-to-back compositing of a slab chunk.
+
+    sw, swv: (S, H, W); sec: (H, W); live: (S,) float (0/1).
+    Returns (rgb (3, H, W) premultiplied chunk color, trans (H, W) chunk
+    transparency) — merge into the frame with
+    color += (1-alpha) * rgb ; alpha = 1 - (1-alpha) * trans.
+    """
+    s_, h, w = sw.shape
+    n = lut.shape[0]
+    d = jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
+    params = jnp.stack(
+        [jnp.asarray(domain[0], jnp.float32),
+         jnp.asarray(domain[1], jnp.float32),
+         jnp.asarray(dz, jnp.float32),
+         jnp.asarray(h, jnp.float32),
+         jnp.asarray(w, jnp.float32)]
+    )
+
+    tr = 8
+    tc = 512 if w % 512 == 0 else (256 if w % 256 == 0 else 128)
+    grid = (pl.cdiv(h, tr), pl.cdiv(w, tc))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile3 = pl.BlockSpec((s_, tr, tc), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    tile2 = pl.BlockSpec((tr, tc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    r, g, b, t = pl.pallas_call(
+        _composite_chunk_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lut
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # d
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # live
+            tile3, tile3, tile2,
+        ],
+        out_specs=(tile2, tile2, tile2, tile2),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((h, w), jnp.float32) for _ in range(4)
+        ),
+        interpret=interpret,
+    )(params, lut, d, live.astype(jnp.float32), sw, swv, sec)
+    return jnp.stack([r, g, b]), t
+
+
 def xf_classify(u: jax.Array, lut: jax.Array, *, interpret: bool | None = None):
     """u: (R, C) clamped texel coords in [0, N-1]; lut: (N, 4).
 

@@ -464,32 +464,38 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             color, alpha = color_alpha
             sw, swv = chunk_fields(z_s, live, occ_s)
 
-            # per-slab alpha + premultiplied rgb with in-slab channel order
-            # matching the reference's channel loop (exabrick.cu:1169-1179).
-            # field -> XF -> opacity correction runs in the fused pallas
-            # kernel (range-limited PWL, no gathers, single HBM pass).
-            from .pallas_xf import classify_field
+            if cfg.num_channels == 1:
+                # single-channel fast lane: classification + front-to-back
+                # compositing fused in one pallas pass over the chunk
+                from .pallas_xf import composite_chunk
 
-            slab_a = jnp.zeros_like(sw)
-            slab_rgb = jnp.zeros((3,) + sw.shape, f32)
-            for c in range(cfg.num_channels):
-                r, g, b, a = classify_field(
-                    sw, swv[c], sec, luts[c], fs.xf_domain[c], dz
+                chunk_rgb, chunk_trans = composite_chunk(
+                    sw, swv[0], sec, live, luts[0], fs.xf_domain[0], dz
                 )
-                take = live[:, None, None]
-                contrib = jnp.where(take, (1.0 - slab_a) * a, 0.0)
-                slab_rgb = slab_rgb + contrib[None] * jnp.stack([r, g, b])
-                slab_a = slab_a + contrib
+            else:
+                # multi-channel: per-slab channel merge in the reference's
+                # channel order (exabrick.cu:1169-1179), then an
+                # associative prefix-product merge over the chunk
+                from .pallas_xf import classify_field
 
-            # associative front-to-back merge over the chunk's slabs:
-            # exclusive prefix product of transparencies
-            trans = 1.0 - slab_a  # (S, H, W)
-            cum = jnp.cumprod(trans, axis=0)
-            excl = jnp.concatenate(
-                [jnp.ones_like(cum[:1]), cum[:-1]], axis=0
-            )
-            chunk_rgb = (excl[None] * slab_rgb).sum(axis=1)  # (3, H, W)
-            chunk_trans = cum[-1]
+                slab_a = jnp.zeros_like(sw)
+                slab_rgb = jnp.zeros((3,) + sw.shape, f32)
+                for c in range(cfg.num_channels):
+                    r, g, b, a = classify_field(
+                        sw, swv[c], sec, luts[c], fs.xf_domain[c], dz
+                    )
+                    take = live[:, None, None]
+                    contrib = jnp.where(take, (1.0 - slab_a) * a, 0.0)
+                    slab_rgb = slab_rgb + contrib[None] * jnp.stack([r, g, b])
+                    slab_a = slab_a + contrib
+
+                trans = 1.0 - slab_a  # (S, H, W)
+                cum = jnp.cumprod(trans, axis=0)
+                excl = jnp.concatenate(
+                    [jnp.ones_like(cum[:1]), cum[:-1]], axis=0
+                )
+                chunk_rgb = (excl[None] * slab_rgb).sum(axis=1)  # (3, H, W)
+                chunk_trans = cum[-1]
 
             color = color + (1.0 - alpha)[None] * chunk_rgb
             alpha = 1.0 - (1.0 - alpha) * chunk_trans
