@@ -236,9 +236,11 @@ def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba):
 
 
 def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
-              t_end_world=None, t_start_world=None):
+              t_end_world=None, t_start_world=None, return_stats=False):
     """Volume-integrate a batch of rays (raygen DVR loop,
-    exabrick.cu:1662-1699).  Returns accumulated RGBA (P,4)."""
+    exabrick.cu:1662-1699).  Returns accumulated RGBA (P,4); with
+    ``return_stats`` also the per-ray region-iteration counts (the
+    deterministic analog of the clock heat map, exabrick.cu:1703-1707)."""
     p = o_world.shape[0]
     m = scene.voxel_from_world
     o = o_world @ m[:, :3].T + m[:, 3]
@@ -273,13 +275,14 @@ def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
     rgba0 = jnp.zeros((p, 4), o.dtype) + 0.0 * o[:, :1]
     done0 = ~hitb
     t_cur0 = jnp.maximum(tb0, 0.0)
+    iters0 = jnp.zeros_like(t_cur0)
 
     def cond(state):
         it, done, *_ = state
         return (it < cfg.max_region_iters) & ~done.all()
 
     def body(state):
-        it, done, t_cur, rgba = state
+        it, done, t_cur, rgba, iters = state
         limit = jnp.minimum(t_end, tb1)
         alive = ~done & (t_cur < limit)
 
@@ -313,9 +316,14 @@ def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
         done = done | ~alive | saturated
         t_cur = jnp.where(alive, t1 * REGION_ADVANCE_EPS, t_cur)
         done = done | (t_cur >= limit)
-        return it + 1, done, t_cur, rgba
+        iters = iters + alive.astype(iters.dtype)
+        return it + 1, done, t_cur, rgba, iters
 
-    _, _, _, rgba = lax.while_loop(cond, body, (0, done0, t_cur0, rgba0))
+    _, _, _, rgba, iters = lax.while_loop(
+        cond, body, (0, done0, t_cur0, rgba0, iters0)
+    )
+    if return_stats:
+        return rgba, iters
     return rgba
 
 

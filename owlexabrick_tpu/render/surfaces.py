@@ -305,7 +305,9 @@ def _nearest_surface(scene, fs, surf, cfg, o, d, tmin, tmax,
         kind = jnp.where(win, PRIMID_PLANE, kind)
 
     if surf.num_segments > 0:
-        ts = current_timestep if current_timestep is not None else jnp.int32(0)
+        # default: every segment visible (a live tracer animates by
+        # passing its current timestep)
+        ts = current_timestep if current_timestep is not None else jnp.int32(1 << 30)
         st, sn = trace_streamlines(surf, ts, o, d, tmin, tmax)
         win = st < t
         t = jnp.where(win, st, t)

@@ -66,6 +66,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = "exa_render.png"
     fast = False
     multi_field = False
+    bench = 0
+    dump_xf = None
+    colorbar = False
+    heatmap_scale = 0.0
+    tracer_steps = 0
+    tracer_channels = (0, 0, 0)
+    tracer_seeds = 1000
+    tracer_steplen = 1.0
 
     i = 0
     while i < len(argv):
@@ -132,8 +140,35 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a == "--gradientShadingISO":
             grad_iso = _parse_onoff(argv[i + 1], a)
             i += 2
-        elif a in ("--display-string", "--colorbar", "--colorbar-channel"):
-            # overlay options of the GL viewer; accepted for compatibility
+        elif a == "--colorbar":
+            colorbar = _parse_onoff(argv[i + 1], a)
+            i += 2
+        elif a == "--colorbar-channel":
+            colorbar = True
+            i += 2
+        elif a in ("--display-string",):
+            # GL-overlay option; accepted for compatibility
+            i += 2
+        elif a == "--bench":
+            bench = int(argv[i + 1])
+            i += 2
+        elif a == "--dump-xf":
+            dump_xf = argv[i + 1]
+            i += 2
+        elif a == "--heatmap":
+            heatmap_scale = float(argv[i + 1])
+            i += 2
+        elif a == "--tracer":
+            tracer_steps = int(argv[i + 1])
+            i += 2
+        elif a == "--tracer-channels":
+            tracer_channels = tuple(int(argv[i + 1 + k]) for k in range(3))
+            i += 4
+        elif a == "--tracer-seeds":
+            tracer_seeds = int(argv[i + 1])
+            i += 2
+        elif a == "--tracer-steplen":
+            tracer_steplen = float(argv[i + 1])
             i += 2
         elif a == "--no-pg":
             frames = 1
@@ -227,6 +262,35 @@ def main(argv: Optional[List[str]] = None) -> int:
     if clip_box is not None:
         r.set_clip_box(True, clip_box[:3], clip_box[3:])
 
+    # camera echo, reusable on the next command line ('C' key,
+    # exa/viewer.cpp:147-166)
+    from ..io.xf_file import camera_echo, write_xf
+
+    print("#viewer: " + camera_echo(camera[0], camera[1], camera[2])
+          + f" --fov {fov}")
+
+    if dump_xf:
+        write_xf(dump_xf, np.asarray(r.fs.xf_lut)[0, :, 3])
+        print(f"#viewer: wrote transfer function to {dump_xf}")
+
+    if tracer_steps > 0:
+        from ..render.tracer import Tracer
+
+        tr = Tracer(r.scene, num_traces=tracer_seeds,
+                    num_timesteps=tracer_steps + 1,
+                    steplen=tracer_steplen, channels=tracer_channels)
+        for _ in range(tracer_steps):
+            if not tr.advance():
+                break
+        seg = tr.surface_data()
+        r.surf = SurfaceData(
+            tri_v0=surf.tri_v0, tri_e1=surf.tri_e1, tri_e2=surf.tri_e2,
+            tri_n=surf.tri_n, seg_a=seg.seg_a, seg_b=seg.seg_b,
+            seg_t=seg.seg_t, seg_radius=seg.seg_radius,
+        )
+        print(f"#viewer: traced {tracer_seeds} particles for "
+              f"{tr.timestep} steps ({seg.num_segments} segments)")
+
     if fast:
         # slab fast path for axis-aligned cameras, DVR only
         import jax
@@ -273,6 +337,24 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"#viewer: wrote {out}")
             return 0
 
+    if bench > 0:
+        # the reference's benchmark protocol: running average printed at
+        # frame N + numbered screenshot (exa/viewer.cpp:297-339)
+        from ..utils.profiling import FrameStats
+
+        stats = FrameStats(bench_frames=bench)
+        stats.tick()
+        img = None
+        for f in range(bench):
+            img = r.render()
+            msg = stats.tick()
+            if msg:
+                print(msg)
+        shot = f"bench_screenshot{bench:08d}.png"
+        write_png(shot, r.image_uint8(img))
+        print(f"#viewer: wrote {shot}")
+        return 0
+
     t0 = time.time()
     img = r.render_frames(frames)
     dt_s = (time.time() - t0) / frames
@@ -280,7 +362,38 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"#viewer: rendered {frames} frames, avg {1/dt_s:.2f} FPS "
         f"({dt_s*1e3:.1f} ms/frame)"
     )
-    write_png(out, r.image_uint8(img))
+
+    rgba8 = r.image_uint8(img).copy()
+
+    if heatmap_scale > 0.0:
+        # deterministic cost heat map (the clockScale analog,
+        # exabrick.cu:1703-1707): per-ray traversal iterations -> red
+        import jax
+        import jax.numpy as jnp
+
+        from ..render.dvr import trace_dvr
+        from ..utils.profiling import cost_heatmap
+
+        o, d = cam.rays(*size)
+        _, iters = jax.jit(
+            trace_dvr, static_argnames=("cfg", "return_stats")
+        )(r.scene, jax.tree.map(jnp.asarray, r.fs), rcfg,
+          jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+          return_stats=True)
+        red = cost_heatmap(np.asarray(iters).reshape(size[1], size[0]),
+                           heatmap_scale)[::-1]
+        rgba8[..., 0] = (red * 255).astype(np.uint8)
+
+    if colorbar:
+        # color bar legend strip on the right (draw(), viewer.cpp:341-440)
+        lut = np.asarray(r.fs.xf_lut)[0]
+        strip_w = max(8, size[0] // 48)
+        rows = np.linspace(0, lut.shape[0] - 1, size[1]).astype(int)[::-1]
+        colors = np.clip(lut[rows][:, :3] * 255, 0, 255).astype(np.uint8)
+        rgba8[:, -strip_w:, :3] = colors[:, None, :]
+        rgba8[:, -strip_w:, 3] = 255
+
+    write_png(out, rgba8)
     print(f"#viewer: wrote {out}")
     return 0
 

@@ -1,0 +1,71 @@
+"""Offline viewer CLI end-to-end (tiny render)."""
+
+import numpy as np
+import pytest
+
+from owlexabrick_tpu.io import formats
+from owlexabrick_tpu.utils.png import read_png
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from owlexabrick_tpu.builder.bricker import build_bricks
+    from owlexabrick_tpu.pipeline import bricks_from_build
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    d = tmp_path_factory.mktemp("scene")
+    lower, level, scal = parse_grids_text("0 0 0 6 6 6 0 0 1 2 3 4 5 6 7\n")
+    res = build_bricks(lower, level)
+    bricks, ids = bricks_from_build(res)
+    formats.write_bricks(
+        str(d / "d.bricks"), bricks.lower, bricks.size, bricks.level,
+        [ids[int(b): int(b) + int(np.prod(s))]
+         for b, s in zip(bricks.begin, bricks.size)],
+    )
+    formats.write_scalars(str(d / "d.scalars"), scal)
+    (d / "scene.exa").write_text("bricks d.bricks\nscalar density d.scalars\n")
+    return d
+
+
+def test_cli_render(scene_dir, tmp_path):
+    from owlexabrick_tpu.viewer.offline import main
+
+    out = str(tmp_path / "out.png")
+    rc = main([
+        str(scene_dir / "scene.exa"), "--size", "32", "24",
+        "--camera", "20", "15", "25", "3", "3", "3", "0", "1", "0",
+        "--fov", "45", "--range", "0", "7", "--dt", "1.0",
+        "--frames", "1", "-o", out, "--colorbar", "on",
+    ])
+    assert rc == 0
+    img = read_png(out)
+    assert img.shape == (24, 32, 4)
+    assert (img[..., :3] > 8).any()
+
+
+def test_cli_dump_xf_roundtrip(scene_dir, tmp_path):
+    from owlexabrick_tpu.io.xf_file import read_xf
+    from owlexabrick_tpu.viewer.offline import main
+
+    xf = str(tmp_path / "t.xf")
+    out = str(tmp_path / "o.png")
+    rc = main([
+        str(scene_dir / "scene.exa"), "--size", "8", "8", "--frames", "1",
+        "--dt", "1.0", "-o", out, "--dump-xf", xf,
+    ])
+    assert rc == 0
+    a = read_xf(xf)
+    assert a.shape == (128,)
+    # re-load through --xf
+    rc = main([
+        str(scene_dir / "scene.exa"), "--size", "8", "8", "--frames", "1",
+        "--dt", "1.0", "-o", out, "--xf", xf,
+    ])
+    assert rc == 0
+
+
+def test_cli_rejects_unknown_flag(scene_dir):
+    from owlexabrick_tpu.viewer.offline import main
+
+    with pytest.raises(SystemExit):
+        main([str(scene_dir / "scene.exa"), "--frobnicate"])
