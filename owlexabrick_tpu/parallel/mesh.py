@@ -87,6 +87,52 @@ def make_sharded_renderer(mesh: Mesh, cfg: RenderConfig):
     return jax.jit(fn)
 
 
+def make_sharded_slab_renderer(mesh: Mesh, cfg, width: int, height: int,
+                               jitter: bool = True):
+    """Pixel-band sharding for the slab fast path: each device along "px"
+    sweeps the same slabs but resamples only its horizontal band of the
+    image (the per-band rays stay separable: the band offset is a shift of
+    dir00 along dv).  Devices along "spp" render decorrelated sub-pixel
+    offsets, psum-averaged — progressive AA at line rate.
+
+    Returns f(grids, fs, pos, dir00, du, dv, key) -> (H*W, 4) rgba.
+    """
+    from ..render.slabs import render_slabs
+
+    n_px = mesh.shape["px"]
+    if height % n_px != 0:
+        raise ValueError(f"height {height} not divisible by px={n_px}")
+    rows = height // n_px
+
+    def body(grids, fs, pos, dir00, du, dv, key):
+        band = jax.lax.axis_index("px")
+        spp = jax.lax.axis_index("spp")
+        if jitter:
+            # sub-pixel jitter: a per-spp-device shift of the whole pixel
+            # grid (keeps the sweep separable, unlike per-pixel jitter)
+            k = jax.random.fold_in(key, spp)
+            jx = jax.random.uniform(jax.random.fold_in(k, 0), ()) - 0.5
+            jy = jax.random.uniform(jax.random.fold_in(k, 1), ()) - 0.5
+        else:
+            jx = jy = 0.0
+        dir00_b = dir00 + (band * rows + jy) * dv + jx * du
+        rgba = render_slabs(
+            grids, fs, cfg, pos, dir00_b, du, dv, width, rows
+        )
+        n_spp = jax.lax.axis_size("spp")
+        return jax.lax.psum(rgba, "spp") / n_spp
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=P("px"),
+        # pallas_call outputs don't carry vma annotations yet
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def shard_rays(mesh: Mesh, o: np.ndarray, d: np.ndarray):
     """Place ray arrays sharded along the pixel axis."""
     sh = NamedSharding(mesh, P("px"))

@@ -402,8 +402,11 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
         x_pos = ox + scale[:, None] * rx[None, :]  # (S, W)
 
-        sw = jnp.zeros((s, h, w), f32)
-        swv = [jnp.zeros((s, h, w), f32) for _ in range(cfg.num_channels)]
+        # derive the zeros from the ray positions so carries keep their
+        # varying mesh axes under shard_map
+        z0 = 0.0 * y_pos[:, :, None] + 0.0 * x_pos[:, None, :]
+        sw = jnp.zeros((s, h, w), f32) + z0
+        swv = [jnp.zeros((s, h, w), f32) + z0 for _ in range(cfg.num_channels)]
         for li, L in enumerate(grids.levels):
             cw = float(1 << L)
             m = grids.masks[li]

@@ -84,3 +84,56 @@ def test_4x2_px_spp_mesh(setup):
     assert out.shape == (o.shape[0], 3)
     assert np.isfinite(out).all()
     assert out.max() > 0
+
+
+def test_sharded_slab_render_matches_single(setup):
+    """8-way pixel-band sharding of the slab fast path must reproduce the
+    single-device sweep exactly (jitter off)."""
+    import dataclasses
+
+    from owlexabrick_tpu.parallel.mesh import make_sharded_slab_renderer
+    from owlexabrick_tpu.render.slabs import (
+        SlabConfig,
+        build_level_grids,
+        permute_camera,
+        render_slabs,
+    )
+    from owlexabrick_tpu.builder.bricker import build_bricks
+    from owlexabrick_tpu.pipeline import bricks_from_build
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX2)
+    res = build_bricks(lower, level)
+    bricks, ids = bricks_from_build(res)
+
+    size = 16
+    cam = Camera.look_at([4.0, 4.0, 30.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, size, size)
+    fs = jax.tree.map(
+        jnp.asarray,
+        make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.3),
+    )
+    from owlexabrick_tpu.render.scene import to_device as _td  # noqa
+
+    scene2, *_ = __import__(
+        "owlexabrick_tpu.pipeline", fromlist=["scene_from_cells"]
+    ).scene_from_cells(lower, level, [scal])
+    grids = build_level_grids(bricks, scene2.scalars, axis=2)
+
+    cfg = SlabConfig(nslabs=64, chunk=8, flip=True)
+    mesh = make_mesh(8, 1)
+    f = make_sharded_slab_renderer(mesh, cfg, size, size, jitter=False)
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    from owlexabrick_tpu.parallel.mesh import replicate
+
+    out = np.asarray(
+        f(replicate(mesh, grids), replicate(mesh, fs),
+          jnp.asarray(pos), jnp.asarray(dir00), jnp.asarray(du),
+          jnp.asarray(dv), jax.random.PRNGKey(0))
+    )
+    single = np.asarray(
+        jax.jit(render_slabs, static_argnames=("cfg", "width", "height"))(
+            grids, fs, cfg, pos, dir00, du, dv, size, size
+        )
+    )
+    np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-6)
