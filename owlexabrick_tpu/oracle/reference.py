@@ -96,6 +96,21 @@ def add_basis_functions(scene, brick_id: int, pos: np.ndarray, channel: int,
     return swv, sw, sd, sdc
 
 
+def sample_point_nearest(scene, region_id: int, pos: np.ndarray, channel: int):
+    """Non-basis nearest-cell sampling (exabrick.cu:807-815); the region
+    holds exactly one brick in this mode."""
+    b = int(scene.region_bricks[region_id][0])
+    lower = scene.brick_lower[b]
+    size = scene.brick_size[b]
+    cw = float(scene.brick_cell_width[b])
+    begin = int(scene.brick_begin[b])
+    idx = np.clip(
+        np.floor((np.asarray(pos) - lower) / cw).astype(int), 0, size - 1
+    )
+    lin = begin + idx[0] + size[0] * (idx[1] + size[1] * idx[2])
+    return True, float(scene.scalars[channel, lin])
+
+
 def sample_point(scene, region_id: int, pos: np.ndarray, channel: int):
     """Basis-weighted sample over the region's brick list; returns
     (ok, value)."""
@@ -169,7 +184,8 @@ def region_active(scene, fs, region_id: int, num_channels: int) -> bool:
 
 def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
                     o, d, region_id: int, t0: float, t1: float,
-                    num_channels: int, gradient_shading: bool):
+                    num_channels: int, gradient_shading: bool,
+                    basis_method: bool = True):
     """Front-to-back march of one region interval (exabrick.cu:1116-1185,
     PROPER_DISTANCE_IN_OPACITY_CORRECTION path)."""
     global_dt = float(fs.dt)
@@ -192,7 +208,10 @@ def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
 
         pos = o + t_sample * d
         for c in range(num_channels):
-            if gradient_shading:
+            if not basis_method:
+                ok, value = sample_point_nearest(scene, region_id, pos, c)
+                grad = np.zeros(3)
+            elif gradient_shading:
                 ok, value, grad = sample_point_with_derivative(
                     scene, region_id, pos, c
                 )
@@ -245,7 +264,8 @@ def _enumerate_region_hit(scene, fs, o, d, tmin, tmax, num_channels,
 def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
                   offset: float = 0.0, t_world_max: float = 2e10,
                   space_skipping: bool = True,
-                  gradient_shading: bool = False) -> np.ndarray:
+                  gradient_shading: bool = False,
+                  basis_method: bool = True) -> np.ndarray:
     """Full DVR path of one ray (raygen main loop, exabrick.cu:1662-1699).
     Returns accumulated RGBA (premultiplied by nothing; .w is opacity)."""
     m = np.asarray(scene.voxel_from_world, np.float64)
@@ -265,7 +285,7 @@ def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
             break
         integrate_brick(
             scene, fs, pixel_color, offset, o, d, rid, t0, t1,
-            num_channels, gradient_shading,
+            num_channels, gradient_shading, basis_method,
         )
         if pixel_color[3] >= TERMINATION_THRESHOLD:
             pixel_color = np.array(

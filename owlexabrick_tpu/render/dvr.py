@@ -60,6 +60,11 @@ class RenderConfig:
     ao_samples: int = 0
     # secondary field used to colormap iso surfaces (LaunchParams.h:59-60)
     colormap_channel: int = 0
+    # EXPLICIT_BASIS_METHOD parity: True = basis reconstruction over
+    # same-bricks regions (default ON, exa/common.h:62-64); False =
+    # nearest-cell sampling over per-brick leaves (build the scene with
+    # basis_method=False)
+    basis_method: bool = True
 
 
 # ----------------------------------------------------------------------------
@@ -151,6 +156,24 @@ def sample_basis(scene, rid, pos, channel: int, need_grad: bool = False):
     return ok, value, grad
 
 
+def sample_nearest(scene, rid, pos, channel: int):
+    """Non-basis sampling: clamp-to-brick nearest cell fetch
+    (exabrick.cu:807-815).  In this mode each region is exactly one brick
+    (build_brick_regions).  Always valid."""
+    b = jnp.clip(scene.region_bricks[rid][:, 0], 0, None)
+    lower = scene.brick_lower[b]
+    size = scene.brick_size[b]
+    cw = scene.brick_cell_width[b]
+    begin = scene.brick_begin[b]
+    idx = jnp.clip(
+        jnp.floor((pos - lower) / cw[:, None]).astype(jnp.int32),
+        0, jnp.maximum(size - 1, 0),
+    )
+    lin = begin + idx[:, 0] + size[:, 0] * (idx[:, 1] + size[:, 1] * idx[:, 2])
+    value = scene.scalars[channel][lin]
+    return jnp.ones_like(value, bool), value
+
+
 # ----------------------------------------------------------------------------
 # per-frame region activity (TF-aware space skipping)
 # ----------------------------------------------------------------------------
@@ -200,7 +223,10 @@ def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba):
         pos = o + t_sample[:, None] * d
 
         for c in range(cfg.num_channels):
-            if cfg.gradient_shading_dvr:
+            if not cfg.basis_method:
+                ok, value = sample_nearest(scene, rid, pos, c)
+                grad = None
+            elif cfg.gradient_shading_dvr:
                 ok, value, grad = sample_basis(scene, rid, pos, c, True)
             else:
                 ok, value = sample_basis(scene, rid, pos, c)

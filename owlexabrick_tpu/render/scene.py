@@ -21,6 +21,37 @@ def to_device(scene: Scene) -> Scene:
     return jax.tree.map(jnp.asarray, scene)
 
 
+def build_brick_regions(bricks: Bricks, scalars: np.ndarray,
+                        num_channels: int = 1):
+    """Non-basis traversal structure: a BSP over brick *bounds*.
+
+    Brick bounds tile space without overlap, so each BSP leaf holds
+    exactly one brick; per-leaf value ranges cover only that brick's
+    cells and ``finest_cw`` is the brick's own cell width — the structure
+    the reference's EXPLICIT_BASIS_METHOD=OFF BVH provides
+    (programs/exabrick.cu:226-330)."""
+    import dataclasses as _dc
+
+    # reuse the BSP machinery with brick *bounds* standing in as domains
+    from ..regions.build import build_regions_py
+
+    bb = Bricks(
+        lower=bricks.lower, size=bricks.size, level=bricks.level,
+        begin=bricks.begin,
+    )
+    bb.domains = bb.bounds  # type: ignore[method-assign]
+    regions, tree = build_regions_py(bb, scalars, num_channels=num_channels)
+    # per-brick ranges and the brick's own cell width
+    cw = (1 << bricks.level.astype(np.int64)).astype(np.float32)
+    fin = np.where(
+        regions.brick_ids[:, 0] >= 0,
+        cw[np.clip(regions.brick_ids[:, 0], 0, None)],
+        regions.finest_cw,
+    ).astype(np.float32)
+    regions = _dc.replace(regions, finest_cw=fin)
+    return regions, tree
+
+
 def gather_scalars(
     cell_ids: np.ndarray, fields: Sequence[ScalarField]
 ) -> np.ndarray:
@@ -47,17 +78,28 @@ def build_scene(
     fields: Sequence[ScalarField],
     voxel_from_world: Optional[np.ndarray] = None,
     num_range_channels: Optional[int] = None,
+    basis_method: bool = True,
 ) -> Tuple[Scene, Regions, RegionTree]:
     """Build the full device scene.
 
     ``num_range_channels``: how many channels participate in region value
     ranges (the reference uses all channels in multi-field DVR mode, else
     just channel 0, OptixRenderer.cpp:151-157).
+
+    ``basis_method=False`` builds the reference's non-basis mode
+    (EXPLICIT_BASIS_METHOD=OFF): traversal over brick *bounds* instead of
+    basis domains (each leaf holds exactly one brick), nearest-cell
+    sampling, per-brick value ranges (OptixRenderer.cpp:176-202).
     """
     scalars = gather_scalars(cell_ids, fields)
-    regions, tree = build_regions(
-        bricks, scalars, num_channels=num_range_channels
-    )
+    if basis_method:
+        regions, tree = build_regions(
+            bricks, scalars, num_channels=num_range_channels
+        )
+    else:
+        regions, tree = build_brick_regions(
+            bricks, scalars, num_channels=1
+        )
 
     b_lo, b_hi = bricks.bounds()
     v_lo = b_lo.min(axis=0)

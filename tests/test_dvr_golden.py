@@ -106,3 +106,43 @@ def test_interleaved_offset_matches(amr_fixture):
             scene, fs, o[i], d[i], num_channels=1, offset=float(offs[i])
         )
         np.testing.assert_allclose(rgba[i], want, rtol=5e-3, atol=5e-3)
+
+
+def test_nearest_mode_matches_oracle(amr_fixture):
+    """Non-basis (EXPLICIT_BASIS_METHOD=OFF) mode: brick-bounds traversal
+    with nearest-cell sampling, golden vs oracle."""
+    from owlexabrick_tpu.builder.bricker import build_bricks
+    from owlexabrick_tpu.core.types import ScalarField
+    from owlexabrick_tpu.pipeline import bricks_from_build
+    from owlexabrick_tpu.render.scene import build_scene, to_device
+
+    lower, level, scal = amr_fixture(EX4)
+    res = build_bricks(lower, level)
+    bricks, ids = bricks_from_build(res)
+    scene, regions, tree = build_scene(
+        bricks, ids, [ScalarField.from_values("f", scal)],
+        basis_method=False,
+    )
+    assert regions.max_bricks_per_region == 1
+
+    size = 10
+    cam = Camera.look_at([12.0, 10.0, 14.0], [4.0, 2.0, 2.0], [0, 1, 0],
+                         50.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 2.0]], dt=0.7)
+    cfg = RenderConfig(num_channels=1, basis_method=False)
+    o, d = cam.rays(size, size)
+    rgba = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            to_device(scene), fs, cfg, jnp.asarray(o), jnp.asarray(d),
+            jnp.zeros(o.shape[0]),
+        )
+    )
+    n_hit = 0
+    for i in range(o.shape[0]):
+        want = oracle.trace_dvr_ray(
+            scene, fs, o[i], d[i], num_channels=1, basis_method=False
+        )
+        if want[3] > 0:
+            n_hit += 1
+        np.testing.assert_allclose(rgba[i], want, rtol=5e-3, atol=5e-3)
+    assert n_hit > 10
