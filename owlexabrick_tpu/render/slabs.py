@@ -285,7 +285,7 @@ def _slab_field(grids: LevelGrids, zv, y_pos, x_pos, channel: int):
 class SlabConfig:
     num_channels: int = 1
     nslabs: int = 128
-    chunk: int = 8
+    chunk: int = 24
     flip: bool = False
     space_skipping: bool = True
     # transfer-function fidelity: number of PWL knots evaluated per pixel.
@@ -294,6 +294,9 @@ class SlabConfig:
     xf_knots: int = NUM_XF_VALUES
     # compute interpolation matmuls in bfloat16 (MXU fast path)
     bf16_interp: bool = False
+    # single-channel megakernel lane (pallas_sweep.py): y-interpolation +
+    # classification + compositing fused in VMEM
+    megakernel: bool = True
 
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
@@ -465,6 +468,52 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
         def active_chunk(color_alpha):
             color, alpha = color_alpha
+
+            if cfg.num_channels == 1 and cfg.megakernel:
+                # megakernel lane: z/x resampling to small per-level mids,
+                # then one pallas pass does y-interp + classification +
+                # compositing (see pallas_sweep.py)
+                from .pallas_sweep import sweep_chunk
+
+                scale = (z_s - oz) / rz
+                y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
+                x_pos = ox + scale[:, None] * rx[None, :]  # (S, W)
+                mids = []
+                orgs_y = []
+                cws_l = []
+                for li, L in enumerate(grids.levels):
+                    cw = float(1 << L)
+                    m = grids.masks[li]
+                    v = grids.vals[li][0]
+                    org = grids.origins[li]
+                    nz, ny, nx = m.shape
+                    qz = z_s / cw - org[0] - 0.5
+                    wz = _tent_matrix(qz, nz)  # (S, nz)
+                    qx = x_pos / cw - org[2] - 0.5  # (S, W)
+                    k = jnp.arange(nx, dtype=f32)
+                    wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(qx[..., None] - k)
+                    )  # (S, W, nx)
+
+                    def mid(vol):
+                        sv = jnp.einsum("sz,zyx->syx", wz, vol,
+                                        preferred_element_type=f32)
+                        return jnp.einsum("syx,swx->syw", sv, wx,
+                                          preferred_element_type=f32)
+
+                    gate = occ_s[li].any().astype(f32)
+                    mids.append((mid(v) * gate, mid(m) * gate))
+                    orgs_y.append(org[1])
+                    cws_l.append(cw)
+
+                chunk_rgb, chunk_trans = sweep_chunk(
+                    mids, orgs_y, cws_l, y_pos, sec, live,
+                    luts[0], fs.xf_domain[0], dz, h, w,
+                )
+                color = color + (1.0 - alpha)[None] * chunk_rgb
+                alpha = 1.0 - (1.0 - alpha) * chunk_trans
+                return color, alpha
+
             sw, swv = chunk_fields(z_s, live, occ_s)
 
             if cfg.num_channels == 1:
