@@ -176,17 +176,93 @@ class Renderer:
         self.height = height
         self.reset_accumulation()
 
+    # -- fast (slab-sweep) path ------------------------------------------
+    def enable_fast_path(self) -> bool:
+        """Switch DVR to the slab-sweep fast path when the camera is
+        axis-aligned and no surface feature needs the wavefront pass.
+        Returns True when active."""
+        from .slabs import (
+            SlabConfig,
+            check_separable,
+            grids_from_scene,
+            principal_axis,
+        )
+
+        if (
+            self.cfg.num_channels != 1
+            or self.cfg.iso_surfaces
+            or self.cfg.ao_samples > 0
+            or self.surf.num_tris > 0
+            or self.surf.num_segments > 0
+        ):
+            self._fast = None
+            return False
+        cam = self._camera_from_fs()
+        view = np.asarray(cam.dir00) + 0.5 * (
+            self.width * np.asarray(cam.dir_du)
+            + self.height * np.asarray(cam.dir_dv)
+        )
+        axis = principal_axis(view)
+        if not check_separable(cam, axis):
+            self._fast = None
+            return False
+        grids = grids_from_scene(self.scene, axis=axis)
+        extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+        finest = float(min(1 << l for l in grids.levels))
+        nslabs = int(np.ceil(extent / (float(self.fs.dt) * finest)))
+        self._fast = (grids, SlabConfig(num_channels=1, nslabs=nslabs))
+        return True
+
+    def _camera_from_fs(self) -> Camera:
+        return Camera(
+            pos=np.asarray(self.fs.cam_pos),
+            dir00=np.asarray(self.fs.cam_dir00),
+            dir_du=np.asarray(self.fs.cam_du),
+            dir_dv=np.asarray(self.fs.cam_dv),
+        )
+
+    def _render_fast(self) -> np.ndarray:
+        import dataclasses as _dc
+
+        from .dvr import accumulate, pack_rgba8
+        from .slabs import render_slabs_camera
+
+        grids, scfg = self._fast
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0x51AB), self.fs.frame_id
+        )
+        # per-frame sub-pixel jitter as a whole-grid shift (separability)
+        jx = float(jax.random.uniform(jax.random.fold_in(key, 0), ())) - 0.5
+        jy = float(jax.random.uniform(jax.random.fold_in(key, 1), ())) - 0.5
+        cam = self._camera_from_fs()
+        cam = Camera(
+            pos=cam.pos,
+            dir00=cam.dir00 + jx * cam.dir_du + jy * cam.dir_dv,
+            dir_du=cam.dir_du,
+            dir_dv=cam.dir_dv,
+        )
+        rgba = render_slabs_camera(
+            grids, self.fs, scfg, cam, self.width, self.height
+        )
+        color = composite_background(rgba, jnp.zeros(3))
+        self.accum, shown = accumulate(color, self.accum, self.fs.frame_id)
+        return np.asarray(pack_rgba8(shown)).reshape(self.height, self.width)
+
     # -- frame ----------------------------------------------------------
     def render(self) -> np.ndarray:
         """Render one progressive frame; returns (H, W) uint32 RGBA8."""
-        self.accum, rgba8, _ = render_step(
-            self.scene, self.fs, self.surf, self.accum,
-            cfg=self.cfg, width=self.width, height=self.height,
-        )
+        if getattr(self, "_fast", None) is not None:
+            rgba8 = self._render_fast()
+        else:
+            self.accum, rgba8_dev, _ = render_step(
+                self.scene, self.fs, self.surf, self.accum,
+                cfg=self.cfg, width=self.width, height=self.height,
+            )
+            rgba8 = np.asarray(rgba8_dev).reshape(self.height, self.width)
         self.fs = dataclasses.replace(
             self.fs, frame_id=self.fs.frame_id + 1
         )
-        return np.asarray(rgba8).reshape(self.height, self.width)
+        return rgba8
 
     def render_frames(self, n: int) -> np.ndarray:
         out = None

@@ -576,6 +576,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     return rgba.reshape(4, h * w).T
 
 
+def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
+    """Build level grids from a device Scene's flattened brick arrays."""
+    cw = np.asarray(scene.brick_cell_width)
+    level = np.round(np.log2(cw)).astype(np.int32)
+    bricks = Bricks(
+        lower=np.asarray(scene.brick_lower, np.float32).astype(np.int32),
+        size=np.asarray(scene.brick_size, np.int32),
+        level=level,
+        begin=np.asarray(scene.brick_begin, np.int32),
+    )
+    return build_level_grids(bricks, np.asarray(scene.scalars), axis=axis)
+
+
 def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                         width: int, height: int):
     """Convenience wrapper: permute/validate the camera, handle the

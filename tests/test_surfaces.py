@@ -149,3 +149,37 @@ def test_clip_box(amr_fixture):
     clipped = r.render().view(np.uint8).reshape(8, 8, 4)[..., :3]
     assert full.max() > 0
     assert clipped.max() == 0
+
+
+def test_renderer_fast_path_matches_exact(amr_fixture):
+    """Renderer.enable_fast_path: the slab-sweep DVR through the Renderer
+    must closely match the exact wavefront render for an axis-aligned
+    camera."""
+    from owlexabrick_tpu.render.renderer import Renderer
+
+    scene = _scene(amr_fixture, EX2)
+    size = 16
+    cam = Camera.look_at([4.0, 4.0, 30.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
+
+    r1 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=fs)
+    exact = r1.render()
+
+    r2 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=fs)
+    assert r2.enable_fast_path()
+    fast = r2.render()
+
+    a = exact.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
+    b = fast.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
+    rmse = np.sqrt(((a - b) / 255.0) ** 2).mean()
+    assert rmse < 0.03, rmse
+
+    # tilted camera: fast path must refuse
+    cam3 = Camera.look_at([12.0, 10.0, 14.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                          50.0, size, size)
+    r3 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=make_frame_state(cam3, 1, [[0.0, 7.0]]))
+    assert not r3.enable_fast_path()
