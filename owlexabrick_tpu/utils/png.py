@@ -21,8 +21,9 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """image: (H, W), (H, W, 3) or (H, W, 4) uint8 (row 0 = top)."""
+def write_png(path, image: np.ndarray) -> None:
+    """image: (H, W), (H, W, 3) or (H, W, 4) uint8 (row 0 = top).
+    ``path`` may be a filesystem path or a binary file-like object."""
     img = np.asarray(image)
     if img.dtype != np.uint8:
         raise ValueError("write_png expects uint8")
@@ -37,8 +38,11 @@ def write_png(path: str, image: np.ndarray) -> None:
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
     out += _chunk(b"IDAT", zlib.compress(raw, 6))
     out += _chunk(b"IEND", b"")
-    with open(path, "wb") as f:
-        f.write(out)
+    if hasattr(path, "write"):
+        path.write(out)
+    else:
+        with open(path, "wb") as f:
+            f.write(out)
 
 
 def read_png(path: str) -> np.ndarray:
