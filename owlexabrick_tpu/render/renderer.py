@@ -190,7 +190,6 @@ class Renderer:
 
         if (
             self.cfg.num_channels != 1
-            or self.cfg.iso_surfaces
             or self.cfg.ao_samples > 0
             or self.surf.num_tris > 0
             or self.surf.num_segments > 0
@@ -244,7 +243,38 @@ class Renderer:
         rgba = render_slabs_camera(
             grids, self.fs, scfg, cam, self.width, self.height
         )
-        color = composite_background(rgba, jnp.zeros(3))
+        bg = jnp.zeros(3)
+        if self.cfg.iso_surfaces:
+            # iso surface as the DVR background (the fast-path preview
+            # integrates the volume in front of AND behind the surface;
+            # the exact wavefront path stops at the surface)
+            import dataclasses as _dc
+
+            from .slabs import (
+                permute_camera,
+                render_slabs_iso,
+                separable_mapping,
+            )
+
+            axis = grids.axis
+            (swapped,) = separable_mapping(cam, axis)
+            pos, dir00, du, dv = permute_camera(cam, axis)
+            icfg = _dc.replace(scfg, flip=bool(dir00[0] < 0))
+            f = jax.jit(
+                render_slabs_iso,
+                static_argnames=("cfg", "width", "height"),
+            )
+            if not swapped:
+                iso_rgba = f(grids, self.fs, icfg, pos, dir00, du, dv,
+                             self.width, self.height)
+            else:
+                iso_rgba = f(grids, self.fs, icfg, pos, dir00, dv, du,
+                             self.height, self.width)
+                iso_rgba = iso_rgba.reshape(
+                    self.width, self.height, 4
+                ).transpose(1, 0, 2).reshape(-1, 4)
+            bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
+        color = composite_background(rgba, bg)
         self.accum, shown = accumulate(color, self.accum, self.fs.frame_id)
         return np.asarray(pack_rgba8(shown)).reshape(self.height, self.width)
 

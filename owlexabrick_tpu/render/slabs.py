@@ -576,6 +576,125 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     return rgba.reshape(4, h * w).T
 
 
+def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
+                     cam_pos, cam_dir00, cam_du, cam_dv,
+                     width: int, height: int):
+    """Slab-sweep implicit iso-surface rendering (fast path).
+
+    Detects sign changes of (field - iso) between consecutive slabs per
+    pixel (the slab analog of the reference's per-ray crossing detection,
+    exabrick.cu:1018-1114); shades with a screen/depth finite-difference
+    gradient (.3 + .7 |N.L|, exabrick.cu:1092-1098).  The surface color is
+    the transfer function at the iso value (the reference resamples at the
+    crossing point, which lies on the iso level set).
+
+    Returns (P, 4) rgba with alpha 1 at hits.
+    """
+    f32 = jnp.float32
+    h, w = height, width
+    i = jnp.arange(w, dtype=f32) + 0.5
+    j = jnp.arange(h, dtype=f32) + 0.5
+    rx = cam_dir00[2] + i * cam_du[2]
+    ry = cam_dir00[1] + j * cam_dv[1]
+    rz = cam_dir00[0]
+
+    z_lo = grids.bounds_lo[0]
+    z_hi = grids.bounds_hi[0]
+    dz = (z_hi - z_lo) / cfg.nslabs
+    oz, oy, ox = cam_pos[0], cam_pos[1], cam_pos[2]
+
+    order = jnp.arange(cfg.nslabs, dtype=f32)
+    if cfg.flip:
+        order = order[::-1]
+    z_planes = z_lo + (order + 0.5) * dz
+
+    # iso activity per slab from the z value-range table
+    nzf = grids.zranges.shape[0]
+    zi = jnp.clip(
+        (z_planes - jnp.floor(z_lo)).astype(jnp.int32), 0, nzf - 1
+    )
+    vr = grids.zranges[zi]
+    act = jnp.zeros(cfg.nslabs, bool)
+    for k in range(fs.iso_enabled.shape[0]):
+        act = act | (
+            fs.iso_enabled[k]
+            & (fs.iso_value[k] >= vr[:, 0])
+            & (fs.iso_value[k] <= vr[:, 1])
+        )
+    # always evaluate the slab after an active one (the crossing is
+    # detected on the *next* sample)
+    act = act | jnp.roll(act, 1)
+
+    from .xf import lookup_xf
+
+    iso_rgbs = []
+    for k in range(fs.iso_enabled.shape[0]):
+        iso_rgbs.append(
+            lookup_xf(fs.xf_lut[0], fs.xf_domain[0], fs.xf_opacity_scale,
+                      fs.iso_value[k])[:3]
+        )
+
+    # ray-direction images for shading (components in grid frame z,y,x)
+    rnorm = jnp.sqrt(ry[:, None] ** 2 + rx[None, :] ** 2 + rz ** 2)
+    dir_z = rz / rnorm
+    dir_y = ry[:, None] / rnorm
+    dir_x = rx[None, :] / rnorm
+
+    def body(s, carry):
+        prev_val, prev_ok, found, color = carry
+        zv = z_planes[s]
+        scale = (zv - oz) / rz
+        front = scale > 1e-6
+        y_pos = oy + scale * ry
+        x_pos = ox + scale * rx
+
+        def work(carry):
+            prev_val, prev_ok, found, color = carry
+            sw, swv = _slab_field(grids, zv, y_pos, x_pos, 0)
+            ok = (sw > 1e-20) & front
+            val = swv / jnp.where(sw > 1e-20, sw, 1.0)
+
+            # screen-space + depth finite differences -> voxel gradient
+            dxs = scale * cam_du[2]  # voxel x per pixel step
+            dys = scale * cam_dv[1]
+            gx = (jnp.roll(val, -1, 1) - jnp.roll(val, 1, 1)) / (2.0 * dxs)
+            gy = (jnp.roll(val, -1, 0) - jnp.roll(val, 1, 0)) / (2.0 * dys)
+            gz = (val - prev_val) / dz * (1.0 if not cfg.flip else -1.0)
+
+            for k in range(fs.iso_enabled.shape[0]):
+                iso = fs.iso_value[k]
+                cross = (
+                    fs.iso_enabled[k]
+                    & ok & prev_ok & ~found
+                    & (((prev_val <= iso) & (val >= iso))
+                       | ((prev_val >= iso) & (val <= iso)))
+                )
+                g2 = gx * gx + gy * gy + gz * gz
+                gl = jnp.sqrt(jnp.maximum(g2, 1e-30))
+                ndl = jnp.abs(
+                    -(dir_x * gx + dir_y * gy + dir_z * gz) / gl
+                )
+                shade = 0.3 + 0.7 * ndl
+                rgb = iso_rgbs[k][:, None, None] * shade[None]
+                color = jnp.where(cross[None], rgb, color)
+                found = found | cross
+
+            return val, ok, found, color
+
+        return lax.cond(act[s], work, lambda c: c, carry)
+
+    prev0 = jnp.full((h, w), -1e36, f32)
+    found0 = jnp.zeros((h, w), bool)
+    color0 = jnp.zeros((3, h, w), f32)
+    _, _, found, color = lax.fori_loop(
+        0, cfg.nslabs, body, (prev0, jnp.zeros((h, w), bool), found0, color0)
+    )
+    rgba = jnp.concatenate(
+        [color, found[None].astype(f32)], axis=0
+    )
+    return rgba.reshape(4, h * w).T
+
+
 def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
     """Build level grids from a device Scene's flattened brick arrays."""
     cw = np.asarray(scene.brick_cell_width)

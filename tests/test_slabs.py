@@ -192,3 +192,56 @@ def test_axis_permutations(amr_fixture, axis):
     )
     rmse = np.sqrt(((rgba - rgba_wf) ** 2).mean())
     assert rmse < 0.05, rmse
+
+
+def test_slab_iso_matches_wavefront(amr_fixture):
+    """Fast-path iso: hit mask and shaded color must approximate the exact
+    wavefront iso pass."""
+    import dataclasses
+
+    from owlexabrick_tpu.render.iso import trace_iso_rays
+    from owlexabrick_tpu.render.slabs import render_slabs_iso
+
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    dscene = to_device(scene)
+    size = 24
+    cam = Camera.look_at([4.0, 4.0, 30.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.05)
+    fs = dataclasses.replace(
+        fs,
+        iso_enabled=np.array([True, False]),
+        iso_value=np.array([3.5, 0.0], np.float32),
+        iso_channel=np.zeros(2, np.int32),
+    )
+    fs = jax.tree.map(jnp.asarray, fs)
+
+    from owlexabrick_tpu.render.slabs import permute_camera
+
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    cfg = SlabConfig(nslabs=512, chunk=32, flip=True)
+    rgba = np.asarray(
+        jax.jit(render_slabs_iso, static_argnames=("cfg", "width", "height"))(
+            grids, fs, cfg, jnp.asarray(pos), jnp.asarray(dir00),
+            jnp.asarray(du), jnp.asarray(dv), size, size,
+        )
+    )
+
+    o, d = cam.rays(size, size)
+    t, n, c = jax.jit(trace_iso_rays, static_argnames="cfg")(
+        dscene, fs, RenderConfig(num_channels=1, iso_surfaces=True),
+        jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+        jnp.full(o.shape[0], 2e10),
+    )
+    hit_wf = np.isfinite(np.asarray(t))
+    hit_slab = rgba[:, 3] > 0.5
+    # masks agree except at silhouette pixels
+    agree = (hit_wf == hit_slab).mean()
+    assert agree > 0.92, agree
+    # shaded colors correlate where both hit
+    both = hit_wf & hit_slab
+    if both.sum() > 8:
+        cw = np.asarray(c)[both]
+        cs = rgba[both][:, :3]
+        err = np.abs(cw - cs).mean()
+        assert err < 0.15, err
