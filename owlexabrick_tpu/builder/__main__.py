@@ -13,8 +13,6 @@ from __future__ import annotations
 import sys
 import time
 
-import numpy as np
-
 from ..io import formats
 from .bricker import (
     SAH_ALIKE,

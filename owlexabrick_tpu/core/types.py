@@ -25,8 +25,8 @@ Data model (matching the reference semantics, re-designed SoA):
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Any, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Tuple
 
 import numpy as np
 

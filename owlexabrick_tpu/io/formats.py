@@ -16,7 +16,6 @@ Formats:
 
 from __future__ import annotations
 
-import os
 from typing import List, Tuple
 
 import numpy as np

@@ -20,8 +20,6 @@ Formula sources:
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
-
 import numpy as np
 
 from ..core.constants import (

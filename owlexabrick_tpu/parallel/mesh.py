@@ -21,9 +21,7 @@ reference's dataset sizes).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,10 +31,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..render.dvr import (
     RenderConfig,
     composite_background,
-    generate_rays,
     trace_dvr,
 )
-from ..render.surfaces import SurfaceData, trace_surface_pass
+from ..render.surfaces import trace_surface_pass
 
 
 def make_mesh(n_px: int, n_spp: int = 1,

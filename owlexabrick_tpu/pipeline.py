@@ -5,7 +5,7 @@ running exaBuilder then launching the viewer on the result)."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

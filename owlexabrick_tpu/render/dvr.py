@@ -25,9 +25,6 @@ opacity correction, same midpoint sampling, same termination threshold.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

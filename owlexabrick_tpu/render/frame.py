@@ -9,7 +9,6 @@ transfer functions, iso values, contour planes, clip box, dt, frame id.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass
 from typing import Any
 
 import numpy as np

@@ -15,7 +15,6 @@ color and the *last* crossing fixes t_hit and the shading normal.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -22,8 +22,7 @@ HBM sees only the per-level mids and the four output images — no
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

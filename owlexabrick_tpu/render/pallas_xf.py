@@ -15,8 +15,6 @@ of the reference's CUDA texture lookup (programs/exabrick.cu:136-150).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

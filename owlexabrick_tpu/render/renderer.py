@@ -15,13 +15,12 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.constants import NUM_XF_VALUES
 from .camera import Camera
 from .dvr import (
     RenderConfig,

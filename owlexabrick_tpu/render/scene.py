@@ -4,7 +4,7 @@ arrays (the analog of OptixRenderer's buffer setup, exa/OptixRenderer.cpp:38-210
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -38,8 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp

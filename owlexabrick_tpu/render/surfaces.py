@@ -13,7 +13,6 @@ onto the VPU.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, List
 
 import jax

@@ -18,8 +18,7 @@ Lifecycle parity (exa/OptixRenderer.cpp:450-487):
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

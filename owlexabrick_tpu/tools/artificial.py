@@ -10,7 +10,7 @@ only one value is given).  Writes <out>.cells and <out>.scalars.
 from __future__ import annotations
 
 import sys
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

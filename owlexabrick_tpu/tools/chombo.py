@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ Requires h5py (present in this environment; gated import otherwise).
 from __future__ import annotations
 
 import sys
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

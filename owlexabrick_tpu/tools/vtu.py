@@ -22,7 +22,7 @@ import struct
 import sys
 import xml.etree.ElementTree as ET
 import zlib
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 

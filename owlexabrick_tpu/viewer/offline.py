@@ -13,7 +13,6 @@ title-bar/benchmark output.
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 import time
 from typing import List, Optional
@@ -296,7 +295,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         import jax
         import jax.numpy as jnp
 
-        from ..pipeline import bricks_from_build  # noqa: F401 (doc)
         from ..render.slabs import (
             SlabConfig,
             build_level_grids,

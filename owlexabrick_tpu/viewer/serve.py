@@ -13,7 +13,6 @@ Run:  python -m owlexabrick_tpu.viewer.serve scene.exa --port 8000
 from __future__ import annotations
 
 import io
-import json
 import sys
 import threading
 import urllib.parse
@@ -21,14 +20,13 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from ..core.constants import NUM_XF_VALUES
 from ..io.config import parse_config
 from ..render.camera import Camera
 from ..render.dvr import RenderConfig
 from ..render.frame import make_frame_state
 from ..render.renderer import Renderer
 from ..render.scene import scene_from_config
-from .colormaps import COLORMAP_NAMES, colormap_colors
+from .colormaps import COLORMAP_NAMES
 
 _PAGE = """<!doctype html>
 <html><head><title>owlexabrick-tpu viewer</title><style>
@@ -130,8 +128,6 @@ class ViewerState:
                               self.width, self.height)
 
     def render(self, q) -> bytes:
-        import dataclasses
-
         theta = float(q.get("theta", ["0.5"])[0])
         phi = float(q.get("phi", ["0.3"])[0])
         dist = float(q.get("dist", ["1.2"])[0])
