@@ -303,7 +303,22 @@ def build_bricks(
     level: np.ndarray,
     strategy: str = SAH_ALIKE,
     max_leaf_width: int = 127,
+    backend: str = "auto",
 ) -> BuildResult:
+    """cells -> bricks.  backend="auto" uses the C++ core when buildable
+    (bit-identical output, tests/test_native.py); "python" forces the
+    numpy spec implementation."""
+    if backend in ("auto", "native"):
+        try:
+            from ..native import available, native_build_bricks
+
+            if available():
+                return native_build_bricks(
+                    lower, level, strategy, max_leaf_width
+                )
+        except Exception:
+            if backend == "native":
+                raise
     return Bricker(lower, level, strategy, max_leaf_width).build()
 
 

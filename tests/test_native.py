@@ -7,8 +7,14 @@ from owlexabrick_tpu.builder.bricker import (
     SAH_ALIKE,
     SMALL_BRICK_COUNT,
     SPATIAL_MEDIAN,
-    build_bricks,
 )
+from owlexabrick_tpu.builder.bricker import Bricker
+
+
+def build_bricks(lower, level, strategy=SAH_ALIKE, max_leaf_width=127):
+    # the python spec implementation, explicitly (the dispatcher would
+    # pick the native backend we are comparing against)
+    return Bricker(lower, level, strategy, max_leaf_width).build()
 from owlexabrick_tpu.pipeline import bricks_from_build
 from owlexabrick_tpu.regions.build import build_regions_py as build_regions
 
