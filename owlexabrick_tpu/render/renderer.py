@@ -187,6 +187,8 @@ class Renderer:
             principal_axis,
         )
 
+        from .slabs import camera_to_voxel
+
         if (
             self.cfg.num_channels != 1
             or self.cfg.ao_samples > 0
@@ -195,7 +197,11 @@ class Renderer:
         ):
             self._fast = None
             return False
-        cam = self._camera_from_fs()
+        # the sweep operates in voxel space (remap transform applied to
+        # the camera, exa/Config.cpp:23-44)
+        cam = camera_to_voxel(
+            self._camera_from_fs(), np.asarray(self.scene.voxel_from_world)
+        )
         view = np.asarray(cam.dir00) + 0.5 * (
             self.width * np.asarray(cam.dir_du)
             + self.height * np.asarray(cam.dir_dv)
@@ -225,6 +231,8 @@ class Renderer:
         from .dvr import accumulate, pack_rgba8
         from .slabs import render_slabs_camera
 
+        from .slabs import camera_to_voxel
+
         grids, scfg = self._fast
         key = jax.random.fold_in(
             jax.random.PRNGKey(0x51AB), self.fs.frame_id
@@ -232,7 +240,9 @@ class Renderer:
         # per-frame sub-pixel jitter as a whole-grid shift (separability)
         jx = float(jax.random.uniform(jax.random.fold_in(key, 0), ())) - 0.5
         jy = float(jax.random.uniform(jax.random.fold_in(key, 1), ())) - 0.5
-        cam = self._camera_from_fs()
+        cam = camera_to_voxel(
+            self._camera_from_fs(), np.asarray(self.scene.voxel_from_world)
+        )
         cam = Camera(
             pos=cam.pos,
             dir00=cam.dir00 + jx * cam.dir_du + jy * cam.dir_dv,

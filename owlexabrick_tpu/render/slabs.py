@@ -694,6 +694,23 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     return rgba.reshape(4, h * w).T
 
 
+def camera_to_voxel(camera, voxel_from_world) -> "Camera":
+    """Transform a world-space camera into voxel space (the remap_from/
+    remap_to affine, exa/Config.cpp:23-44).  The remap is axis-aligned
+    (diagonal A), so separability is preserved."""
+    from .camera import Camera
+
+    m = np.asarray(voxel_from_world, np.float64)
+    a = m[:, :3]
+    b = m[:, 3]
+    return Camera(
+        pos=(a @ np.asarray(camera.pos, np.float64) + b).astype(np.float32),
+        dir00=(a @ np.asarray(camera.dir00, np.float64)).astype(np.float32),
+        dir_du=(a @ np.asarray(camera.dir_du, np.float64)).astype(np.float32),
+        dir_dv=(a @ np.asarray(camera.dir_dv, np.float64)).astype(np.float32),
+    )
+
+
 def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
     """Build level grids from a device Scene's flattened brick arrays."""
     cw = np.asarray(scene.brick_cell_width)

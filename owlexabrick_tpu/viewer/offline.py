@@ -298,16 +298,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         from ..render.slabs import (
             SlabConfig,
             build_level_grids,
+            camera_to_voxel,
             check_separable,
             principal_axis,
             render_slabs_camera,
         )
 
-        view = np.asarray(cam.dir00) + 0.5 * (
-            size[0] * np.asarray(cam.dir_du) + size[1] * np.asarray(cam.dir_dv)
+        vcam = camera_to_voxel(cam, scene.voxel_from_world)
+        view = np.asarray(vcam.dir00) + 0.5 * (
+            size[0] * np.asarray(vcam.dir_du) + size[1] * np.asarray(vcam.dir_dv)
         )
         axis = principal_axis(view)
-        if not check_separable(cam, axis):
+        if not check_separable(vcam, axis):
             print("#viewer: camera not separable; falling back to exact path")
             fast = False
         else:
@@ -322,7 +324,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             t0 = time.time()
             rgba = None
             for f in range(frames):
-                rgba = render_slabs_camera(grids, fsd, scfg, cam, *size)
+                rgba = render_slabs_camera(grids, fsd, scfg, vcam, *size)
                 np.asarray(rgba[:4])
             dt_s = (time.time() - t0) / frames
             print(f"#viewer: fast path {1/dt_s:.2f} FPS ({dt_s*1e3:.1f} ms)")

@@ -245,3 +245,45 @@ def test_slab_iso_matches_wavefront(amr_fixture):
         cs = rgba[both][:, :3]
         err = np.abs(cw - cs).mean()
         assert err < 0.15, err
+
+
+def test_fast_path_with_remap_transform(amr_fixture):
+    """World->voxel remap (remap_from/remap_to): the fast path must agree
+    with the exact wavefront path when the scene uses a non-identity
+    transform."""
+    from owlexabrick_tpu.builder.bricker import build_bricks
+    from owlexabrick_tpu.core.types import ScalarField
+    from owlexabrick_tpu.pipeline import bricks_from_build
+    from owlexabrick_tpu.render.renderer import Renderer
+    from owlexabrick_tpu.render.scene import build_scene
+
+    lower, level, scal = amr_fixture(EX2)
+    res = build_bricks(lower, level)
+    bricks, ids = bricks_from_build(res)
+    # world [0,1]^3 maps to voxel [0,8]^3
+    vfw = np.zeros((3, 4), np.float32)
+    vfw[:, :3] = np.eye(3) * 8.0
+    scene, *_ = build_scene(
+        bricks, ids, [ScalarField.from_values("f", scal)],
+        voxel_from_world=vfw,
+    )
+
+    size = 16
+    cam = Camera.look_at([0.5, 0.5, 3.0], [0.5, 0.5, 0.5], [0, 1, 0],
+                         30.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
+
+    r1 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=fs)
+    exact = r1.render()
+    r2 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=fs)
+    assert r2.enable_fast_path()
+    fast = r2.render()
+    a = exact.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
+    b = fast.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
+    rmse = np.sqrt((((a - b) / 255.0) ** 2).mean())
+    # wavefront-vs-oracle is exact under remap (checked separately); the
+    # residual here is pure quadrature difference between the two paths
+    assert rmse < 0.06, rmse
+    assert a.max() > 30  # scene visible
