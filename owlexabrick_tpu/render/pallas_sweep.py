@@ -30,16 +30,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(n_levels: int, ny_list: Tuple[int, ...]):
+def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int):
     def kernel(params_ref, lut_ref, d_ref, live_ref, orgy_ref, cw_ref,
-               mv_ref, mm_ref, ypos_ref, sec_ref,
-               r_ref, g_ref, b_ref, t_ref):
-        n = lut_ref.shape[0]
-        lo = params_ref[0]
-        hi = params_ref[1]
-        dz = params_ref[2]
-        n_rows = params_ref[3].astype(jnp.int32)
-        n_cols = params_ref[4].astype(jnp.int32)
+               *refs):
+        # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec, r, g, b, t]
+        mv_refs = refs[:n_channels]
+        mm_ref = refs[n_channels]
+        ypos_ref = refs[n_channels + 1]
+        sec_ref = refs[n_channels + 2]
+        r_ref, g_ref, b_ref, t_ref = refs[n_channels + 3:]
+        n = lut_ref.shape[1]
+        dz = params_ref[0]
+        n_rows = params_ref[1].astype(jnp.int32)
+        n_cols = params_ref[2].astype(jnp.int32)
 
         s_count = ypos_ref.shape[1]
         tr = ypos_ref.shape[0]
@@ -75,55 +78,71 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...]):
                 )
             wy = jnp.concatenate(wys, axis=1)  # (tr, NY)
 
-            swv = jnp.dot(wy, mv_ref[s], preferred_element_type=jnp.float32)
             sw = jnp.dot(wy, mm_ref[s], preferred_element_type=jnp.float32)
-
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
 
             def classify(carry):
-                r_acc, g_acc, b_acc, t_run = carry
-                value = swv / jnp.where(sw > 1e-20, sw, 1.0)
+                # per-slab channel merge in the reference's channel order
+                # (exabrick.cu:1169-1179)
+                slab_a = jnp.zeros((tr, tc), jnp.float32)
+                slab_r = jnp.zeros((tr, tc), jnp.float32)
+                slab_g = jnp.zeros((tr, tc), jnp.float32)
+                slab_b = jnp.zeros((tr, tc), jnp.float32)
+                for ch in range(n_channels):
+                    swv = jnp.dot(wy, mv_refs[ch][s],
+                                  preferred_element_type=jnp.float32)
+                    value = swv / jnp.where(sw > 1e-20, sw, 1.0)
+                    lo = lut_ref[ch, 0, 4]  # domain packed in cols 4:6
+                    hi = lut_ref[ch, 0, 5]
 
-                sc = (n - 1) * (value - lo) / ((hi - lo) + 1e-20)
-                sc = jnp.clip(sc + 0.5, 0.0, n - 1.0) / (n - 1.0)
-                u = jnp.clip(sc * n - 0.5, 0.0, n - 1.0)
-                u = jnp.where(ok, u, 0.0)
+                    sc = (n - 1) * (value - lo) / ((hi - lo) + 1e-20)
+                    sc = jnp.clip(sc + 0.5, 0.0, n - 1.0) / (n - 1.0)
+                    u = jnp.clip(sc * n - 0.5, 0.0, n - 1.0)
+                    u = jnp.where(ok, u, 0.0)
 
-                k_lo = jnp.clip(
-                    jnp.floor(jnp.min(jnp.where(ok, u, n - 1.0))).astype(
-                        jnp.int32
-                    ), 0, n - 2,
-                )
-                k_hi = jnp.clip(
-                    jnp.floor(jnp.max(u)).astype(jnp.int32), 0, n - 2,
-                )
-
-                def knot(kk, accs):
-                    r, g, b, a = accs
-                    ramp = jnp.clip(u - kk.astype(u.dtype), 0.0, 1.0)
-                    return (
-                        r + ramp * d_ref[kk + 1, 0],
-                        g + ramp * d_ref[kk + 1, 1],
-                        b + ramp * d_ref[kk + 1, 2],
-                        a + ramp * d_ref[kk + 1, 3],
+                    k_lo = jnp.clip(
+                        jnp.floor(
+                            jnp.min(jnp.where(ok, u, n - 1.0))
+                        ).astype(jnp.int32), 0, n - 2,
+                    )
+                    k_hi = jnp.clip(
+                        jnp.floor(jnp.max(u)).astype(jnp.int32), 0, n - 2,
                     )
 
-                base = [
-                    jnp.full_like(u, lut_ref[k_lo, c]) for c in range(4)
-                ]
-                r, g, b, a = jax.lax.fori_loop(
-                    k_lo, k_hi + 1, knot, tuple(base)
-                )
+                    def knot(kk, accs):
+                        r, g, b, a = accs
+                        ramp = jnp.clip(u - kk.astype(u.dtype), 0.0, 1.0)
+                        return (
+                            r + ramp * d_ref[ch, kk + 1, 0],
+                            g + ramp * d_ref[ch, kk + 1, 1],
+                            b + ramp * d_ref[ch, kk + 1, 2],
+                            a + ramp * d_ref[ch, kk + 1, 3],
+                        )
 
-                a = 1.0 - jnp.power(jnp.maximum(1.0 - a, 0.0), dz * sec)
-                a = jnp.where(ok, a, 0.0)
+                    base = [
+                        jnp.full_like(u, lut_ref[ch, k_lo, c])
+                        for c in range(4)
+                    ]
+                    r, g, b, a = jax.lax.fori_loop(
+                        k_lo, k_hi + 1, knot, tuple(base)
+                    )
+
+                    a = 1.0 - jnp.power(
+                        jnp.maximum(1.0 - a, 0.0), dz * sec
+                    )
+                    a = jnp.where(ok, a, 0.0)
+                    contrib = (1.0 - slab_a) * a
+                    slab_r = slab_r + contrib * r
+                    slab_g = slab_g + contrib * g
+                    slab_b = slab_b + contrib * b
+                    slab_a = slab_a + contrib
+
                 r_acc, g_acc, b_acc, t_run = carry
-                contrib = t_run * a
                 return (
-                    r_acc + contrib * r,
-                    g_acc + contrib * g,
-                    b_acc + contrib * b,
-                    t_run * (1.0 - a),
+                    r_acc + t_run * slab_r,
+                    g_acc + t_run * slab_g,
+                    b_acc + t_run * slab_b,
+                    t_run * (1.0 - slab_a),
                 )
 
             # lateral space skipping + per-tile early termination
@@ -143,33 +162,46 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...]):
     return kernel
 
 
-def sweep_chunk(mids: Sequence[Tuple[jax.Array, jax.Array]],
+def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
-                lut, domain, dz, height: int, width: int, *,
+                luts, domains, dz, height: int, width: int, *,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
-    mids: per level (mid_v (S, ny, W), mid_m (S, ny, W)) — x-resampled,
-    z-lerped level slabs; origins_y / cell_widths: per-level scalars;
-    y_pos: (S, H) slab-plane y coordinates; sec: (H, W); live: (S,).
-    Returns (rgb (3,H,W), trans (H,W)).
+    mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
+    x-resampled, z-lerped level slabs; origins_y / cell_widths: per-level
+    scalars; y_pos: (S, H) slab-plane y coordinates; sec: (H, W);
+    live: (S,); luts: per channel (N, 4) alpha-prescaled; domains: per
+    channel (2,).  Returns (rgb (3,H,W), trans (H,W)).
     """
     n_levels = len(mids)
+    n_channels = len(luts)
     s_ = y_pos.shape[0]
-    n = lut.shape[0]
-    d = jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
+    n = luts[0].shape[0]
+    # pack per-channel lut + domain into one SMEM array: (C, N, 6) with
+    # cols 4:6 = domain at row 0
+    lut_pack = jnp.zeros((n_channels, n, 6), jnp.float32)
+    d_pack = jnp.zeros((n_channels, n, 4), jnp.float32)
+    for ch, (lut, dom) in enumerate(zip(luts, domains)):
+        lut_pack = lut_pack.at[ch, :, :4].set(lut)
+        lut_pack = lut_pack.at[ch, 0, 4].set(jnp.asarray(dom[0], jnp.float32))
+        lut_pack = lut_pack.at[ch, 0, 5].set(jnp.asarray(dom[1], jnp.float32))
+        d_pack = d_pack.at[ch].set(
+            jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
+        )
     params = jnp.stack(
-        [jnp.asarray(domain[0], jnp.float32),
-         jnp.asarray(domain[1], jnp.float32),
-         jnp.asarray(dz, jnp.float32),
+        [jnp.asarray(dz, jnp.float32),
          jnp.asarray(height, jnp.float32),
          jnp.asarray(width, jnp.float32)]
     )
     orgy = jnp.stack([jnp.asarray(o, jnp.float32) for o in origins_y])
     cws = jnp.stack([jnp.asarray(c, jnp.float32) for c in cell_widths])
 
-    ny_list = tuple(mv.shape[1] for mv, _ in mids)
-    mid_v = jnp.concatenate([mv for mv, _ in mids], axis=1)  # (S, NY, W)
+    ny_list = tuple(mm.shape[1] for _, mm in mids)
+    mid_vs = [
+        jnp.concatenate([mvs[ch] for mvs, _ in mids], axis=1)
+        for ch in range(n_channels)
+    ]  # per channel (S, NY, W)
     mid_m = jnp.concatenate([mm for _, mm in mids], axis=1)
 
     # fat row tiles keep the (tr, NY) @ (NY, tc) contraction MXU-shaped
@@ -179,22 +211,22 @@ def sweep_chunk(mids: Sequence[Tuple[jax.Array, jax.Array]],
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    ny_total = mid_v.shape[1]
+    ny_total = mid_m.shape[1]
     mid_spec = pl.BlockSpec((s_, ny_total, tc), lambda j, i: (0, 0, j),
                             memory_space=pltpu.VMEM)
     tile2 = pl.BlockSpec((tr, tc), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM)
     r, g, b, t = pl.pallas_call(
-        _make_kernel(n_levels, ny_list),
+        _make_kernel(n_levels, ny_list, n_channels),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lut
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # d
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lut pack
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # d pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live
             pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cw
-            mid_spec, mid_spec,
+            *([mid_spec] * n_channels), mid_spec,
             pl.BlockSpec((tr, s_), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             tile2,
@@ -205,6 +237,6 @@ def sweep_chunk(mids: Sequence[Tuple[jax.Array, jax.Array]],
             for _ in range(4)
         ),
         interpret=interpret,
-    )(params, lut, d, live.astype(jnp.float32), orgy, cws,
-      mid_v, mid_m, y_pos.T, sec)
+    )(params, lut_pack, d_pack, live.astype(jnp.float32), orgy, cws,
+      *mid_vs, mid_m, y_pos.T, sec)
     return jnp.stack([r, g, b]), t

@@ -468,7 +468,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         def active_chunk(color_alpha):
             color, alpha = color_alpha
 
-            if cfg.num_channels == 1 and cfg.megakernel:
+            if cfg.megakernel:
                 # megakernel lane: z/x resampling to small per-level mids,
                 # then one pallas pass does y-interp + classification +
                 # compositing (see pallas_sweep.py)
@@ -483,7 +483,6 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 for li, L in enumerate(grids.levels):
                     cw = float(1 << L)
                     m = grids.masks[li]
-                    v = grids.vals[li][0]
                     org = grids.origins[li]
                     nz, ny, nx = m.shape
                     qz = z_s / cw - org[0] - 0.5
@@ -501,13 +500,18 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                                           preferred_element_type=f32)
 
                     gate = occ_s[li].any().astype(f32)
-                    mids.append((mid(v) * gate, mid(m) * gate))
+                    mids.append((
+                        [mid(grids.vals[li][c]) * gate
+                         for c in range(cfg.num_channels)],
+                        mid(m) * gate,
+                    ))
                     orgs_y.append(org[1])
                     cws_l.append(cw)
 
                 chunk_rgb, chunk_trans = sweep_chunk(
                     mids, orgs_y, cws_l, y_pos, sec, live,
-                    luts[0], fs.xf_domain[0], dz, h, w,
+                    luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
+                    dz, h, w,
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
