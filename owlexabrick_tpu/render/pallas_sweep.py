@@ -78,7 +78,8 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int):
                 )
             wy = jnp.concatenate(wys, axis=1)  # (tr, NY)
 
-            sw = jnp.dot(wy, mm_ref[s], preferred_element_type=jnp.float32)
+            sw = jnp.dot(wy.astype(mm_ref.dtype), mm_ref[s],
+                         preferred_element_type=jnp.float32)
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
 
             def classify(carry):
@@ -89,7 +90,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int):
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    swv = jnp.dot(wy, mv_refs[ch][s],
+                    swv = jnp.dot(wy.astype(mm_ref.dtype), mv_refs[ch][s],
                                   preferred_element_type=jnp.float32)
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
                     lo = lut_ref[ch, 0, 4]  # domain packed in cols 4:6

@@ -160,14 +160,6 @@ def build_level_grids(
 # camera separability
 # ----------------------------------------------------------------------------
 
-@dataclass(frozen=True)
-class SlabCameraSpec:
-    """Static geometry facts required by the sweep (checked host-side)."""
-
-    axis: int  # principal (sweep) original axis
-    flip: bool  # sweep from high z to low z (camera looks toward -z)
-
-
 def principal_axis(direction: np.ndarray) -> int:
     return int(np.argmax(np.abs(np.asarray(direction))))
 
@@ -500,10 +492,11 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                                           preferred_element_type=f32)
 
                     gate = occ_s[li].any().astype(f32)
+                    mdt = jnp.bfloat16 if cfg.bf16_interp else f32
                     mids.append((
-                        [mid(grids.vals[li][c]) * gate
+                        [(mid(grids.vals[li][c]) * gate).astype(mdt)
                          for c in range(cfg.num_channels)],
-                        mid(m) * gate,
+                        (mid(m) * gate).astype(mdt),
                     ))
                     orgs_y.append(org[1])
                     cws_l.append(cw)
