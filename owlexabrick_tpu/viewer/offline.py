@@ -73,6 +73,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     tracer_channels = (0, 0, 0)
     tracer_seeds = 1000
     tracer_steplen = 1.0
+    space_skipping = True
 
     i = 0
     while i < len(argv):
@@ -172,6 +173,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a == "--no-pg":
             frames = 1
             i += 1
+        elif a == "--no-space-skipping":
+            space_skipping = False
+            i += 1
         elif a == "--frames":
             frames = int(argv[i + 1])
             i += 2
@@ -236,6 +240,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         ao_enabled=ao,
         ao_length=ao_length,
     )
+    # per-channel colormaps when several --colormap flags are given
+    # (the GLUI keeps one map per channel, exa/viewer.cpp:548-560)
+    for c, name in enumerate(colormaps[1:n_channels], start=1):
+        fs.xf_lut[c, :, :3] = colormap_colors(name, NUM_XF_VALUES)
     for k in range(len(isovals[:MAX_ISO_SURFACES])):
         fs.iso_enabled[k] = True
         fs.iso_value[k] = isovals[k]
@@ -254,6 +262,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         gradient_shading_iso=grad_iso,
         iso_surfaces=bool(isovals),
         ao_samples=2 if ao else 0,
+        space_skipping=space_skipping,
+        # with 2+ fields in single-field mode the second channel colormaps
+        # the iso surface (OptixRenderer.cpp:277-282)
+        colormap_channel=(
+            1 if (not multi_field and len(cfg.scalar_fields) > 1) else 0
+        ),
     )
     surf = SurfaceData.from_meshes(cfg.surfaces)
     r = Renderer(scene, size[0], size[1], cfg=rcfg, surfaces=surf,
