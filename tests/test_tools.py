@@ -201,3 +201,52 @@ def test_tracer_dies_outside(amr_fixture):
     tr = Tracer(to_device(scene), num_traces=8, num_timesteps=3, steplen=1.0)
     tr.advance()
     assert (np.abs(tr.traces[:, 1]).max(axis=1) > 1e9).all()
+
+
+def test_raw2cells_cli(tmp_path):
+    from owlexabrick_tpu.tools.raw2cells import main
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 1, (8, 8, 8)).astype(np.float32)
+    vol[:4] = 0.25
+    raw = str(tmp_path / "v.raw")
+    vol.tofile(raw)
+    out = str(tmp_path / "out")
+    rc = main(["8", "8", "8", "float", raw, out, "0.0001", "2"])
+    assert rc == 0
+    lower, level = formats.read_cells(out + ".cells")
+    scal = formats.read_scalars(out + ".scalars")
+    assert lower.shape[0] == scal.size
+    assert (level <= 2).all()
+
+
+def test_artificial_cli(tmp_path):
+    from owlexabrick_tpu.tools.artificial import main
+
+    g = tmp_path / "g.txt"
+    g.write_text("0 0 0 3 3 3 0 1.5\n")
+    out = str(tmp_path / "a")
+    rc = main([str(g), "-o", out])
+    assert rc == 0
+    lower, level = formats.read_cells(out + ".cells")
+    assert lower.shape[0] == 27
+    scal = formats.read_scalars(out + ".scalars")
+    np.testing.assert_allclose(scal, 1.5)
+
+
+def test_builder_cli(tmp_path):
+    from owlexabrick_tpu.builder.__main__ import main as builder_main
+    from owlexabrick_tpu.tools.artificial import generate
+
+    g = tmp_path / "g.txt"
+    g.write_text("0 0 0 4 4 4 0 0 1 2 3 4 5 6 7\n")
+    generate(str(g), str(tmp_path / "d"))
+    rc = builder_main([
+        str(tmp_path / "d.cells"), "-o", str(tmp_path / "d.bricks"),
+        "-kd", str(tmp_path / "d.kd"),
+    ])
+    assert rc == 0
+    bricks, ids = formats.read_bricks(str(tmp_path / "d.bricks"))
+    assert bricks.num_bricks >= 1
+    kd = formats.read_kd(str(tmp_path / "d.kd"))
+    assert kd["axis"].size >= 1
