@@ -70,10 +70,8 @@ def main():
     cfg = SlabConfig(
         num_channels=1,
         nslabs=nslabs or int(np.ceil(extent / 1.0)),
-        chunk=8,
+        chunk=24,
     )
-
-    import jax.numpy as jnp
 
     # warm-up / compile
     t0 = time.time()
