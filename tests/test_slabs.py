@@ -287,3 +287,34 @@ def test_fast_path_with_remap_transform(amr_fixture):
     # residual here is pure quadrature difference between the two paths
     assert rmse < 0.06, rmse
     assert a.max() > 30  # scene visible
+
+
+def test_camera_inside_volume(amr_fixture):
+    """Camera placed inside the volume: only slabs in front contribute
+    (matches the wavefront path which starts at t=0)."""
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    dscene = to_device(scene)
+    size = 12
+    cam = Camera.look_at([4.0, 4.0, 2.0], [4.0, 4.0, 30.0], [0, 1, 0],
+                         40.0, size, size)
+    fs = jax.tree.map(
+        jnp.asarray,
+        make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.05, opacity_scale=0.5),
+    )
+    from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    rgba_s = np.asarray(
+        render_slabs_camera(
+            grids, fs, SlabConfig(nslabs=512, chunk=32), cam, size, size
+        )
+    )
+    o, d = cam.rays(size, size)
+    rgba_w = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, RenderConfig(num_channels=1),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+        )
+    )
+    rmse = np.sqrt(((rgba_s - rgba_w) ** 2).mean())
+    assert rmse < 0.03, rmse
+    assert rgba_w[:, 3].max() > 0.1
