@@ -379,6 +379,16 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         lvl_occ.append((o0 + o1) > 0.0)  # (nslabs,)
 
     s_chunk = cfg.chunk
+    if cfg.megakernel:
+        # cap the chunk so the megakernel's mid blocks ((1+C) x S x NY x tc
+        # floats) fit VMEM with headroom
+        ny_total = sum(m.shape[1] for m in grids.masks)
+        tc_est = 512
+        budget = 8 * 1024 * 1024
+        cap = max(
+            4, budget // ((1 + cfg.num_channels) * ny_total * tc_est * 4)
+        )
+        s_chunk = min(s_chunk, cap)
     n_chunks = -(-cfg.nslabs // s_chunk)
     # pad slab tables to a whole number of chunks (padded slabs inactive)
     pad = n_chunks * s_chunk - cfg.nslabs
