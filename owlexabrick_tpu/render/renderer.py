@@ -207,14 +207,21 @@ class Renderer:
             + self.height * np.asarray(cam.dir_dv)
         )
         axis = principal_axis(view)
-        if not check_separable(cam, axis):
-            self._fast = None
-            return False
-        grids = grids_from_scene(self.scene, axis=axis)
+        if check_separable(cam, axis):
+            grids = grids_from_scene(self.scene, axis=axis)
+            cam_r = None  # the plain voxel-space camera sweeps directly
+        else:
+            # arbitrary orientation: resample the grids into the camera
+            # frame once per orientation (approximate preview; the exact
+            # wavefront path remains ground truth)
+            from .slabs import reorient_grids
+
+            grids = grids_from_scene(self.scene, axis=2)
+            grids, cam_r = reorient_grids(grids, cam)
         extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
         finest = float(min(1 << l for l in grids.levels))
         nslabs = int(np.ceil(extent / (float(self.fs.dt) * finest)))
-        self._fast = (grids, SlabConfig(num_channels=1, nslabs=nslabs))
+        self._fast = (grids, SlabConfig(num_channels=1, nslabs=nslabs), cam_r)
         return True
 
     def _camera_from_fs(self) -> Camera:
@@ -233,14 +240,14 @@ class Renderer:
 
         from .slabs import camera_to_voxel
 
-        grids, scfg = self._fast
+        grids, scfg, cam_r = self._fast
         key = jax.random.fold_in(
             jax.random.PRNGKey(0x51AB), self.fs.frame_id
         )
         # per-frame sub-pixel jitter as a whole-grid shift (separability)
         jx = float(jax.random.uniform(jax.random.fold_in(key, 0), ())) - 0.5
         jy = float(jax.random.uniform(jax.random.fold_in(key, 1), ())) - 0.5
-        cam = camera_to_voxel(
+        cam = cam_r if cam_r is not None else camera_to_voxel(
             self._camera_from_fs(), np.asarray(self.scene.voxel_from_world)
         )
         cam = Camera(

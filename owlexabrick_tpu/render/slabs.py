@@ -67,6 +67,33 @@ class LevelGrids:
     axis: int = 2  # which original axis is the sweep ('z') axis
 
 
+def _compute_zranges(levels, vals, masks, origins, lo_p, hi_p):
+    """Per-fine-z value min/max over all levels (for slab TF culling)."""
+    nz_fine = int(np.ceil(hi_p[0]) - np.floor(lo_p[0]))
+    zr = np.stack(
+        [np.full(nz_fine, np.inf, np.float32),
+         np.full(nz_fine, -np.inf, np.float32)], axis=1,
+    )
+    z_lo = np.floor(lo_p[0])
+    for L, v, m in zip(levels, vals, masks):
+        cw = 1 << L
+        orgz = float(origins[levels.index(L)][0])
+        occ = np.asarray(m) > 0
+        v = np.asarray(v)
+        for k in range(v.shape[1]):
+            if not occ[k].any():
+                continue
+            vmin = v[:, k][np.broadcast_to(occ[k], v[:, k].shape)].min()
+            vmax = v[:, k][np.broadcast_to(occ[k], v[:, k].shape)].max()
+            # cell k at level L covers fine z in [(orgz+k)*cw, (orgz+k+1)*cw),
+            # basis support extends one extra cell width each way
+            f0 = int(max((orgz + k - 1) * cw - z_lo, 0))
+            f1 = int(min((orgz + k + 2) * cw - z_lo, nz_fine))
+            zr[f0:f1, 0] = np.minimum(zr[f0:f1, 0], vmin)
+            zr[f0:f1, 1] = np.maximum(zr[f0:f1, 1], vmax)
+    return zr
+
+
 def build_level_grids(
     bricks: Bricks, scalars: np.ndarray, axis: int = 2
 ) -> LevelGrids:
@@ -121,27 +148,7 @@ def build_level_grids(
     pad = 0.5 * (1 << max(levels))
     lo_p = np.asarray([v_lo[p] - pad for p in perm], np.float32)
     hi_p = np.asarray([v_hi[p] + pad for p in perm], np.float32)
-    nz_fine = int(np.ceil(hi_p[0]) - np.floor(lo_p[0]))
-    zr = np.stack(
-        [np.full(nz_fine, np.inf, np.float32),
-         np.full(nz_fine, -np.inf, np.float32)], axis=1,
-    )
-    z_lo = np.floor(lo_p[0])
-    for L, v, m in zip(levels, vals, masks):
-        cw = 1 << L
-        orgz = origins[levels.index(L)][0]
-        occ = m > 0
-        for k in range(v.shape[1]):
-            if not occ[k].any():
-                continue
-            vmin = v[:, k][np.broadcast_to(occ[k], v[:, k].shape)].min()
-            vmax = v[:, k][np.broadcast_to(occ[k], v[:, k].shape)].max()
-            # cell k at level L covers fine z in [(orgz+k)*cw, (orgz+k+1)*cw),
-            # basis support extends one extra cell width each way
-            f0 = int(max((orgz + k - 1) * cw - z_lo, 0))
-            f1 = int(min((orgz + k + 2) * cw - z_lo, nz_fine))
-            zr[f0:f1, 0] = np.minimum(zr[f0:f1, 0], vmin)
-            zr[f0:f1, 1] = np.maximum(zr[f0:f1, 1], vmax)
+    zr = _compute_zranges(levels, vals, masks, origins, lo_p, hi_p)
 
     return LevelGrids(
         vals=tuple(jnp.asarray(v) for v in vals),
@@ -699,6 +706,140 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
         [color, found[None].astype(f32)], axis=0
     )
     return rgba.reshape(4, h * w).T
+
+
+def reorient_grids(grids: LevelGrids, camera):
+    """Resample the level grids into a camera-aligned frame so the sweep
+    applies to an arbitrarily oriented camera.
+
+    The rotated lattice holds trilinear resamples of the (value*mask) and
+    mask grids; the sweep's reconstruction then approximates the original
+    basis blend (nested trilinear) — an interactive *preview* path.  The
+    exact wavefront renderer remains the ground truth for tilted views.
+
+    Returns (rotated LevelGrids, camera expressed in the rotated frame).
+    The rotated frame keeps voxel units; the camera comes out separable
+    (du along grid x, dv along grid y, view along z).
+    """
+    from scipy import ndimage
+
+    from .camera import Camera
+
+    du = np.asarray(camera.dir_du, np.float64)
+    dv = np.asarray(camera.dir_dv, np.float64)
+    view = np.asarray(camera.dir00, np.float64) + 0.5 * (
+        du * 0 + dv * 0
+    )
+    # orthonormal camera frame (du, dv are orthogonal for look_at cameras)
+    u = du / np.linalg.norm(du)
+    v = dv - (dv @ u) * u
+    v = v / np.linalg.norm(v)
+    w = np.cross(u, v)
+    # sweep axis points along the mean view direction
+    mean_view = np.asarray(camera.dir00, np.float64)
+    if mean_view @ w < 0:
+        w = -w
+        v = -v  # keep the frame right-handed with w flipped
+    r = np.stack([u, v, w], axis=1)  # world = r @ cam
+
+    # un-permute current grids to world (x, y, z) axis order
+    axis = grids.axis
+    other = [a for a in (2, 1, 0) if a != axis]
+    perm = (axis, *other)  # grid (z,y,x) = world axes perm
+    inv = [0, 0, 0]
+    for gi, wa in enumerate(perm):
+        inv[wa] = gi  # world axis wa lives at grid index inv[wa]
+
+    # world-space corners of the current bounds -> camera-frame AABB
+    lo_g = np.asarray(grids.bounds_lo, np.float64)
+    hi_g = np.asarray(grids.bounds_hi, np.float64)
+    lo_w = np.asarray([lo_g[inv[a]] for a in range(3)])
+    hi_w = np.asarray([hi_g[inv[a]] for a in range(3)])
+    corners = np.asarray(
+        [[lo_w[0] if i & 1 == 0 else hi_w[0],
+          lo_w[1] if i & 2 == 0 else hi_w[1],
+          lo_w[2] if i & 4 == 0 else hi_w[2]] for i in range(8)]
+    )
+    cam_corners = corners @ r  # r^T applied to rows
+    c_lo = cam_corners.min(axis=0)
+    c_hi = cam_corners.max(axis=0)
+
+    new_vals, new_masks, new_origins = [], [], []
+    for li, L in enumerate(grids.levels):
+        cw = float(1 << L)
+        org_new = np.floor(c_lo / cw).astype(np.int64)  # (x,y,z) cam frame
+        dims_new = np.ceil(c_hi / cw).astype(np.int64) - org_new + 1
+        nz, ny, nx = int(dims_new[2]), int(dims_new[1]), int(dims_new[0])
+
+        # old grid (z', y', x') with world axes perm; build the affine in
+        # index space: in_idx[g] = (R @ cam_pos)/cw - org_old - 0.5
+        org_old = np.asarray(grids.origins[li], np.float64)  # grid order
+
+        # matrix M: in_index = M @ out_index + off, both in (z,y,x) order
+        # cam voxel pos = (out_idx_xyz + org_new + .5) * cw
+        # world pos = r @ cam_pos ; in_idx_world_axis a =
+        #   world_pos[a]/cw - org_old[inv[a]] - .5 at grid slot inv[a]
+        m = np.zeros((3, 3))
+        off = np.zeros(3)
+        for a in range(3):  # world axis
+            gi = inv[a]  # slot in the old grid's (z,y,x)
+            for b in range(3):  # cam axis
+                # out grid order (z,y,x) = cam axes (2,1,0)
+                gj = 2 - b
+                m[gi, gj] = r[a, b]
+            off[gi] = (
+                r[a] @ ((org_new + 0.5) * cw) / cw
+                - org_old[gi] - 0.5
+            )
+        for arrs, out_list in ((grids.masks[li], new_masks),
+                               (grids.vals[li], new_vals)):
+            arr = np.asarray(arrs)
+            if arr.ndim == 3:
+                res = ndimage.affine_transform(
+                    arr, m, offset=off, output_shape=(nz, ny, nx),
+                    order=1, mode="constant", cval=0.0,
+                )
+                out_list.append(res.astype(np.float32))
+            else:
+                res = np.stack([
+                    ndimage.affine_transform(
+                        arr[c], m, offset=off, output_shape=(nz, ny, nx),
+                        order=1, mode="constant", cval=0.0,
+                    )
+                    for c in range(arr.shape[0])
+                ])
+                out_list.append(res.astype(np.float32))
+        new_origins.append(
+            np.asarray([org_new[2], org_new[1], org_new[0]], np.float32)
+        )
+
+    lo_p = np.asarray([c_lo[2], c_lo[1], c_lo[0]], np.float32)
+    hi_p = np.asarray([c_hi[2], c_hi[1], c_hi[0]], np.float32)
+    zr = _compute_zranges(
+        list(grids.levels), new_vals, new_masks, new_origins, lo_p, hi_p
+    )
+
+    import jax.numpy as _jnp
+
+    grids_rot = LevelGrids(
+        vals=tuple(_jnp.asarray(v) for v in new_vals),
+        masks=tuple(_jnp.asarray(mk) for mk in new_masks),
+        origins=tuple(_jnp.asarray(o) for o in new_origins),
+        zranges=_jnp.asarray(zr),
+        bounds_lo=_jnp.asarray(lo_p),
+        bounds_hi=_jnp.asarray(hi_p),
+        levels=grids.levels,
+        num_channels=grids.num_channels,
+        axis=2,  # the camera frame's z is the sweep axis
+    )
+
+    cam_rot = Camera(
+        pos=(np.asarray(camera.pos, np.float64) @ r).astype(np.float32),
+        dir00=(np.asarray(camera.dir00, np.float64) @ r).astype(np.float32),
+        dir_du=(du @ r).astype(np.float32),
+        dir_dv=(dv @ r).astype(np.float32),
+    )
+    return grids_rot, cam_rot
 
 
 def camera_to_voxel(camera, voxel_from_world) -> "Camera":

@@ -318,3 +318,37 @@ def test_camera_inside_volume(amr_fixture):
     rmse = np.sqrt(((rgba_s - rgba_w) ** 2).mean())
     assert rmse < 0.03, rmse
     assert rgba_w[:, 3].max() > 0.1
+
+
+def test_reoriented_fast_path_tilted_camera(amr_fixture):
+    """Arbitrary camera orientation through grid reorientation: the
+    preview must approximate the exact wavefront render."""
+    from owlexabrick_tpu.render.renderer import Renderer
+
+    from owlexabrick_tpu.pipeline import scene_from_cells
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX2)
+    scene, *_ = scene_from_cells(lower, level, [scal])
+    size = 16
+    cam = Camera.look_at([14.0, 11.0, 17.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         35.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
+
+    r1 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=fs)
+    exact = r1.render()
+    r2 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
+                  frame_state=fs)
+    assert r2.enable_fast_path()  # reorientation path
+    fast = r2.render()
+    a = exact.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
+    b = fast.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
+    rmse = np.sqrt((((a - b) / 255.0) ** 2).mean())
+    # approximate preview: resampling at cell granularity blurs the very
+    # coarse 8^3 fixture noticeably; silhouettes must agree
+    assert rmse < 0.15, rmse
+    sil_a = a.max(-1) > 10
+    sil_b = b.max(-1) > 10
+    assert (sil_a == sil_b).mean() > 0.9
+    assert a.max() > 30 and b.max() > 30

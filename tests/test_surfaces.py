@@ -177,9 +177,11 @@ def test_renderer_fast_path_matches_exact(amr_fixture):
     rmse = np.sqrt(((a - b) / 255.0) ** 2).mean()
     assert rmse < 0.03, rmse
 
-    # tilted camera: fast path must refuse
+    # tilted camera: fast path engages via grid reorientation
     cam3 = Camera.look_at([12.0, 10.0, 14.0], [4.0, 4.0, 4.0], [0, 1, 0],
                           50.0, size, size)
     r3 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
                   frame_state=make_frame_state(cam3, 1, [[0.0, 7.0]]))
-    assert not r3.enable_fast_path()
+    assert r3.enable_fast_path()
+    img3 = r3.render()
+    assert (img3.view(np.uint8).reshape(size, size, 4)[..., :3] > 10).any()
