@@ -764,12 +764,17 @@ def reorient_grids(grids: LevelGrids, camera):
     c_lo = cam_corners.min(axis=0)
     c_hi = cam_corners.max(axis=0)
 
+    # fixed output dims (the rotation-max cube) so every orientation
+    # compiles to the same shapes — orbiting never recompiles
+    diag = float(np.linalg.norm(hi_w - lo_w))
+
     new_vals, new_masks, new_origins = [], [], []
     for li, L in enumerate(grids.levels):
         cw = float(1 << L)
-        org_new = np.floor(c_lo / cw).astype(np.int64)  # (x,y,z) cam frame
-        dims_new = np.ceil(c_hi / cw).astype(np.int64) - org_new + 1
-        nz, ny, nx = int(dims_new[2]), int(dims_new[1]), int(dims_new[0])
+        nfix = int(np.ceil(diag / cw)) + 2
+        center = 0.5 * (c_lo + c_hi)
+        org_new = np.floor(center / cw - nfix / 2).astype(np.int64)
+        nz, ny, nx = nfix, nfix, nfix
 
         # old grid (z', y', x') with world axes perm; build the affine in
         # index space: in_idx[g] = (R @ cam_pos)/cw - org_old - 0.5
@@ -813,8 +818,14 @@ def reorient_grids(grids: LevelGrids, camera):
             np.asarray([org_new[2], org_new[1], org_new[0]], np.float32)
         )
 
-    lo_p = np.asarray([c_lo[2], c_lo[1], c_lo[0]], np.float32)
-    hi_p = np.asarray([c_hi[2], c_hi[1], c_hi[0]], np.float32)
+    # fixed sweep bounds (the rotation-max cube of the finest lattice)
+    cw0 = float(1 << grids.levels[0])
+    n0 = int(np.ceil(diag / cw0)) + 2
+    center = 0.5 * (c_lo + c_hi)
+    lo_xyz = (np.floor(center / cw0 - n0 / 2)) * cw0
+    hi_xyz = lo_xyz + n0 * cw0
+    lo_p = np.asarray([lo_xyz[2], lo_xyz[1], lo_xyz[0]], np.float32)
+    hi_p = np.asarray([hi_xyz[2], hi_xyz[1], hi_xyz[0]], np.float32)
     zr = _compute_zranges(
         list(grids.levels), new_vals, new_masks, new_origins, lo_p, hi_p
     )

@@ -323,11 +323,21 @@ def main(argv: Optional[List[str]] = None) -> int:
             size[0] * np.asarray(vcam.dir_du) + size[1] * np.asarray(vcam.dir_dv)
         )
         axis = principal_axis(view)
-        if not check_separable(vcam, axis):
-            print("#viewer: camera not separable; falling back to exact path")
+        reorient = not check_separable(vcam, axis)
+        if reorient and n_channels != 1:
+            print("#viewer: tilted multi-channel camera; exact path")
             fast = False
-        else:
-            grids = build_level_grids(cfg.bricks, scene.scalars, axis=axis)
+        if fast:
+            if reorient:
+                # tilted view: resample the grids into the camera frame
+                # (fixed rotation-max cube -> orbiting never recompiles)
+                from ..render.slabs import reorient_grids
+
+                grids = build_level_grids(cfg.bricks, scene.scalars, axis=2)
+                grids, vcam = reorient_grids(grids, vcam)
+                print("#viewer: fast path via grid reorientation (preview)")
+            else:
+                grids = build_level_grids(cfg.bricks, scene.scalars, axis=axis)
             extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
             finest = float(min(1 << l for l in grids.levels))
             scfg = SlabConfig(
