@@ -207,8 +207,19 @@ class Renderer:
             + self.height * np.asarray(cam.dir_dv)
         )
         axis = principal_axis(view)
+        # level grids depend only on the sweep axis, not the camera —
+        # cache per axis so orbiting never re-scatters the bricks
+        cache = getattr(self, "_grids_cache", None)
+        if cache is None:
+            cache = self._grids_cache = {}
+
+        def _grids(ax):
+            if ax not in cache:
+                cache[ax] = grids_from_scene(self.scene, axis=ax)
+            return cache[ax]
+
         if check_separable(cam, axis):
-            grids = grids_from_scene(self.scene, axis=axis)
+            grids = _grids(axis)
             cam_r = None  # the plain voxel-space camera sweeps directly
         else:
             # arbitrary orientation: resample the grids into the camera
@@ -216,8 +227,7 @@ class Renderer:
             # wavefront path remains ground truth)
             from .slabs import reorient_grids
 
-            grids = grids_from_scene(self.scene, axis=2)
-            grids, cam_r = reorient_grids(grids, cam)
+            grids, cam_r = reorient_grids(_grids(2), cam)
         extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
         finest = float(min(1 << l for l in grids.levels))
         nslabs = int(np.ceil(extent / (float(self.fs.dt) * finest)))
