@@ -146,6 +146,47 @@ def sample_point_with_derivative(scene, region_id: int, pos: np.ndarray,
     return True, swv / sw, grad
 
 
+def locate_region_point(scene, pos: np.ndarray) -> int:
+    """Region containing a point; boundary points belong to the upper
+    region (the BSP's `p >= split -> right` rule)."""
+    for i in range(scene.region_lo.shape[0]):
+        if np.all(pos >= scene.region_lo[i]) and np.all(
+            pos < scene.region_hi[i]
+        ):
+            return i
+    return -1
+
+
+def gradient_cd(scene, pos: np.ndarray, channel: int, delta: float,
+                basis_method: bool = True, active_check=None,
+                fixed_region: int = -1):
+    """Central differences (gradientCD, exabrick.cu:832-880): per-offset
+    relocation by default; ``fixed_region`` >= 0 keeps samples in the
+    caller's region (FAST_CENTRAL_DIFFERENCES=ON, exabrick.cu:850-852).
+    Offsets that land outside the domain or in a BVH-culled region sample
+    0; returns s[1]-s[0], i.e. f(pos-δe_i) - f(pos+δe_i) per axis."""
+    g = np.zeros(3)
+    for i in range(3):
+        s = [0.0, 0.0]
+        for j, sgn in enumerate((1.0, -1.0)):
+            q = np.asarray(pos, np.float64).copy()
+            q[i] += sgn * delta
+            if fixed_region >= 0:
+                rid = fixed_region
+            else:
+                rid = locate_region_point(scene, q)
+                if rid >= 0 and active_check is not None \
+                        and not active_check(rid):
+                    rid = -1
+            if rid >= 0:
+                fn = sample_point if basis_method else sample_point_nearest
+                ok, v = fn(scene, rid, q, channel)
+                if ok:
+                    s[j] = v
+        g[i] = s[1] - s[0]
+    return g
+
+
 def box_test(o, d, lo, hi, tmin, tmax):
     with np.errstate(divide="ignore", invalid="ignore"):
         t_lo = (lo - o) / d
@@ -183,7 +224,8 @@ def region_active(scene, fs, region_id: int, num_channels: int) -> bool:
 def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
                     o, d, region_id: int, t0: float, t1: float,
                     num_channels: int, gradient_shading: bool,
-                    basis_method: bool = True):
+                    basis_method: bool = True,
+                    analytic_gradients: bool = True):
     """Front-to-back march of one region interval (exabrick.cu:1116-1185,
     PROPER_DISTANCE_IN_OPACITY_CORRECTION path)."""
     global_dt = float(fs.dt)
@@ -206,9 +248,21 @@ def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
 
         pos = o + t_sample * d
         for c in range(num_channels):
+            act = lambda r: region_active(scene, fs, r, num_channels)
             if not basis_method:
                 ok, value = sample_point_nearest(scene, region_id, pos, c)
-                grad = np.zeros(3)
+                if gradient_shading:
+                    # delta = (brick.level+1)/2 (exabrick.cu:938)
+                    lvl = math.log2(finest_cw)
+                    grad = gradient_cd(scene, pos, c, (lvl + 1.0) * 0.5,
+                                       False, act)
+                else:
+                    grad = np.zeros(3)
+            elif gradient_shading and not analytic_gradients:
+                ok, value = sample_point(scene, region_id, pos, c)
+                # delta = (finestLevelCellWidth+1)/2 (exabrick.cu:924)
+                grad = gradient_cd(scene, pos, c, (finest_cw + 1.0) * 0.5,
+                                   True, act)
             elif gradient_shading:
                 ok, value, grad = sample_point_with_derivative(
                     scene, region_id, pos, c
@@ -263,7 +317,8 @@ def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
                   offset: float = 0.0, t_world_max: float = 2e10,
                   space_skipping: bool = True,
                   gradient_shading: bool = False,
-                  basis_method: bool = True) -> np.ndarray:
+                  basis_method: bool = True,
+                  analytic_gradients: bool = True) -> np.ndarray:
     """Full DVR path of one ray (raygen main loop, exabrick.cu:1662-1699).
     Returns accumulated RGBA (premultiplied by nothing; .w is opacity)."""
     m = np.asarray(scene.voxel_from_world, np.float64)
@@ -284,6 +339,7 @@ def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
         integrate_brick(
             scene, fs, pixel_color, offset, o, d, rid, t0, t1,
             num_channels, gradient_shading, basis_method,
+            analytic_gradients,
         )
         if pixel_color[3] >= TERMINATION_THRESHOLD:
             pixel_color = np.array(
@@ -307,7 +363,8 @@ def _iso_region_active(scene, fs, region_id: int) -> bool:
 
 def trace_iso_ray(scene, fs, o_world, d_world, num_channels: int = 1,
                   gradient_shading_iso: bool = True,
-                  colormap_channel: int = 0):
+                  colormap_channel: int = 0,
+                  analytic_gradients: bool = True):
     """Scalar iso-surface march (traceIsoRay + the integration functor,
     exabrick.cu:1408-1460, 1018-1114).  Returns (t_hit_world, normal,
     color) or (inf, 0, 0) on miss.  Reference quirk preserved: within the
@@ -386,11 +443,28 @@ def trace_iso_ray(scene, fs, o_world, d_world, num_channels: int = 1,
                             g = np.zeros(3)
                             rgb = np.array([1.0, 0.0, 0.0])
                             if gradient_shading_iso:
-                                rok, rval, grad = (
-                                    sample_point_with_derivative(
+                                if analytic_gradients:
+                                    rok, rval, grad = (
+                                        sample_point_with_derivative(
+                                            scene, rid, isopt, c
+                                        )
+                                    )
+                                else:
+                                    # gradientCD<true>: relocation through
+                                    # the iso-culled BVH (exabrick.cu:860)
+                                    rok, rval = sample_point(
                                         scene, rid, isopt, c
                                     )
-                                )
+                                    fcw = float(
+                                        scene.region_finest_cw[rid]
+                                    )
+                                    grad = gradient_cd(
+                                        scene, isopt, c, (fcw + 1.0) * 0.5,
+                                        True,
+                                        lambda r: _iso_region_active(
+                                            scene, fs, r
+                                        ),
+                                    )
                                 if rok:
                                     rgb = lookup_xf_scalar(
                                         np.asarray(fs.xf_lut[c]),

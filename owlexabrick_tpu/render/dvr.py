@@ -62,6 +62,15 @@ class RenderConfig:
     # nearest-cell sampling over per-brick leaves (build the scene with
     # basis_method=False)
     basis_method: bool = True
+    # ANALYTIC_GRADIENTS parity (CMakeLists.txt:65-67, default ON): when
+    # False, shading gradients use central differences (gradientCD,
+    # exabrick.cu:832-880) with per-offset leaf relocation.  Non-basis
+    # sampling always uses central differences (exabrick.cu:930-940).
+    analytic_gradients: bool = True
+    # FAST_CENTRAL_DIFFERENCES parity (CMakeLists.txt:80-82, default OFF):
+    # in CD mode, keep offset samples in the current region instead of
+    # relocating (exabrick.cu:850-852)
+    fast_central_differences: bool = False
 
 
 # ----------------------------------------------------------------------------
@@ -171,6 +180,43 @@ def sample_nearest(scene, rid, pos, channel: int):
     return jnp.ones_like(value, bool), value
 
 
+def gradient_cd(scene, pos, channel: int, delta, basis_method: bool = True,
+                act_mask=None, fixed_rid=None):
+    """Central-difference gradient (gradientCD, exabrick.cu:832-880).
+
+    Default: per-offset leaf relocation (FAST_CENTRAL_DIFFERENCES=OFF).
+    Offsets falling outside the domain — or, when ``act_mask`` is given,
+    in a culled region (the reference's TF-culled BVH returns leafID=-1
+    there) — contribute 0.  With ``fixed_rid`` (P,), samples stay in the
+    caller's region (FAST_CENTRAL_DIFFERENCES=ON, exabrick.cu:850-852).
+    Returns f(pos-δe_i) - f(pos+δe_i) per axis, the reference's sign
+    convention (s[1]-s[0])."""
+    p = pos.shape[0]
+    delta = jnp.broadcast_to(delta, (p,))
+    # all 6 offset points in one (6P,3) batch: one BSP descent + one
+    # basis gather instead of six
+    eye = jnp.eye(3, dtype=pos.dtype)
+    offs = jnp.concatenate([eye, -eye], axis=0)  # (6,3): +x+y+z then -x-y-z
+    q = pos[None, :, :] + offs[:, None, :] * delta[None, :, None]  # (6,P,3)
+    qf = q.reshape(6 * p, 3)
+    if fixed_rid is not None:
+        rc = jnp.tile(fixed_rid, 6)
+        inside = jnp.ones(6 * p, bool)
+    else:
+        node = locate_leaf(scene, qf)
+        rid = scene.tree_leaf[node]
+        inside = rid >= 0
+        rc = jnp.clip(rid, 0, None)
+        if act_mask is not None:
+            inside = inside & act_mask[rc]
+    if basis_method:
+        ok, v = sample_basis(scene, rc, qf, channel)
+    else:
+        ok, v = sample_nearest(scene, rc, qf, channel)
+    v = jnp.where(inside & ok, v, 0.0).reshape(6, p)
+    return (v[3:] - v[:3]).T  # (P,3): f(pos-δ) - f(pos+δ)
+
+
 # ----------------------------------------------------------------------------
 # per-frame region activity (TF-aware space skipping)
 # ----------------------------------------------------------------------------
@@ -191,7 +237,8 @@ def region_active_mask(scene, fs, num_channels: int):
 # the integrator
 # ----------------------------------------------------------------------------
 
-def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba):
+def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba,
+                  act_mask=None):
     """March sample intervals within one region per ray
     (integrateBrick, exabrick.cu:1116-1185; PROPER_DISTANCE path)."""
     finest_cw = scene.region_finest_cw[jnp.clip(rid, 0, None)]
@@ -222,7 +269,21 @@ def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba):
         for c in range(cfg.num_channels):
             if not cfg.basis_method:
                 ok, value = sample_nearest(scene, rid, pos, c)
-                grad = None
+                if cfg.gradient_shading_dvr:
+                    # non-basis mode always shades via central differences
+                    # with delta=(level+1)/2 (exabrick.cu:930-940)
+                    lvl = jnp.log2(finest_cw)
+                    frid = rid if cfg.fast_central_differences else None
+                    grad = gradient_cd(scene, pos, c, (lvl + 1.0) * 0.5,
+                                       False, act_mask, frid)
+                else:
+                    grad = None
+            elif cfg.gradient_shading_dvr and not cfg.analytic_gradients:
+                ok, value = sample_basis(scene, rid, pos, c)
+                # delta=(finestLevelCellWidth+1)/2 (exabrick.cu:924)
+                frid = rid if cfg.fast_central_differences else None
+                grad = gradient_cd(scene, pos, c, (finest_cw + 1.0) * 0.5,
+                                   True, act_mask, frid)
             elif cfg.gradient_shading_dvr:
                 ok, value, grad = sample_basis(scene, rid, pos, c, True)
             else:
@@ -322,7 +383,7 @@ def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
         active = alive & hit & (rid >= 0) & act_mask[jnp.clip(rid, 0, None)]
         rgba = _march_region(
             scene, fs, cfg, o, d, jnp.clip(rid, 0, None), active,
-            t0, t1, offset, rgba,
+            t0, t1, offset, rgba, act_mask,
         )
 
         saturated = rgba[:, 3] >= TERMINATION_THRESHOLD

@@ -37,14 +37,14 @@ def iso_region_mask(scene, fs):
 
 def _detect_crossings(scene, fs, cfg, rid, pos, t_sample, marching,
                       last_val, last_t, found_color, t_hit, color, normal,
-                      d):
+                      d, act_mask=None):
     """One sample step of every channel's integration functor."""
-    from .dvr import sample_basis
+    from .dvr import gradient_cd, sample_basis
 
     new_last_val = last_val
     new_last_t = last_t
     for c in range(cfg.num_channels):
-        if cfg.gradient_shading_iso:
+        if cfg.gradient_shading_iso and cfg.analytic_gradients:
             ok, value, _ = sample_basis(scene, rid, pos, c, True)
         else:
             ok, value = sample_basis(scene, rid, pos, c)
@@ -73,7 +73,16 @@ def _detect_crossings(scene, fs, cfg, rid, pos, t_sample, marching,
 
             # re-sample at the crossing point (exabrick.cu:1058-1098)
             if cfg.gradient_shading_iso:
-                rok, rval, grad = sample_basis(scene, rid, isopt, c, True)
+                if cfg.analytic_gradients:
+                    rok, rval, grad = sample_basis(scene, rid, isopt, c, True)
+                else:
+                    # gradientCD<ISO=true>: CD with per-offset relocation
+                    # through the iso-culled BVH (exabrick.cu:860-866, 924)
+                    rok, rval = sample_basis(scene, rid, isopt, c)
+                    fcw = scene.region_finest_cw[rid]
+                    frid = rid if cfg.fast_central_differences else None
+                    grad = gradient_cd(scene, isopt, c, (fcw + 1.0) * 0.5,
+                                       True, act_mask, frid)
                 gl = jnp.linalg.norm(grad, axis=-1, keepdims=True)
                 g = grad / jnp.maximum(gl, 1e-20)
                 # face forward
@@ -200,7 +209,7 @@ def trace_iso_rays(scene, fs, cfg, o_world, d_world, tmin_world, tmax_world):
             pos = o + t_sample[:, None] * d
             last_val, last_t, found, t_hit, color, normal = _detect_crossings(
                 scene, fs, cfg, rids, pos, t_sample, marching,
-                last_val, last_t, found, t_hit, color, normal, d,
+                last_val, last_t, found, t_hit, color, normal, d, act,
             )
             stop = t_next >= t1
             return (

@@ -90,6 +90,73 @@ def test_dvr_gradient_shading_runs(amr_fixture):
         np.testing.assert_allclose(rgba[i], want, rtol=1e-2, atol=1e-2)
 
 
+def test_central_differences_matches_oracle(amr_fixture):
+    """ANALYTIC_GRADIENTS=OFF parity: shading gradients via central
+    differences with per-offset leaf relocation (gradientCD,
+    exabrick.cu:832-880)."""
+    scene, fs, o, d = _setup(amr_fixture, EX2, 7.0, size=6)
+    dscene = to_device(scene)
+    offset = jnp.zeros(o.shape[0])
+    cfg = RenderConfig(num_channels=1, gradient_shading_dvr=True,
+                       analytic_gradients=False)
+    rgba = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), offset
+        )
+    )
+    assert np.isfinite(rgba).all()
+    n_diff = 0
+    cfg_a = RenderConfig(num_channels=1, gradient_shading_dvr=True)
+    rgba_a = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, fs, cfg_a, jnp.asarray(o), jnp.asarray(d), offset
+        )
+    )
+    for i in range(o.shape[0]):
+        want = oracle.trace_dvr_ray(
+            scene, fs, o[i], d[i], num_channels=1, gradient_shading=True,
+            analytic_gradients=False,
+        )
+        np.testing.assert_allclose(rgba[i], want, rtol=1e-2, atol=1e-2)
+        if not np.allclose(rgba[i], rgba_a[i], atol=1e-3):
+            n_diff += 1
+    # CD and analytic gradients shade differently on a non-trivial scene
+    assert n_diff > 0
+
+
+def test_gradient_cd_point_values(amr_fixture):
+    """gradient_cd (batched, relocating) == oracle at probe points, and
+    approximates the true directional derivative of the reconstruction."""
+    from owlexabrick_tpu.render.dvr import gradient_cd
+
+    lower, level, scal = amr_fixture(EX3)
+    scene, *_ = scene_from_cells(lower, level, [scal])
+    dscene = to_device(scene)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0.6, 3.4, (24, 3)).astype(np.float32)
+    delta = 0.75
+    g = np.asarray(gradient_cd(dscene, jnp.asarray(pts), 0, delta))
+    for i, p in enumerate(pts):
+        want = oracle.gradient_cd(scene, p, 0, delta)
+        np.testing.assert_allclose(g[i], want, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"point {p}")
+
+    # FAST_CENTRAL_DIFFERENCES=ON: samples stay in the caller's region
+    from owlexabrick_tpu.render.dvr import locate_leaf
+
+    node = locate_leaf(dscene, jnp.asarray(pts))
+    rids = jnp.clip(dscene.tree_leaf[node], 0, None)
+    gf = np.asarray(
+        gradient_cd(dscene, jnp.asarray(pts), 0, delta, fixed_rid=rids)
+    )
+    assert np.isfinite(gf).all()
+    for i, p in enumerate(pts):
+        want = oracle.gradient_cd(
+            scene, p, 0, delta, fixed_region=int(rids[i])
+        )
+        np.testing.assert_allclose(gf[i], want, rtol=1e-4, atol=1e-5)
+
+
 def test_interleaved_offset_matches(amr_fixture):
     scene, fs, o, d = _setup(amr_fixture, EX2, 7.0, size=6)
     dscene = to_device(scene)

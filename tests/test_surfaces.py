@@ -83,6 +83,44 @@ def test_iso_matches_oracle(amr_fixture):
     assert n_hits > 5  # the iso surface must actually be visible
 
 
+def test_iso_central_differences_matches_oracle(amr_fixture):
+    """Iso shading with ANALYTIC_GRADIENTS=OFF: CD normals with relocation
+    through the iso-culled structure (gradientCD<true>)."""
+    scene = _scene(amr_fixture, EX2)
+    dscene = to_device(scene)
+    size = 6
+    cam = Camera.look_at([12.0, 10.0, 14.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         50.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5)
+    fs = dataclasses.replace(
+        fs,
+        iso_enabled=np.array([True, False]),
+        iso_value=np.array([3.5, 0.0], np.float32),
+        iso_channel=np.zeros(2, np.int32),
+    )
+    cfg = RenderConfig(num_channels=1, iso_surfaces=True,
+                       analytic_gradients=False)
+    o, d = cam.rays(size, size)
+    t, n, c = jax.jit(trace_iso_rays, static_argnames="cfg")(
+        dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d),
+        jnp.zeros(o.shape[0]), jnp.full(o.shape[0], 2e10),
+    )
+    t, n, c = np.asarray(t), np.asarray(n), np.asarray(c)
+    n_hits = 0
+    for i in range(o.shape[0]):
+        to, no, co = oracle.trace_iso_ray(
+            scene, fs, o[i], d[i], analytic_gradients=False
+        )
+        if np.isfinite(to):
+            n_hits += 1
+            np.testing.assert_allclose(t[i], to, rtol=1e-3, atol=1e-3)
+            np.testing.assert_allclose(n[i], no, rtol=1e-2, atol=1e-2)
+            np.testing.assert_allclose(c[i], co, rtol=1e-2, atol=1e-2)
+        else:
+            assert not np.isfinite(t[i])
+    assert n_hits > 3
+
+
 def test_contour_plane(amr_fixture):
     scene = _scene(amr_fixture, EX2)
     dscene = to_device(scene)
