@@ -117,8 +117,17 @@ def build_level_grids(
     origins: List[np.ndarray] = []
     for L in levels:
         cw = 1 << L
-        org = np.floor(v_lo / cw).astype(np.int64)  # (x,y,z) order
-        dims = np.ceil(v_hi / cw).astype(np.int64) - org
+        # crop each level's grid to its own bricks' bounding box: tent
+        # weights are zero outside the level's lattice, so this is exact —
+        # and on real AMR data (fine levels hugging geometry) it shrinks
+        # memory and the per-slab matmul sizes dramatically
+        sel_l = bricks.level == L
+        l_lo = lo3[sel_l].min(axis=0)
+        l_hi = hi3[sel_l].max(axis=0)
+        org = np.floor(l_lo / cw).astype(np.int64)  # (x,y,z) order
+        dims = np.maximum(
+            np.ceil(l_hi / cw).astype(np.int64) - org, 1
+        )
         nz, ny, nx = int(dims[perm[0]]), int(dims[perm[1]]), int(dims[perm[2]])
         v = np.zeros((c, nz, ny, nx), np.float32)
         m = np.zeros((nz, ny, nx), np.float32)
