@@ -64,10 +64,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     frames = 8
     out = "exa_render.png"
     fast = False
+    display_string = ""
     multi_field = False
     bench = 0
     dump_xf = None
     colorbar = False
+    colorbar_channel = 0
     heatmap_scale = 0.0
     tracer_steps = 0
     tracer_channels = (0, 0, 0)
@@ -145,9 +147,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 2
         elif a == "--colorbar-channel":
             colorbar = True
-            i += 2
-        elif a in ("--display-string",):
-            # GL-overlay option; accepted for compatibility
+            colorbar_channel = int(argv[i + 1])
             i += 2
         elif a == "--bench":
             bench = int(argv[i + 1])
@@ -188,6 +188,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a == "--fast":
             fast = True
             i += 1
+        elif a == "--display-string":
+            display_string = argv[i + 1]
+            i += 2
         else:
             raise SystemExit(f"unrecognized parameter '{a}'")
 
@@ -357,6 +360,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             arr = np.asarray(rgba).reshape(size[1], size[0], 4)
             srgb = np.asarray(linear_to_srgb(jnp.asarray(arr[..., :3])))
             img = np.clip(srgb * 255, 0, 255).astype(np.uint8)[::-1]
+            if display_string:
+                from ..utils.text import draw_text
+
+                img = np.ascontiguousarray(img)
+                draw_text(img, display_string, 8, size[1] - 16)
             write_png(out, img)
             print(f"#viewer: wrote {out}")
             return 0
@@ -410,12 +418,25 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if colorbar:
         # color bar legend strip on the right (draw(), viewer.cpp:341-440)
-        lut = np.asarray(r.fs.xf_lut)[0]
+        lut = np.asarray(r.fs.xf_lut)[colorbar_channel]
         strip_w = max(8, size[0] // 48)
         rows = np.linspace(0, lut.shape[0] - 1, size[1]).astype(int)[::-1]
         colors = np.clip(lut[rows][:, :3] * 255, 0, 255).astype(np.uint8)
         rgba8[:, -strip_w:, :3] = colors[:, None, :]
         rgba8[:, -strip_w:, 3] = 255
+        # domain legend values next to the strip (viewer.cpp:399-430)
+        from ..utils.text import draw_text, text_size
+
+        dom = np.asarray(r.fs.xf_domain)[colorbar_channel]
+        for val, yy in ((dom[1], 4), (dom[0], size[1] - 16)):
+            s = f"{float(val):g}"
+            tw, _ = text_size(s)
+            draw_text(rgba8, s, size[0] - strip_w - tw - 4, yy)
+
+    if display_string:
+        from ..utils.text import draw_text
+
+        draw_text(rgba8, display_string, 8, size[1] - 16)
 
     write_png(out, rgba8)
     print(f"#viewer: wrote {out}")
