@@ -63,7 +63,9 @@ def main():
     fs = make_frame_state(
         cam, 1, [[0.0, float(scal.max())]], dt=1.0, opacity_scale=0.7
     )
-    fs = jax.tree.map(jnp.asarray, fs)
+    # keep fs host-resident: render_slabs_camera compresses the transfer
+    # function to its PWL breakpoints on the host (exact, ~10x fewer
+    # classification knots); jit transfers the small arrays per call
     # slab spacing = dt * finest cell width, like integrateBrick's
     # dt = global_dt * finestLevelCellWidth (exabrick.cu:1129)
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])

@@ -30,16 +30,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int):
+def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
+                 n_texels: int = 0):
+    compressed = n_texels > 0
+
     def kernel(params_ref, lut_ref, d_ref, live_ref, orgy_ref, cw_ref,
                *refs):
         # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec, r, g, b, t]
+        # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
+        # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba]
         mv_refs = refs[:n_channels]
         mm_ref = refs[n_channels]
         ypos_ref = refs[n_channels + 1]
         sec_ref = refs[n_channels + 2]
         r_ref, g_ref, b_ref, t_ref = refs[n_channels + 3:]
-        n = lut_ref.shape[1]
+        n = n_texels if compressed else lut_ref.shape[1]
         dz = params_ref[0]
         n_rows = params_ref[1].astype(jnp.int32)
         n_cols = params_ref[2].astype(jnp.int32)
@@ -93,40 +98,77 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int):
                     swv = jnp.dot(wy.astype(mm_ref.dtype), mv_refs[ch][s],
                                   preferred_element_type=jnp.float32)
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
-                    lo = lut_ref[ch, 0, 4]  # domain packed in cols 4:6
-                    hi = lut_ref[ch, 0, 5]
+                    if compressed:
+                        lo = lut_ref[ch, 0]
+                        hi = lut_ref[ch, 1]
+                    else:
+                        lo = lut_ref[ch, 0, 4]  # domain packed in cols 4:6
+                        hi = lut_ref[ch, 0, 5]
 
                     sc = (n - 1) * (value - lo) / ((hi - lo) + 1e-20)
                     sc = jnp.clip(sc + 0.5, 0.0, n - 1.0) / (n - 1.0)
                     u = jnp.clip(sc * n - 0.5, 0.0, n - 1.0)
                     u = jnp.where(ok, u, 0.0)
 
-                    k_lo = jnp.clip(
-                        jnp.floor(
-                            jnp.min(jnp.where(ok, u, n - 1.0))
-                        ).astype(jnp.int32), 0, n - 2,
-                    )
-                    k_hi = jnp.clip(
-                        jnp.floor(jnp.max(u)).astype(jnp.int32), 0, n - 2,
-                    )
+                    if compressed:
+                        # f(u) = base + sum_j sd_j * relu(u - p_j) over the
+                        # LUT's true breakpoints (positions sorted; padding
+                        # sits at n so it never fires).  Knots at or past
+                        # the tile's max coordinate contribute nothing.
+                        u_max = jnp.max(u)
+                        m_all = d_ref.shape[1]
 
-                    def knot(kk, accs):
-                        r, g, b, a = accs
-                        ramp = jnp.clip(u - kk.astype(u.dtype), 0.0, 1.0)
-                        return (
-                            r + ramp * d_ref[ch, kk + 1, 0],
-                            g + ramp * d_ref[ch, kk + 1, 1],
-                            b + ramp * d_ref[ch, kk + 1, 2],
-                            a + ramp * d_ref[ch, kk + 1, 3],
+                        def count(j, cnt):
+                            return cnt + (
+                                d_ref[ch, j, 0] < u_max
+                            ).astype(jnp.int32)
+
+                        m_hi = jax.lax.fori_loop(0, m_all, count, 0)
+
+                        def knot(j, accs):
+                            r, g, b, a = accs
+                            ramp = jnp.maximum(u - d_ref[ch, j, 0], 0.0)
+                            return (
+                                r + ramp * d_ref[ch, j, 1],
+                                g + ramp * d_ref[ch, j, 2],
+                                b + ramp * d_ref[ch, j, 3],
+                                a + ramp * d_ref[ch, j, 4],
+                            )
+
+                        base = [
+                            jnp.full_like(u, lut_ref[ch, 2 + c])
+                            for c in range(4)
+                        ]
+                        r, g, b, a = jax.lax.fori_loop(
+                            0, m_hi, knot, tuple(base)
+                        )
+                    else:
+                        k_lo = jnp.clip(
+                            jnp.floor(
+                                jnp.min(jnp.where(ok, u, n - 1.0))
+                            ).astype(jnp.int32), 0, n - 2,
+                        )
+                        k_hi = jnp.clip(
+                            jnp.floor(jnp.max(u)).astype(jnp.int32), 0, n - 2,
                         )
 
-                    base = [
-                        jnp.full_like(u, lut_ref[ch, k_lo, c])
-                        for c in range(4)
-                    ]
-                    r, g, b, a = jax.lax.fori_loop(
-                        k_lo, k_hi + 1, knot, tuple(base)
-                    )
+                        def knot(kk, accs):
+                            r, g, b, a = accs
+                            ramp = jnp.clip(u - kk.astype(u.dtype), 0.0, 1.0)
+                            return (
+                                r + ramp * d_ref[ch, kk + 1, 0],
+                                g + ramp * d_ref[ch, kk + 1, 1],
+                                b + ramp * d_ref[ch, kk + 1, 2],
+                                a + ramp * d_ref[ch, kk + 1, 3],
+                            )
+
+                        base = [
+                            jnp.full_like(u, lut_ref[ch, k_lo, c])
+                            for c in range(4)
+                        ]
+                        r, g, b, a = jax.lax.fori_loop(
+                            k_lo, k_hi + 1, knot, tuple(base)
+                        )
 
                     a = 1.0 - jnp.power(
                         jnp.maximum(1.0 - a, 0.0), dz * sec
@@ -166,7 +208,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int):
 def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
                 luts, domains, dz, height: int, width: int, *,
-                interpret: bool | None = None):
+                knots=None, interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
     mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
@@ -179,17 +221,34 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     n_channels = len(luts)
     s_ = y_pos.shape[0]
     n = luts[0].shape[0]
-    # pack per-channel lut + domain into one SMEM array: (C, N, 6) with
-    # cols 4:6 = domain at row 0
-    lut_pack = jnp.zeros((n_channels, n, 6), jnp.float32)
-    d_pack = jnp.zeros((n_channels, n, 4), jnp.float32)
-    for ch, (lut, dom) in enumerate(zip(luts, domains)):
-        lut_pack = lut_pack.at[ch, :, :4].set(lut)
-        lut_pack = lut_pack.at[ch, 0, 4].set(jnp.asarray(dom[0], jnp.float32))
-        lut_pack = lut_pack.at[ch, 0, 5].set(jnp.asarray(dom[1], jnp.float32))
-        d_pack = d_pack.at[ch].set(
-            jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
-        )
+    if knots is not None:
+        # compressed classification: (C, 6) [domain lo, hi, base rgba] +
+        # (C, M, 5) [breakpoint position, slope-delta rgba]
+        kpos, ksd, kbase = knots
+        lut_pack = jnp.concatenate(
+            [jnp.stack([jnp.asarray(d, jnp.float32) for d in domains]),
+             jnp.asarray(kbase, jnp.float32)], axis=1,
+        )  # (C, 6)
+        d_pack = jnp.concatenate(
+            [jnp.asarray(kpos, jnp.float32)[..., None],
+             jnp.asarray(ksd, jnp.float32)], axis=2,
+        )  # (C, M, 5)
+    else:
+        # pack per-channel lut + domain into one SMEM array: (C, N, 6) with
+        # cols 4:6 = domain at row 0
+        lut_pack = jnp.zeros((n_channels, n, 6), jnp.float32)
+        d_pack = jnp.zeros((n_channels, n, 4), jnp.float32)
+        for ch, (lut, dom) in enumerate(zip(luts, domains)):
+            lut_pack = lut_pack.at[ch, :, :4].set(lut)
+            lut_pack = lut_pack.at[ch, 0, 4].set(
+                jnp.asarray(dom[0], jnp.float32)
+            )
+            lut_pack = lut_pack.at[ch, 0, 5].set(
+                jnp.asarray(dom[1], jnp.float32)
+            )
+            d_pack = d_pack.at[ch].set(
+                jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
+            )
     params = jnp.stack(
         [jnp.asarray(dz, jnp.float32),
          jnp.asarray(height, jnp.float32),
@@ -218,7 +277,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     tile2 = pl.BlockSpec((tr, tc), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM)
     r, g, b, t = pl.pallas_call(
-        _make_kernel(n_levels, ny_list, n_channels),
+        _make_kernel(n_levels, ny_list, n_channels,
+                     n_texels=n if knots is not None else 0),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params

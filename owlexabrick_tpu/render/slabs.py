@@ -288,6 +288,70 @@ def _slab_field(grids: LevelGrids, zv, y_pos, x_pos, channel: int):
     return sw, swv
 
 
+def _pwl_breakpoints(lut: np.ndarray, err_tol: float):
+    """Sparsest breakpoint set whose reconstruction of ``lut`` stays
+    within err_tol at every texel; the LUT comes from float32 control
+    -point lerps, so most slope changes are rounding noise."""
+    n = lut.shape[0]
+    d = np.diff(lut, axis=0)  # (N-1, 4)
+    dd = np.abs(np.diff(d, axis=0)).max(axis=1)  # (N-2,)
+    scale = max(float(np.abs(d).max()), 1e-20)
+    u = np.arange(n, dtype=np.float64)
+    for tol in (3e-2, 1e-2, 3e-3, 1e-3, 1e-4, 1e-5, 0.0):
+        bp = np.concatenate(
+            [[0], 1 + np.nonzero(dd > tol * scale)[0]]
+        )
+        # least-squares-free reconstruction: slope after breakpoint k is
+        # the exact lut slope there, so error only accrues between kept
+        # breakpoints where small slope deltas were dropped
+        sd = np.empty((len(bp), 4), np.float64)
+        prev = np.zeros(4)
+        for j, k in enumerate(bp):
+            sd[j] = d[k] - prev
+            prev = d[k]
+        rec = lut[0][None] + (
+            np.maximum(u[:, None] - bp[None], 0.0)[:, :, None] * sd[None]
+        ).sum(1)
+        if np.abs(rec - lut).max() <= err_tol:
+            return bp.astype(np.float32), sd.astype(np.float32)
+    return None  # unreachable: tol 0 keeps every slope change
+
+
+def compress_pwl(luts_np, err_tol: float = 2e-4):
+    """Compress per-channel (N, 4) LUTs to their PWL breakpoints.
+
+    A 128-texel LUT resampled from a control-point colormap is piecewise
+    linear with only ~10-20 real slope changes; evaluating
+    ``f(u) = base + sum_j sd_j * relu(u - p_j)`` over the breakpoints
+    reproduces it within ``err_tol`` (default well below the 8-bit
+    display quantum) at ~10x fewer classification knots.
+
+    Returns (pos (C, M), sd (C, M, 4), base (C, 4)) padded to a multiple
+    of 8 knots (padding at position N, contributing 0), or None when a
+    channel has too many breakpoints for compression to pay off.
+    """
+    ps, sds = [], []
+    n = luts_np[0].shape[0]
+    for lut in luts_np:
+        r = _pwl_breakpoints(np.asarray(lut, np.float32), err_tol)
+        if r is None:
+            return None
+        ps.append(r[0])
+        sds.append(r[1])
+    m = max(len(p) for p in ps)
+    m_pad = -(-m // 8) * 8
+    if m_pad > 48:
+        return None  # dense range-limited loop is competitive
+    c = len(luts_np)
+    pos = np.full((c, m_pad), float(n), np.float32)
+    sd_a = np.zeros((c, m_pad, 4), np.float32)
+    for ci in range(c):
+        pos[ci, : len(ps[ci])] = ps[ci]
+        sd_a[ci, : len(ps[ci])] = sds[ci]
+    base = np.stack([np.asarray(l[0], np.float32) for l in luts_np])
+    return pos, sd_a, base
+
+
 @dataclass(frozen=True)
 class SlabConfig:
     num_channels: int = 1
@@ -308,7 +372,7 @@ class SlabConfig:
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
-                 width: int, height: int):
+                 width: int, height: int, knots=None):
     """Sweep-render one frame.  Camera vectors must already be permuted to
     the grid frame (z = sweep axis) and separable (check_separable).
 
@@ -530,7 +594,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 chunk_rgb, chunk_trans = sweep_chunk(
                     mids, orgs_y, cws_l, y_pos, sec, live,
                     luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
-                    dz, h, w,
+                    dz, h, w, knots=knots,
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
@@ -911,12 +975,34 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     pos, dir00, du, dv = permute_camera(camera, axis)
     flip = bool(dir00[0] < 0)
     cfg = dataclasses.replace(cfg, flip=flip)
+
+    # host-side PWL breakpoint compression of the transfer function
+    # (exact; ~10x fewer classification knots for control-point
+    # colormaps).  Only when the frame state is host-resident — a
+    # device-array LUT would cost a blocking readback per frame.
+    knots = None
+    if (
+        cfg.megakernel
+        and cfg.xf_knots == NUM_XF_VALUES
+        and isinstance(fs.xf_lut, np.ndarray)
+        and not isinstance(fs.xf_opacity_scale, jax.core.Tracer)
+    ):
+        scale = float(fs.xf_opacity_scale)
+        luts_np = [
+            np.concatenate(
+                [fs.xf_lut[c, :, :3], fs.xf_lut[c, :, 3:4] * scale], axis=1
+            )
+            for c in range(cfg.num_channels)
+        ]
+        knots = compress_pwl(luts_np)
+
     f = jax.jit(
         render_slabs, static_argnames=("cfg", "width", "height")
     )
     if not swapped:
-        return f(grids, fs, cfg, pos, dir00, du, dv, width, height)
-    rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width)
+        return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
+                 knots=knots)
+    rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )

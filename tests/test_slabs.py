@@ -136,6 +136,62 @@ def test_slab_image_converges_to_wavefront(amr_fixture):
     assert rgba_wf[:, 3].max() > 0.2
 
 
+def test_pwl_compression_exact(amr_fixture):
+    """compress_pwl reconstructs a control-point LUT within tolerance, and
+    the megakernel's compressed classification matches the dense path
+    bit-for-bit on a full render."""
+    from owlexabrick_tpu.core.constants import NUM_XF_VALUES
+    from owlexabrick_tpu.render.slabs import compress_pwl, render_slabs_camera
+
+    rng = np.random.default_rng(0)
+    n = NUM_XF_VALUES
+    cps = np.sort(rng.uniform(0, 1, 9))
+    cps[0], cps[-1] = 0.0, 1.0
+    cpv = rng.uniform(0, 1, (9, 4)).astype(np.float32)
+    uu = np.linspace(0, 1, n)
+    lut = np.stack(
+        [np.interp(uu, cps, cpv[:, c]) for c in range(4)], 1
+    ).astype(np.float32)
+    kn = compress_pwl([lut])
+    assert kn is not None
+    pos, sd, base = kn
+    # ~2 texel breakpoints per interior control point, not all 127
+    assert (pos[0] < n).sum() <= 20
+    u = np.linspace(0, n - 1, 500)
+    rec = base[0][None] + (
+        np.maximum(u[:, None] - pos[0][None], 0.0)[:, :, None] * sd[0][None]
+    ).sum(1)
+    ref = np.stack([np.interp(u, np.arange(n), lut[:, c]) for c in range(4)], 1)
+    assert np.abs(rec - ref).max() < 1e-3
+
+    # full-render equivalence: numpy fs triggers compression, device fs
+    # takes the dense path
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    cam = Camera.look_at([4.0, 4.0, 25.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         40.0, 24, 24)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.6)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent / 0.5)))
+    from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    a = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24))
+    fsd = jax.tree.map(jnp.asarray, fs)
+    b = np.asarray(render_slabs_camera(grids, fsd, cfg, cam, 24, 24))
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_pwl_compression_dense_fallback():
+    """A LUT with slope changes at every texel (not PWL-sparse) falls back
+    to the dense path rather than losing fidelity."""
+    from owlexabrick_tpu.core.constants import NUM_XF_VALUES
+    from owlexabrick_tpu.render.slabs import compress_pwl
+
+    n = NUM_XF_VALUES
+    u = np.linspace(0, 6 * np.pi, n)
+    lut = np.stack([np.sin(u + p) * 0.5 + 0.5 for p in range(4)], 1)
+    assert compress_pwl([lut.astype(np.float32)]) is None
+
+
 def test_slab_space_skipping_consistent(amr_fixture):
     scene, bricks, grids = _build(amr_fixture, EX2)
     size = 16
