@@ -72,7 +72,7 @@ def main():
     cfg = SlabConfig(
         num_channels=1,
         nslabs=nslabs or int(np.ceil(extent / 1.0)),
-        chunk=24,
+        chunk=12,
     )
 
     # warm-up / compile

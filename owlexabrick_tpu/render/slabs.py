@@ -356,7 +356,10 @@ def compress_pwl(luts_np, err_tol: float = 2e-4):
 class SlabConfig:
     num_channels: int = 1
     nslabs: int = 128
-    chunk: int = 24
+    # slabs per chunk: 12 measured best on v5e (smaller mids stay VMEM
+    # -resident and the between-chunk early-termination check fires more
+    # often) — see PERFORMANCE.md
+    chunk: int = 12
     flip: bool = False
     space_skipping: bool = True
     # transfer-function fidelity: number of PWL knots evaluated per pixel.
