@@ -34,8 +34,8 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                  n_texels: int = 0):
     compressed = n_texels > 0
 
-    def kernel(params_ref, lut_ref, d_ref, live_ref, orgy_ref, cw_ref,
-               *refs):
+    def kernel(params_ref, lut_ref, d_ref, live_ref, act_ref, act_all_ref,
+               orgy_ref, cw_ref, *refs):
         # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec, r, g, b, t]
         # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
         # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba]
@@ -54,8 +54,10 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
         tc = sec_ref.shape[1]
         # grid is (col_tiles, row_tiles): rows iterate fastest so the
         # column-indexed mid blocks stay resident across row steps
-        row0 = pl.program_id(1) * tr
-        col0 = pl.program_id(0) * tc
+        rt_id = pl.program_id(1)
+        ct_id = pl.program_id(0)
+        row0 = rt_id * tr
+        col0 = ct_id * tc
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
         inb = (rows < n_rows) & (cols < n_cols)
@@ -64,7 +66,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
         ypos_all = ypos_ref[:]  # (tr, S)
         slab_ids = jax.lax.broadcasted_iota(jnp.int32, ypos_all.shape, 1)
 
-        def slab(s, carry):
+        def _interp(s):
             # select slab s's column via a masked reduce (Mosaic has no
             # unaligned dynamic lane indexing)
             yp = jnp.sum(jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
@@ -86,8 +88,36 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
             sw = jnp.dot(wy.astype(mm_ref.dtype), mm_ref[s],
                          preferred_element_type=jnp.float32)
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
+            return wy, sw, ok
 
-            def classify(carry):
+        def _slab_dense(s, carry):
+            # every slab active in this tile: keep the tent build and
+            # matmuls unconditional so Mosaic pipelines them across slabs
+            wy, sw, ok = _interp(s)
+            do = ok.any() & (jnp.max(carry[3]) > 0.005)
+            return jax.lax.cond(
+                do, lambda c: _classify(s, wy, sw, ok, c),
+                lambda c: c, carry,
+            )
+
+        def _slab_gated(s, carry):
+            # lateral space skipping: act_ref marks whether any cell's
+            # basis support can reach this (slab, row-tile, col-tile);
+            # inactive tiles skip the tent build and both matmuls
+            do = (act_ref[s, rt_id, ct_id] > 0.5) & (
+                jnp.max(carry[3]) > 0.005
+            )
+
+            def work(carry):
+                wy, sw, ok = _interp(s)
+                return jax.lax.cond(
+                    ok.any(), lambda c: _classify(s, wy, sw, ok, c),
+                    lambda c: c, carry,
+                )
+
+            return jax.lax.cond(do, work, lambda c: c, carry)
+
+        def _classify(s, wy, sw, ok, carry):
                 # per-slab channel merge in the reference's channel order
                 # (exabrick.cu:1169-1179)
                 slab_a = jnp.zeros((tr, tc), jnp.float32)
@@ -188,14 +218,16 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                     t_run * (1.0 - slab_a),
                 )
 
-            # lateral space skipping + per-tile early termination
-            t_run = carry[3]
-            do = ok.any() & (jnp.max(t_run) > 0.005)
-            return jax.lax.cond(do, classify, lambda c: c, carry)
-
         z = jnp.zeros((tr, tc), jnp.float32)
-        r, g, b, t = jax.lax.fori_loop(
-            0, s_count, slab, (z, z, z, jnp.ones((tr, tc), jnp.float32))
+        init = (z, z, z, jnp.ones((tr, tc), jnp.float32))
+        # one branch per tile: fully-active tiles take the pipelined
+        # dense loop; partially-active tiles gate per slab
+        all_act = act_all_ref[rt_id, ct_id] > 0.5
+        r, g, b, t = jax.lax.cond(
+            all_act,
+            lambda c: jax.lax.fori_loop(0, s_count, _slab_dense, c),
+            lambda c: jax.lax.fori_loop(0, s_count, _slab_gated, c),
+            init,
         )
         r_ref[:] = r
         g_ref[:] = g
@@ -271,6 +303,51 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # lateral space skipping: per-(slab, row-tile, col-tile) activity from
+    # mask support.  A slab's cells can only reach a tile whose y range
+    # overlaps an occupied lattice point's tent support (and whose columns
+    # hold non-zero x-resampled mask) — inactive tiles skip the tent
+    # build and both MXU contractions in the kernel.
+    n_rt, n_ct = grid[1], grid[0]
+    pad_r = n_rt * tr - height
+    ypp = y_pos if pad_r == 0 else jnp.concatenate(
+        [y_pos, jnp.repeat(y_pos[:, -1:], pad_r, axis=1)], axis=1
+    )
+    yt = ypp.reshape(s_, n_rt, tr)
+    y_lo_t = yt.min(-1)  # (S, R)
+    y_hi_t = yt.max(-1)
+    pad_c = n_ct * tc - width
+    mm_p = mid_m if pad_c == 0 else jnp.pad(
+        mid_m, ((0, 0), (0, 0), (0, pad_c))
+    )
+    ny_total_ = mm_p.shape[1]
+    occ_c = (
+        mm_p.reshape(s_, ny_total_, n_ct, tc).astype(jnp.float32) > 0
+    ).any(-1)  # (S, NY, Ct)
+    act = jnp.zeros((s_, n_rt, n_ct), bool)
+    off = 0
+    for li, ny in enumerate(ny_list):
+        occ = occ_c[:, off : off + ny]  # (S, ny, Ct)
+        off += ny
+        cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+        cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
+        cw_v = cws[li]
+        qlo = y_lo_t / cw_v - orgy[li] - 0.5  # (S, R)
+        qhi = y_hi_t / cw_v - orgy[li] - 0.5
+        k0 = jnp.clip(jnp.floor(qlo).astype(jnp.int32) - 1, 0, ny)
+        k1 = jnp.clip(jnp.floor(qhi).astype(jnp.int32) + 2, 0, ny)
+        lo_g = jnp.take_along_axis(
+            cs, jnp.broadcast_to(k0[:, :, None], (s_, n_rt, n_ct)), axis=1
+        )
+        hi_g = jnp.take_along_axis(
+            cs, jnp.broadcast_to(k1[:, :, None], (s_, n_rt, n_ct)), axis=1
+        )
+        act = act | (hi_g - lo_g > 0)
+    act = act & live[:, None, None]
+    act_f = act.astype(jnp.float32)
+    # per-tile "every slab active" flag selects the pipelined dense loop
+    act_all_f = act.all(axis=0).astype(jnp.float32)  # (R, Ct)
+
     ny_total = mid_m.shape[1]
     mid_spec = pl.BlockSpec((s_, ny_total, tc), lambda j, i: (0, 0, j),
                             memory_space=pltpu.VMEM)
@@ -285,6 +362,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lut pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # d pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # act table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # act-all per tile
             pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cw
             *([mid_spec] * n_channels), mid_spec,
@@ -298,6 +377,6 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             for _ in range(4)
         ),
         interpret=interpret,
-    )(params, lut_pack, d_pack, live.astype(jnp.float32), orgy, cws,
-      *mid_vs, mid_m, y_pos.T, sec)
+    )(params, lut_pack, d_pack, live.astype(jnp.float32), act_f, act_all_f,
+      orgy, cws, *mid_vs, mid_m, y_pos.T, sec)
     return jnp.stack([r, g, b]), t
