@@ -192,8 +192,11 @@ class Renderer:
         if (
             self.cfg.num_channels != 1
             or self.cfg.ao_samples > 0
+            or self.cfg.gradient_shading_dvr
             or self.surf.num_tris > 0
             or self.surf.num_segments > 0
+            or bool(self.fs.clip_enabled)
+            or bool(np.any(self.fs.contour_enabled))
         ):
             self._fast = None
             return False

@@ -45,9 +45,10 @@ def write_png(path, image: np.ndarray) -> None:
             f.write(out)
 
 
-def read_png(path: str) -> np.ndarray:
-    """Reads 8-bit non-interlaced gray/RGB/RGBA PNGs (filters 0-4)."""
-    data = open(path, "rb").read()
+def read_png(path) -> np.ndarray:
+    """Reads 8-bit non-interlaced gray/RGB/RGBA PNGs (filters 0-4) from a
+    path or a file-like object."""
+    data = path.read() if hasattr(path, "read") else open(path, "rb").read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a png")
     pos = 8

@@ -161,5 +161,8 @@ def get_colormap(name: str) -> ColorMapper:
     return ColorMapper(_BUILTIN[name])
 
 
-def colormap_colors(name: str, n: int) -> np.ndarray:
+def colormap_colors(name, n: int) -> np.ndarray:
+    """Sample a colormap by name, or pass a ColorMapper through."""
+    if isinstance(name, ColorMapper):
+        return name.sample(n)
     return get_colormap(name).sample(n)

@@ -307,6 +307,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"#viewer: traced {tracer_seeds} particles for "
               f"{tr.timestep} steps ({seg.num_segments} segments)")
 
+    if fast and (
+        clip_box is not None
+        or grad_dvr
+        or any(np.asarray(fs.contour_enabled))
+        or ao
+        or r.surf.num_tris > 0
+        or r.surf.num_segments > 0
+    ):
+        print("#viewer: --fast incompatible with clip/shading/contour/"
+              "AO/surfaces; exact path")
+        fast = False
     if fast:
         # slab fast path for axis-aligned cameras, DVR only
         import jax

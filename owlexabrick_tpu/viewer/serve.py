@@ -3,15 +3,18 @@ reference's GLUT/GLUI window (exa/viewer.cpp).
 
 Zero-dependency: a stdlib http.server streams PNG frames to a canvas;
 mouse-drag orbits the camera (InspectMode analog, glutViewer/InspectMode),
-the wheel zooms, and a side panel exposes the core GLUI controls
-(colormap, domain range, opacity scale, dt, iso value, space-keyed
-progressive accumulation).
+the wheel zooms, and a side panel exposes the GLUI controls
+(exa/viewer.cpp:481-853): colormap + custom colormap string, domain
+range, opacity scale, dt, iso surface, contour plane, clip box, gradient
+shading, space skipping, field selector, plus the 'C'/'T'/'!' key
+equivalents (camera echo, .xf download, screenshot).
 
 Run:  python -m owlexabrick_tpu.viewer.serve scene.exa --port 8000
 """
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import sys
 import threading
@@ -34,40 +37,105 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif;
        display:flex; }
 #view { flex:1; display:flex; align-items:center; justify-content:center; }
 canvas { background:#000; }
-#panel { width:240px; padding:12px; background:#1b1b1b; }
-#panel label { display:block; margin-top:10px; }
-#panel input, #panel select { width:100%; }
+#panel { width:260px; padding:12px; background:#1b1b1b; overflow-y:auto;
+         max-height:100vh; }
+#panel label { display:block; margin-top:8px; }
+#panel input, #panel select, #panel textarea { width:100%;
+         box-sizing:border-box; }
+#panel .row { display:flex; gap:6px; }
+#panel .row label { flex:1; }
 #fps { color:#8c8; }
+#cam { color:#789; font-size:10px; word-break:break-all; }
+button { margin-top:8px; width:49%; }
+fieldset { border:1px solid #333; margin-top:10px; padding:4px 8px 8px; }
+legend { color:#9ab; }
 </style></head><body>
 <div id="view"><canvas id="c" width="__W__" height="__H__"></canvas></div>
 <div id="panel">
   <b>owlexabrick-tpu</b>
   <div id="fps">-</div>
+  <div id="cam"></div>
+  <label>field <select id="field">__FIELDS__</select></label>
   <label>colormap <select id="cmap">__CMAPS__</select></label>
-  <label>range lo <input id="lo" type="number" step="any" value="__LO__"></label>
-  <label>range hi <input id="hi" type="number" step="any" value="__HI__"></label>
+  <label>custom colormap (pos,(r,g,b) per line)
+    <textarea id="customcm" rows="2"></textarea></label>
+  <div class="row">
+    <label>range lo <input id="lo" type="number" step="any"
+      value="__LO__"></label>
+    <label>range hi <input id="hi" type="number" step="any"
+      value="__HI__"></label>
+  </div>
   <label>opacity scale <input id="os" type="range" min="0" max="2"
     step="0.01" value="1"></label>
   <label>dt <input id="dt" type="number" step="0.05" value="__DT__"></label>
-  <label>iso value (0=off) <input id="iso" type="number" step="any"
-    value="0"></label>
-  <div style="margin-top:12px">drag = orbit, wheel = zoom</div>
+  <fieldset><legend>iso surface</legend>
+    <label>value (0=off) <input id="iso" type="number" step="any"
+      value="0"></label>
+    <label><input id="gsiso" type="checkbox" checked
+      style="width:auto"> gradient shading</label>
+  </fieldset>
+  <fieldset><legend>contour plane</legend>
+    <div class="row">
+      <label>axis <select id="caxis"><option>off</option><option>x</option>
+        <option>y</option><option>z</option></select></label>
+      <label>offset <input id="coff" type="range" min="0" max="1"
+        step="0.01" value="0.5"></label>
+    </div>
+  </fieldset>
+  <fieldset><legend>clip box (fractions)</legend>
+    <label><input id="clip" type="checkbox" style="width:auto"> enable</label>
+    <div class="row">
+      <label>x <input id="cx0" type="range" min="0" max="1" step="0.01"
+        value="0"><input id="cx1" type="range" min="0" max="1" step="0.01"
+        value="1"></label>
+    </div>
+    <div class="row">
+      <label>y <input id="cy0" type="range" min="0" max="1" step="0.01"
+        value="0"><input id="cy1" type="range" min="0" max="1" step="0.01"
+        value="1"></label>
+    </div>
+    <div class="row">
+      <label>z <input id="cz0" type="range" min="0" max="1" step="0.01"
+        value="0"><input id="cz1" type="range" min="0" max="1" step="0.01"
+        value="1"></label>
+    </div>
+  </fieldset>
+  <label><input id="gsdvr" type="checkbox" style="width:auto">
+    gradient shading DVR</label>
+  <label><input id="skip" type="checkbox" checked style="width:auto">
+    space skipping</label>
+  <div>
+    <button id="shot">screenshot</button>
+    <button id="xf">save .xf</button>
+  </div>
+  <div style="margin-top:10px">drag = orbit, wheel = zoom</div>
 </div>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
 let theta = __THETA__, phi = __PHI__, dist = __DIST__;
+const CENTER = __CENTER__, DIAG = __DIAG__;
 let dirty = true, frame = 0, busy = false;
 const t0 = [];
+const ids = ['field','cmap','customcm','lo','hi','os','dt','iso','gsiso',
+             'caxis','coff','clip','cx0','cx1','cy0','cy1','cz0','cz1',
+             'gsdvr','skip'];
+const $ = id => document.getElementById(id);
+function val(id) {
+  const e = $(id);
+  return e.type === 'checkbox' ? (e.checked ? 1 : 0) : e.value;
+}
 function params() {
-  return new URLSearchParams({
-    theta, phi, dist, frame,
-    cmap: document.getElementById('cmap').value,
-    lo: document.getElementById('lo').value,
-    hi: document.getElementById('hi').value,
-    os: document.getElementById('os').value,
-    dt: document.getElementById('dt').value,
-    iso: document.getElementById('iso').value,
-  });
+  const p = new URLSearchParams({theta, phi, dist, frame});
+  for (const id of ids) p.set(id, val(id));
+  return p;
+}
+function camEcho() {
+  const ex = CENTER[0] + dist*DIAG*Math.cos(phi)*Math.sin(theta);
+  const ey = CENTER[1] + dist*DIAG*Math.sin(phi);
+  const ez = CENTER[2] + dist*DIAG*Math.cos(phi)*Math.cos(theta);
+  const f = x => x.toPrecision(5);
+  $('cam').textContent = `--camera ${f(ex)} ${f(ey)} ${f(ez)} ` +
+    `${f(CENTER[0])} ${f(CENTER[1])} ${f(CENTER[2])} 0 1 0`;
 }
 async function tick() {
   if (busy) return;
@@ -79,8 +147,8 @@ async function tick() {
   ctx.drawImage(img, 0, 0);
   t0.push(performance.now() - t); if (t0.length > 10) t0.shift();
   const avg = t0.reduce((a,b)=>a+b,0)/t0.length;
-  document.getElementById('fps').textContent =
-    (1000/avg).toFixed(1) + ' fps (' + avg.toFixed(0) + ' ms)';
+  $('fps').textContent = (1000/avg).toFixed(1)+' fps ('+avg.toFixed(0)+' ms)';
+  camEcho();
   frame = dirty ? 0 : frame + 1;
   dirty = false;
   busy = false;
@@ -98,8 +166,14 @@ window.onmousemove = e => {
 };
 c.onwheel = e => { dist *= Math.exp(e.deltaY * 0.001); dirty = true;
                    e.preventDefault(); };
-for (const id of ['cmap','lo','hi','os','dt','iso'])
-  document.getElementById(id).oninput = () => dirty = true;
+for (const id of ids) $(id).oninput = () => dirty = true;
+$('shot').onclick = () => {
+  const a = document.createElement('a');
+  a.download = 'exa_screenshot.png';
+  a.href = c.toDataURL('image/png');
+  a.click();
+};
+$('xf').onclick = () => { location.href = '/xf?' + params(); };
 </script></body></html>"""
 
 
@@ -110,13 +184,17 @@ class ViewerState:
         self.width = width
         self.height = height
         w_lo, w_hi = cfg.world_bounds()
+        self.world_lo = np.asarray(w_lo, np.float32)
+        self.world_hi = np.asarray(w_hi, np.float32)
         self.center = 0.5 * (w_lo + w_hi)
         self.diag = float(np.linalg.norm(w_hi - w_lo))
-        vr = cfg.scalar_fields[0].value_range
-        self.value_range = vr
+        self.field_names = [f.name for f in cfg.scalar_fields]
+        self.value_ranges = [f.value_range for f in cfg.scalar_fields]
+        self.value_range = self.value_ranges[0]
         self.lock = threading.Lock()
         self.renderer = None
         self.key = None
+        self._field_scenes = {}
 
     def camera(self, theta, phi, dist):
         eye = self.center + dist * self.diag * np.asarray([
@@ -127,37 +205,97 @@ class ViewerState:
         return Camera.look_at(eye, self.center, [0, 1, 0], 55.0,
                               self.width, self.height)
 
+    def _scene_for_field(self, field: int):
+        """Single-channel view of one scalar field (the GLUI channel
+        selector, exa/viewer.cpp:641-650)."""
+        if field == 0:
+            return self.scene
+        if field not in self._field_scenes:
+            self._field_scenes[field] = dataclasses.replace(
+                self.scene, scalars=self.scene.scalars[field : field + 1]
+            )
+        return self._field_scenes[field]
+
+    def _ensure_renderer(self, q, cam):
+        g1 = lambda k, d: q.get(k, [d])[0]
+        field = min(int(g1("field", "0")), len(self.field_names) - 1)
+        cmap = g1("cmap", "Paraview Cool Warm")
+        custom = g1("customcm", "")
+        vr = self.value_ranges[field]
+        lo = float(g1("lo", str(vr[0])))
+        hi = float(g1("hi", str(vr[1])))
+        os_ = float(g1("os", "1"))
+        dt = float(g1("dt", "0.5"))
+        iso = float(g1("iso", "0"))
+        gs_iso = g1("gsiso", "1") == "1"
+        gs_dvr = g1("gsdvr", "0") == "1"
+        skip = g1("skip", "1") == "1"
+        caxis = g1("caxis", "off")
+        coff = float(g1("coff", "0.5"))
+        clip = g1("clip", "0") == "1"
+        cfrac = [float(g1(k, d)) for k, d in
+                 (("cx0", "0"), ("cy0", "0"), ("cz0", "0"),
+                  ("cx1", "1"), ("cy1", "1"), ("cz1", "1"))]
+
+        key = (field, cmap, custom, lo, hi, os_, dt, iso != 0.0, gs_iso,
+               gs_dvr, skip, caxis, coff, clip, tuple(cfrac))
+        if self.renderer is not None and key == self.key:
+            return self.renderer
+
+        colormap = cmap
+        if cmap == "Custom" and custom.strip():
+            from .colormaps import ColorMapper
+
+            colormap = ColorMapper.from_string(custom)
+        fs = make_frame_state(
+            cam, 1, [[lo, hi]], colormap=colormap,
+            opacity_scale=os_, dt=dt,
+        )
+        if iso != 0.0:
+            fs.iso_enabled[0] = True
+            fs.iso_value[0] = iso
+        if caxis in ("x", "y", "z"):
+            ax = "xyz".index(caxis)
+            n = np.zeros(3, np.float32)
+            n[ax] = 1.0
+            off = (
+                self.world_lo[ax]
+                + coff * (self.world_hi[ax] - self.world_lo[ax])
+            )
+            fs.contour_enabled[0] = True
+            fs.contour_normal[0] = n
+            fs.contour_offset[0] = off
+        rcfg = RenderConfig(
+            num_channels=1,
+            iso_surfaces=iso != 0.0,
+            gradient_shading_dvr=gs_dvr,
+            gradient_shading_iso=gs_iso,
+            space_skipping=skip,
+        )
+        self.renderer = Renderer(
+            self._scene_for_field(field), self.width, self.height,
+            cfg=rcfg, frame_state=fs,
+        )
+        if clip:
+            lo3 = self.world_lo + np.asarray(cfrac[:3]) * (
+                self.world_hi - self.world_lo
+            )
+            hi3 = self.world_lo + np.asarray(cfrac[3:]) * (
+                self.world_hi - self.world_lo
+            )
+            self.renderer.set_clip_box(True, lo3, np.maximum(hi3, lo3))
+        self.key = key
+        return self.renderer
+
     def render(self, q) -> bytes:
         theta = float(q.get("theta", ["0.5"])[0])
         phi = float(q.get("phi", ["0.3"])[0])
         dist = float(q.get("dist", ["1.2"])[0])
         frame = int(q.get("frame", ["0"])[0])
-        cmap = q.get("cmap", ["Paraview Cool Warm"])[0]
-        lo = float(q.get("lo", [str(self.value_range[0])])[0])
-        hi = float(q.get("hi", [str(self.value_range[1])])[0])
-        os_ = float(q.get("os", ["1"])[0])
-        dt = float(q.get("dt", ["0.5"])[0])
-        iso = float(q.get("iso", ["0"])[0])
 
         with self.lock:
-            key = (cmap, lo, hi, os_, dt, iso != 0.0)
             cam = self.camera(theta, phi, dist)
-            if self.renderer is None or key != self.key:
-                fs = make_frame_state(
-                    cam, 1, [[lo, hi]], colormap=cmap,
-                    opacity_scale=os_, dt=dt,
-                )
-                if iso != 0.0:
-                    fs.iso_enabled[0] = True
-                    fs.iso_value[0] = iso
-                rcfg = RenderConfig(num_channels=1,
-                                    iso_surfaces=iso != 0.0)
-                self.renderer = Renderer(
-                    self.scene, self.width, self.height, cfg=rcfg,
-                    frame_state=fs,
-                )
-                self.key = key
-            r = self.renderer
+            r = self._ensure_renderer(q, cam)
             from ..render.frame import with_camera
 
             if frame == 0:
@@ -173,6 +311,16 @@ class ViewerState:
         write_png(buf, rgba)
         return buf.getvalue()
 
+    def xf_bytes(self, q) -> bytes:
+        """Current transfer-function opacities as a .xf blob (the 'T'
+        key, exa/viewer.cpp:140-145)."""
+        with self.lock:
+            cam = self.camera(0.5, 0.3, 1.2)
+            r = self._ensure_renderer(q, cam)
+            return np.asarray(
+                r.fs.xf_lut[0][:, 3], np.float32
+            ).tobytes()
+
 
 class _Handler(BaseHTTPRequestHandler):
     state: ViewerState = None
@@ -180,50 +328,62 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet
         pass
 
+    def _send(self, data: bytes, ctype: str, code: int = 200,
+              extra=()):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        for k, v in extra:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(data)
+
     def do_GET(self):
         url = urllib.parse.urlparse(self.path)
         if url.path == "/":
-            vr = self.state.value_range
+            st = self.state
+            vr = st.value_range
             opts = "".join(
                 f'<option{" selected" if n == "Paraview Cool Warm" else ""}>'
                 f"{n}</option>" for n in COLORMAP_NAMES
+            ) + "<option>Custom</option>"
+            fields = "".join(
+                f'<option value="{i}">{n}</option>'
+                for i, n in enumerate(st.field_names)
             )
             page = (
-                _PAGE.replace("__W__", str(self.state.width))
-                .replace("__H__", str(self.state.height))
+                _PAGE.replace("__W__", str(st.width))
+                .replace("__H__", str(st.height))
                 .replace("__CMAPS__", opts)
+                .replace("__FIELDS__", fields)
                 .replace("__LO__", f"{vr[0]:g}")
                 .replace("__HI__", f"{vr[1]:g}")
                 .replace("__DT__", "0.5")
                 .replace("__THETA__", "0.5")
                 .replace("__PHI__", "0.3")
                 .replace("__DIST__", "1.2")
+                .replace("__CENTER__", repr(list(map(float, st.center))))
+                .replace("__DIAG__", f"{st.diag:g}")
             )
-            body = page.encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._send(page.encode(), "text/html")
         elif url.path == "/frame":
             q = urllib.parse.parse_qs(url.query)
             try:
                 data = self.state.render(q)
             except Exception as e:  # pragma: no cover
-                self.send_response(500)
-                msg = str(e).encode()
-                self.send_header("Content-Length", str(len(msg)))
-                self.end_headers()
-                self.wfile.write(msg)
+                self._send(str(e).encode(), "text/plain", 500)
                 return
-            self.send_response(200)
-            self.send_header("Content-Type", "image/png")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+            self._send(data, "image/png")
+        elif url.path == "/xf":
+            q = urllib.parse.parse_qs(url.query)
+            data = self.state.xf_bytes(q)
+            self._send(
+                data, "application/octet-stream",
+                extra=(("Content-Disposition",
+                        'attachment; filename="currentTransferFunction.xf"'),),
+            )
         else:
-            self.send_response(404)
-            self.end_headers()
+            self._send(b"not found", "text/plain", 404)
 
 
 def main(argv=None) -> int:

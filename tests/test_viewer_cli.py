@@ -69,3 +69,39 @@ def test_cli_rejects_unknown_flag(scene_dir):
 
     with pytest.raises(SystemExit):
         main([str(scene_dir / "scene.exa"), "--frobnicate"])
+
+
+def test_web_viewer_state(scene_dir):
+    """ViewerState renders with the full control panel's parameters
+    (clip box, contour plane, gradient shading, custom colormap, field
+    selection) and serves the .xf blob."""
+    import io
+
+    from owlexabrick_tpu.viewer.serve import ViewerState
+
+    st = ViewerState(str(scene_dir / "scene.exa"), 24, 24)
+
+    def frame(frame_n=0, **kw):
+        params = dict(
+            theta=0.5, phi=0.3, dist=1.2, frame=frame_n, field=0,
+            cmap="Paraview Cool Warm", customcm="", lo=0, hi=7,
+            os=1, dt=0.5, iso=0, gsiso=1, caxis="off", coff=0.5,
+            clip=0, cx0=0, cy0=0, cz0=0, cx1=1, cy1=1, cz1=1,
+            gsdvr=0, skip=1,
+        )
+        params.update(kw)
+        q = {k: [str(v)] for k, v in params.items()}
+        return read_png(io.BytesIO(st.render(q)))
+
+    lit = lambda im: int((im[..., :3].max(-1) > 8).sum())
+    base = frame()
+    assert lit(base) > 50
+    clipped = frame(clip=1, cx0="0.6")
+    assert 0 < lit(clipped) < lit(base)
+    cc = frame(cmap="Custom", customcm="0.0,(1,0,0)\n1.0,(0,0,1)")
+    assert np.abs(cc.astype(int) - base.astype(int)).max() > 8
+    cp = frame(caxis="y")
+    assert np.abs(cp.astype(int) - base.astype(int)).max() > 8
+    frame(frame_n=1)  # progressive accumulation step
+    xf = st.xf_bytes({"iso": ["0"]})
+    assert len(xf) == 128 * 4
