@@ -240,7 +240,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
 def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
                 luts, domains, dz, height: int, width: int, *,
-                knots=None, interpret: bool | None = None):
+                knots=None, tf_cull=None, interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
     mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
@@ -344,6 +344,42 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         )
         act = act | (hi_g - lo_g > 0)
     act = act & live[:, None, None]
+
+    if tf_cull is not None:
+        # TF-aware lateral cull: the blended value at any point is a
+        # convex combination of contributing cell values, so the combined
+        # min/max over all levels' support rows bounds it; tiles whose
+        # range maps to zero opacity everywhere are culled (the lateral
+        # analog of the TF-culled BVH bounds program, exabrick.cu:283-331)
+        from .xf import active_for_volume_sampling
+
+        vr_rows, y_bins = tf_cull
+        vmin_all = jnp.full((n_channels, s_, n_rt), jnp.inf)
+        vmax_all = jnp.full((n_channels, s_, n_rt), -jnp.inf)
+        for li, ny in enumerate(ny_list):
+            vr_s = vr_rows[li]  # (C, S, nyb, 2)
+            nyb = vr_s.shape[2]
+            bin_ = float(y_bins[li])
+            # y-bins whose cells' tent support intersects the tile rows
+            qlo = y_lo_t / cws[li] - orgy[li] - 0.5 - 1.0  # (S, R)
+            qhi = y_hi_t / cws[li] - orgy[li] - 0.5 + 1.0
+            b0 = jnp.floor(qlo / bin_)
+            b1 = jnp.floor(qhi / bin_)
+            bidx = jnp.arange(nyb, dtype=jnp.float32)
+            inr = (bidx[None, None] >= b0[..., None]) & (
+                bidx[None, None] <= b1[..., None]
+            )  # (S, R, nyb)
+            vmin_all = jnp.minimum(vmin_all, jnp.where(
+                inr[None], vr_s[:, :, None, :, 0], jnp.inf).min(-1))
+            vmax_all = jnp.maximum(vmax_all, jnp.where(
+                inr[None], vr_s[:, :, None, :, 1], -jnp.inf).max(-1))
+        act_tf = jnp.zeros((s_, n_rt), bool)
+        for ch in range(n_channels):
+            rng = jnp.stack([vmin_all[ch], vmax_all[ch]], -1)
+            a = active_for_volume_sampling(luts[ch], domains[ch], 1.0, rng)
+            act_tf = act_tf | (a & (vmax_all[ch] >= vmin_all[ch]))
+        act = act & act_tf[:, :, None]
+
     act_f = act.astype(jnp.float32)
     # per-tile "every slab active" flag selects the pipelined dense loop
     act_all_f = act.all(axis=0).astype(jnp.float32)  # (R, Ct)

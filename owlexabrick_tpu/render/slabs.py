@@ -51,7 +51,7 @@ from ..core.types import Bricks, _pytree_dataclass
 Array = Any
 
 
-@_pytree_dataclass(meta=("levels", "num_channels", "axis"))
+@_pytree_dataclass(meta=("levels", "num_channels", "axis", "y_bin"))
 class LevelGrids:
     """Dense per-level voxel grids in (z, y, x) order after permuting the
     chosen principal axis to z."""
@@ -62,9 +62,33 @@ class LevelGrids:
     zranges: Array  # (nz_fine, 2) float32 per-fine-z value min/max
     bounds_lo: Array  # (3,) float32 (z, y, x) voxel bounds
     bounds_hi: Array  # (3,)
+    # per level (C, nz, nyb, 2): value min/max over x and y-bins of
+    # ``y_bin[level]`` lattice cells (empty bins [inf, -inf]) — feeds the
+    # TF-aware lateral cull in the sweep kernel
+    vrange_zy: Tuple[Array, ...] = ()
     levels: Tuple[int, ...] = ()
     num_channels: int = 1
     axis: int = 2  # which original axis is the sweep ('z') axis
+    y_bin: Tuple[int, ...] = ()
+
+
+def _vrange_zy(vals: np.ndarray, mask: np.ndarray):
+    """(C, nz, nyb, 2) masked value min/max over x + y-bins."""
+    c, nz, ny, nx = vals.shape
+    bin_ = max(1, -(-ny // 32))
+    nyb = -(-ny // bin_)
+    pad = nyb * bin_ - ny
+    occ = np.broadcast_to(mask[None] > 0, vals.shape)
+    vmin = np.where(occ, vals, np.inf)
+    vmax = np.where(occ, vals, -np.inf)
+    if pad:
+        vmin = np.pad(vmin, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                      constant_values=np.inf)
+        vmax = np.pad(vmax, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                      constant_values=-np.inf)
+    vmin = vmin.reshape(c, nz, nyb, bin_, -1).min((3, 4))
+    vmax = vmax.reshape(c, nz, nyb, bin_, -1).max((3, 4))
+    return np.stack([vmin, vmax], axis=-1).astype(np.float32), bin_
 
 
 def _compute_zranges(levels, vals, masks, origins, lo_p, hi_p):
@@ -158,6 +182,7 @@ def build_level_grids(
     lo_p = np.asarray([v_lo[p] - pad for p in perm], np.float32)
     hi_p = np.asarray([v_hi[p] + pad for p in perm], np.float32)
     zr = _compute_zranges(levels, vals, masks, origins, lo_p, hi_p)
+    vr_zy = [_vrange_zy(v, m) for v, m in zip(vals, masks)]
 
     return LevelGrids(
         vals=tuple(jnp.asarray(v) for v in vals),
@@ -166,9 +191,11 @@ def build_level_grids(
         zranges=jnp.asarray(zr),
         bounds_lo=jnp.asarray(lo_p),
         bounds_hi=jnp.asarray(hi_p),
+        vrange_zy=tuple(jnp.asarray(v) for v, _ in vr_zy),
         levels=levels,
         num_channels=c,
         axis=axis,
+        y_bin=tuple(b for _, b in vr_zy),
     )
 
 
@@ -594,10 +621,42 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     orgs_y.append(org[1])
                     cws_l.append(cw)
 
+                # per-slab (C, S, nyb, 2) value ranges over the z-lerp
+                # support rows, for the TF-aware lateral cull
+                tf_cull = None
+                if grids.vrange_zy and cfg.space_skipping:
+                    vr_rows = []
+                    for li, L in enumerate(grids.levels):
+                        cw = float(1 << L)
+                        org = grids.origins[li]
+                        nzl = grids.masks[li].shape[0]
+                        qz = z_s / cw - org[0] - 0.5
+                        k0 = jnp.floor(qz).astype(jnp.int32)
+                        vr = grids.vrange_zy[li]  # (C, nz, nyb, 2)
+
+                        def zrow(k):
+                            valid = (k >= 0) & (k < nzl)
+                            r = vr[:, jnp.clip(k, 0, nzl - 1)]
+                            neut = jnp.stack(
+                                [jnp.full(r.shape[:-1], jnp.inf),
+                                 jnp.full(r.shape[:-1], -jnp.inf)], -1,
+                            )
+                            return jnp.where(
+                                valid[None, :, None, None], r, neut
+                            )
+
+                        r0 = zrow(k0)
+                        r1 = zrow(k0 + 1)
+                        vr_rows.append(jnp.stack(
+                            [jnp.minimum(r0[..., 0], r1[..., 0]),
+                             jnp.maximum(r0[..., 1], r1[..., 1])], -1,
+                        ))
+                    tf_cull = (vr_rows, grids.y_bin)
+
                 chunk_rgb, chunk_trans = sweep_chunk(
                     mids, orgs_y, cws_l, y_pos, sec, live,
                     luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
-                    dz, h, w, knots=knots,
+                    dz, h, w, knots=knots, tf_cull=tf_cull,
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans

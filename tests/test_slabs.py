@@ -180,6 +180,36 @@ def test_pwl_compression_exact(amr_fixture):
     np.testing.assert_allclose(a, b, atol=5e-5)
 
 
+def test_tf_lateral_cull_consistent(amr_fixture):
+    """A narrow-band transfer function must produce the same image with
+    and without the TF-aware lateral cull (space_skipping toggles it)."""
+    from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    scene, bricks, grids = _build(amr_fixture, EX3)
+    assert grids.vrange_zy and len(grids.vrange_zy) == len(grids.levels)
+    cam = Camera.look_at([4.0, 4.0, 25.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         40.0, 24, 24)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.8)
+    # opacity only in a narrow value band (iso-like TF edit)
+    op = np.zeros(128, np.float32)
+    op[60:70] = 1.0
+    fs.xf_lut[0, :, 3] = op
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    ns = int(np.ceil(extent / 0.5))
+    a = np.asarray(render_slabs_camera(
+        grids, fs, SlabConfig(num_channels=1, nslabs=ns), cam, 24, 24))
+    b = np.asarray(render_slabs_camera(
+        grids, fs,
+        SlabConfig(num_channels=1, nslabs=ns, space_skipping=False),
+        cam, 24, 24))
+    assert a[:, 3].max() > 0.01  # the band is actually visible
+    # the cull inherits activeForVolumeSampling's texel-granularity edge
+    # (exabrick.cu:250-281): values at a texel boundary can lerp to
+    # sub-1e-6 alpha that the walk reports inactive — same as the
+    # reference's TF-culled BVH, invisible at 8 bits
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_pwl_compression_dense_fallback():
     """A LUT with slope changes at every texel (not PWL-sparse) falls back
     to the dense path rather than losing fidelity."""
