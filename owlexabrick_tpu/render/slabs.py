@@ -967,6 +967,20 @@ def reorient_grids(grids: LevelGrids, camera):
 
     import jax.numpy as _jnp
 
+    # TF-cull value tables: rotated cells hold weight-scaled values, so
+    # the bounded quantity is the ratio val/mask (itself a convex
+    # combination of original cell values)
+    vr_zy = []
+    y_bins = []
+    for v, mk in zip(new_vals, new_masks):
+        v4 = v if v.ndim == 4 else v[None]
+        ratio = np.where(
+            mk[None] > 0, v4 / np.maximum(mk[None], 1e-20), 0.0
+        ).astype(np.float32)
+        t, b = _vrange_zy(ratio, mk)
+        vr_zy.append(t)
+        y_bins.append(b)
+
     grids_rot = LevelGrids(
         vals=tuple(_jnp.asarray(v) for v in new_vals),
         masks=tuple(_jnp.asarray(mk) for mk in new_masks),
@@ -974,9 +988,11 @@ def reorient_grids(grids: LevelGrids, camera):
         zranges=_jnp.asarray(zr),
         bounds_lo=_jnp.asarray(lo_p),
         bounds_hi=_jnp.asarray(hi_p),
+        vrange_zy=tuple(_jnp.asarray(t) for t in vr_zy),
         levels=grids.levels,
         num_channels=grids.num_channels,
         axis=2,  # the camera frame's z is the sweep axis
+        y_bin=tuple(y_bins),
     )
 
     cam_rot = Camera(
