@@ -190,7 +190,7 @@ class Renderer:
         from .slabs import camera_to_voxel
 
         if (
-            self.cfg.num_channels != 1
+            (self.cfg.num_channels != 1 and self.cfg.iso_surfaces)
             or self.cfg.ao_samples > 0
             or self.cfg.gradient_shading_dvr
             or self.surf.num_tris > 0
@@ -234,7 +234,11 @@ class Renderer:
         extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
         finest = float(min(1 << l for l in grids.levels))
         nslabs = int(np.ceil(extent / (float(self.fs.dt) * finest)))
-        self._fast = (grids, SlabConfig(num_channels=1, nslabs=nslabs), cam_r)
+        self._fast = (
+            grids,
+            SlabConfig(num_channels=self.cfg.num_channels, nslabs=nslabs),
+            cam_r,
+        )
         return True
 
     def _camera_from_fs(self) -> Camera:

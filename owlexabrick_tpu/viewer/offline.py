@@ -338,9 +338,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         axis = principal_axis(view)
         reorient = not check_separable(vcam, axis)
-        if reorient and n_channels != 1:
-            print("#viewer: tilted multi-channel camera; exact path")
-            fast = False
         if fast:
             if reorient:
                 # tilted view: resample the grids into the camera frame

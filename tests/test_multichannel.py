@@ -101,3 +101,35 @@ def test_two_channel_slab_converges(two_channel_scene):
     rmse = np.sqrt(((rgba_slab - rgba_wf) ** 2).mean())
     assert rmse < 0.03, rmse
     assert rgba_wf[:, 3].max() > 0.2
+
+
+def test_two_channel_renderer_fast_path(two_channel_scene):
+    """Renderer.enable_fast_path now covers multi-channel DVR (both the
+    axis-aligned direct sweep and the reoriented tilted camera)."""
+    from owlexabrick_tpu.render.renderer import Renderer
+
+    scene = two_channel_scene
+    size = 16
+    for eye, expect_reorient in (
+        ([4.0, 4.0, 30.0], False),
+        ([14.0, 10.0, 20.0], True),
+    ):
+        cam = Camera.look_at(eye, [4.0, 4.0, 4.0], [0, 1, 0],
+                             30.0, size, size)
+        fs = _fs(cam)
+        r = Renderer(scene, size, size,
+                     cfg=RenderConfig(num_channels=2), frame_state=fs)
+        assert r.enable_fast_path()
+        assert (r._fast[2] is not None) == expect_reorient
+        img_fast = r.render()
+        assert (img_fast != 0).any()
+        # exact render of the same frame state for comparison
+        r2 = Renderer(scene, size, size,
+                      cfg=RenderConfig(num_channels=2), frame_state=fs)
+        img_exact = r2.render()
+        a = img_fast.view(np.uint8).reshape(size, size, 4).astype(int)
+        b = img_exact.view(np.uint8).reshape(size, size, 4).astype(int)
+        # coarse agreement (different quadrature; reorient adds resample
+        # blur) — silhouettes and colors must line up
+        frac_close = (np.abs(a - b).max(-1) < 64).mean()
+        assert frac_close > 0.7, (eye, frac_close)
