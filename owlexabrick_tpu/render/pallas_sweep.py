@@ -31,19 +31,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
-                 n_texels: int = 0):
+                 n_texels: int = 0, has_stop: bool = False):
     compressed = n_texels > 0
 
     def kernel(params_ref, lut_ref, d_ref, live_ref, act_ref, act_all_ref,
                orgy_ref, cw_ref, *refs):
-        # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec, r, g, b, t]
+        # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec,
+        #        (t_slab, t_stop if has_stop), r, g, b, t]
         # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
         # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba]
         mv_refs = refs[:n_channels]
         mm_ref = refs[n_channels]
         ypos_ref = refs[n_channels + 1]
         sec_ref = refs[n_channels + 2]
-        r_ref, g_ref, b_ref, t_ref = refs[n_channels + 3:]
+        if has_stop:
+            t_slab_ref = refs[n_channels + 3]
+            t_stop_ref = refs[n_channels + 4]
+            r_ref, g_ref, b_ref, t_ref = refs[n_channels + 5:]
+        else:
+            r_ref, g_ref, b_ref, t_ref = refs[n_channels + 3:]
         n = n_texels if compressed else lut_ref.shape[1]
         dz = params_ref[0]
         n_rows = params_ref[1].astype(jnp.int32)
@@ -88,6 +94,10 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
             sw = jnp.dot(wy.astype(mm_ref.dtype), mm_ref[s],
                          preferred_element_type=jnp.float32)
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
+            if has_stop:
+                # surface hit caps the volume interval per pixel
+                # (integrateVolume t1 = min(t1, surf t))
+                ok = ok & (t_slab_ref[s] < t_stop_ref[:])
             return wy, sw, ok
 
         def _slab_dense(s, carry):
@@ -240,7 +250,8 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
 def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
                 luts, domains, dz, height: int, width: int, *,
-                knots=None, tf_cull=None, interpret: bool | None = None):
+                knots=None, tf_cull=None, t_stop=None,
+                interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
     mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
@@ -389,9 +400,18 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                             memory_space=pltpu.VMEM)
     tile2 = pl.BlockSpec((tr, tc), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM)
+    stop_ins = []
+    stop_specs = []
+    if t_stop is not None:
+        t_slab, t_stop_img = t_stop
+        stop_ins = [jnp.asarray(t_slab, jnp.float32),
+                    jnp.asarray(t_stop_img, jnp.float32)]
+        stop_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), None]
+
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, ny_list, n_channels,
-                     n_texels=n if knots is not None else 0),
+                     n_texels=n if knots is not None else 0,
+                     has_stop=t_stop is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -406,6 +426,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             pl.BlockSpec((tr, s_), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             tile2,
+            *([stop_specs[0], tile2] if stop_ins else []),
         ],
         out_specs=(tile2, tile2, tile2, tile2),
         out_shape=tuple(
@@ -414,5 +435,5 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         ),
         interpret=interpret,
     )(params, lut_pack, d_pack, live.astype(jnp.float32), act_f, act_all_f,
-      orgy, cws, *mid_vs, mid_m, y_pos.T, sec)
+      orgy, cws, *mid_vs, mid_m, y_pos.T, sec, *stop_ins)
     return jnp.stack([r, g, b]), t

@@ -273,14 +273,12 @@ class Renderer:
             dir_du=cam.dir_du,
             dir_dv=cam.dir_dv,
         )
-        rgba = render_slabs_camera(
-            grids, self.fs, scfg, cam, self.width, self.height
-        )
         bg = jnp.zeros(3)
+        t_stop = None
         if self.cfg.iso_surfaces:
-            # iso surface as the DVR background (the fast-path preview
-            # integrates the volume in front of AND behind the surface;
-            # the exact wavefront path stops at the surface)
+            # iso surface pass first: its hit depth caps the volume
+            # interval (integrateVolume t1 = min(t1, surface t),
+            # exabrick.cu:1675-1680) and its color becomes the background
             import dataclasses as _dc
 
             from .slabs import (
@@ -295,18 +293,27 @@ class Renderer:
             icfg = _dc.replace(scfg, flip=bool(dir00[0] < 0))
             f = jax.jit(
                 render_slabs_iso,
-                static_argnames=("cfg", "width", "height"),
+                static_argnames=("cfg", "width", "height", "return_depth"),
             )
             if not swapped:
-                iso_rgba = f(grids, self.fs, icfg, pos, dir00, du, dv,
-                             self.width, self.height)
+                iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
+                                     du, dv, self.width, self.height,
+                                     return_depth=True)
             else:
-                iso_rgba = f(grids, self.fs, icfg, pos, dir00, dv, du,
-                             self.height, self.width)
+                iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
+                                     dv, du, self.height, self.width,
+                                     return_depth=True)
                 iso_rgba = iso_rgba.reshape(
                     self.width, self.height, 4
                 ).transpose(1, 0, 2).reshape(-1, 4)
+                t_stop = t_stop.reshape(
+                    self.width, self.height
+                ).T.reshape(-1)
             bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
+        rgba = render_slabs_camera(
+            grids, self.fs, scfg, cam, self.width, self.height,
+            t_stop=t_stop,
+        )
         color = composite_background(rgba, bg)
         self.accum, shown = accumulate(color, self.accum, self.fs.frame_id)
         return np.asarray(pack_rgba8(shown)).reshape(self.height, self.width)

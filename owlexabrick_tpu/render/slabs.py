@@ -402,7 +402,10 @@ class SlabConfig:
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
-                 width: int, height: int, knots=None):
+                 width: int, height: int, knots=None, t_stop=None):
+    """t_stop: optional (P,) per-pixel sweep parameter beyond which the
+    volume is not integrated (a surface hit; integrateVolume's
+    t1 = min(t1, surface t), exabrick.cu:1675-1680)."""
     """Sweep-render one frame.  Camera vectors must already be permuted to
     the grid frame (z = sweep axis) and separable (check_separable).
 
@@ -653,16 +656,23 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         ))
                     tf_cull = (vr_rows, grids.y_bin)
 
+                stop = None
+                if t_stop is not None:
+                    stop = (scale, t_stop.reshape(h, w))
                 chunk_rgb, chunk_trans = sweep_chunk(
                     mids, orgs_y, cws_l, y_pos, sec, live,
                     luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
-                    dz, h, w, knots=knots, tf_cull=tf_cull,
+                    dz, h, w, knots=knots, tf_cull=tf_cull, t_stop=stop,
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
                 return color, alpha
 
             sw, swv = chunk_fields(z_s, live, occ_s)
+            if t_stop is not None:
+                scale = (z_s - oz) / rz
+                in_front = scale[:, None, None] < t_stop.reshape(h, w)[None]
+                sw = jnp.where(in_front, sw, 0.0)
 
             if cfg.num_channels == 1:
                 # single-channel fast lane: classification + front-to-back
@@ -726,7 +736,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
 def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                      cam_pos, cam_dir00, cam_du, cam_dv,
-                     width: int, height: int):
+                     width: int, height: int, return_depth: bool = False):
     """Slab-sweep implicit iso-surface rendering (fast path).
 
     Detects sign changes of (field - iso) between consecutive slabs per
@@ -736,7 +746,9 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     the transfer function at the iso value (the reference resamples at the
     crossing point, which lies on the iso level set).
 
-    Returns (P, 4) rgba with alpha 1 at hits.
+    Returns (P, 4) rgba with alpha 1 at hits; with ``return_depth`` also
+    the per-pixel sweep parameter t of the first crossing (inf at
+    misses), comparable to render_slabs' ``t_stop``.
     """
     f32 = jnp.float32
     h, w = height, width
@@ -789,7 +801,7 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     dir_x = rx[None, :] / rnorm
 
     def body(s, carry):
-        prev_val, prev_ok, found, color = carry
+        prev_val, prev_ok, found, color, t_hit = carry
         zv = z_planes[s]
         scale = (zv - oz) / rz
         front = scale > 1e-6
@@ -797,7 +809,7 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
         x_pos = ox + scale * rx
 
         def work(carry):
-            prev_val, prev_ok, found, color = carry
+            prev_val, prev_ok, found, color, t_hit = carry
             sw, swv = _slab_field(grids, zv, y_pos, x_pos, 0)
             ok = (sw > 1e-20) & front
             val = swv / jnp.where(sw > 1e-20, sw, 1.0)
@@ -825,21 +837,26 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                 shade = 0.3 + 0.7 * ndl
                 rgb = iso_rgbs[k][:, None, None] * shade[None]
                 color = jnp.where(cross[None], rgb, color)
+                t_hit = jnp.where(cross, scale, t_hit)
                 found = found | cross
 
-            return val, ok, found, color
+            return val, ok, found, color, t_hit
 
         return lax.cond(act[s], work, lambda c: c, carry)
 
     prev0 = jnp.full((h, w), -1e36, f32)
     found0 = jnp.zeros((h, w), bool)
     color0 = jnp.zeros((3, h, w), f32)
-    _, _, found, color = lax.fori_loop(
-        0, cfg.nslabs, body, (prev0, jnp.zeros((h, w), bool), found0, color0)
+    t0 = jnp.full((h, w), jnp.inf, f32)
+    _, _, found, color, t_hit = lax.fori_loop(
+        0, cfg.nslabs, body,
+        (prev0, jnp.zeros((h, w), bool), found0, color0, t0),
     )
     rgba = jnp.concatenate(
         [color, found[None].astype(f32)], axis=0
     )
+    if return_depth:
+        return rgba.reshape(4, h * w).T, t_hit.reshape(h * w)
     return rgba.reshape(4, h * w).T
 
 
@@ -1035,7 +1052,7 @@ def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
 
 
 def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
-                        width: int, height: int):
+                        width: int, height: int, t_stop=None):
     """Convenience wrapper: permute/validate the camera, handle the
     swapped du/dv orientation by rendering transposed, pick the sweep
     direction from the view sign.  Returns (P, 4) rgba in row-major pixel
@@ -1079,8 +1096,12 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     )
     if not swapped:
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
-                 knots=knots)
-    rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots)
+                 knots=knots, t_stop=t_stop)
+    if t_stop is not None:
+        # the internal render is transposed: internal row = final column
+        t_stop = t_stop.reshape(height, width).T.reshape(-1)
+    rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots,
+             t_stop=t_stop)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )

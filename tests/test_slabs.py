@@ -333,6 +333,43 @@ def test_slab_iso_matches_wavefront(amr_fixture):
         assert err < 0.15, err
 
 
+def test_fast_iso_dvr_composite_stops_at_surface(amr_fixture):
+    """Combined iso+DVR fast path: the volume must not be integrated
+    behind the iso surface (integrateVolume t1 = min(t1, surface t)).
+    Compare the fast Renderer against the exact wavefront Renderer."""
+    import dataclasses
+
+    from owlexabrick_tpu.render.renderer import Renderer
+
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX2)
+    scene, *_ = scene_from_cells(lower, level, [scal])
+    size = 24
+    cam = Camera.look_at([4.0, 4.0, 30.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.4)
+    fs = dataclasses.replace(
+        fs,
+        iso_enabled=np.array([True, False]),
+        iso_value=np.array([3.5, 0.0], np.float32),
+        iso_channel=np.zeros(2, np.int32),
+    )
+    cfg = RenderConfig(num_channels=1, iso_surfaces=True)
+
+    r_fast = Renderer(scene, size, size, cfg=cfg, frame_state=fs)
+    assert r_fast.enable_fast_path()
+    a = r_fast.render().view(np.uint8).reshape(size, size, 4).astype(int)
+
+    r_exact = Renderer(scene, size, size, cfg=cfg, frame_state=fs)
+    b = r_exact.render().view(np.uint8).reshape(size, size, 4).astype(int)
+
+    # most pixels agree closely; silhouettes differ at slab granularity
+    frac_close = (np.abs(a - b).max(-1) < 40).mean()
+    assert frac_close > 0.8, frac_close
+    assert (a[..., :3] > 8).any()
+
+
 def test_fast_path_with_remap_transform(amr_fixture):
     """World->voxel remap (remap_from/remap_to): the fast path must agree
     with the exact wavefront path when the scene uses a non-identity
