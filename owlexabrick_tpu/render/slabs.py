@@ -383,6 +383,9 @@ def compress_pwl(luts_np, err_tol: float = 2e-4):
 class SlabConfig:
     num_channels: int = 1
     nslabs: int = 128
+    # collapse saturated pixels to premultiplied-opaque at the end
+    # (exabrick.cu:1694-97); banded rendering defers it to the combiner
+    saturate_collapse: bool = True
     # slabs per chunk: 12 measured best on v5e (smaller mids stay VMEM
     # -resident and the between-chunk early-termination check fires more
     # often) — see PERFORMANCE.md
@@ -727,9 +730,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     )
 
     # saturated pixels collapse to premultiplied opaque (exabrick.cu:1694-97)
-    sat = alpha >= TERMINATION_THRESHOLD
-    color = jnp.where(sat[None], color * alpha[None], color)
-    alpha = jnp.where(sat, 1.0, alpha)
+    if cfg.saturate_collapse:
+        sat = alpha >= TERMINATION_THRESHOLD
+        color = jnp.where(sat[None], color * alpha[None], color)
+        alpha = jnp.where(sat, 1.0, alpha)
     rgba = jnp.concatenate([color, alpha[None]], axis=0)  # (4, H, W)
     return rgba.reshape(4, h * w).T
 
@@ -1105,6 +1109,91 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )
+
+
+def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
+                        camera, width: int, height: int, n_bands: int,
+                        axis: int = 2):
+    """Out-of-core slab sweep for datasets whose dense level grids exceed
+    HBM: the sweep axis is partitioned into ``n_bands`` z-bands, each
+    band's grids are built host-side from only the bricks whose basis
+    support reaches it, streamed to the device, rendered with the normal
+    megakernel, and composited front-to-back across bands.
+
+    Band boundaries lie on the global slab lattice, so the union of band
+    slab planes equals the single-pass plane set — banded output matches
+    the unbanded render to float tolerance.  Offline/streaming mode: one
+    host->device grid upload per band per frame.
+    """
+    import dataclasses as _dc
+
+    scalars = np.asarray(scalars, np.float32)
+    lo3, hi3 = bricks.bounds()
+    other = [a for a in (2, 1, 0) if a != axis]
+    perm = (axis, *other)
+    coarsest = 1 << int(np.max(bricks.level))
+    pad = 0.5 * coarsest
+    z_lo = float(lo3[:, axis].min()) - pad
+    z_hi = float(hi3[:, axis].max()) + pad
+
+    ns_band = -(-cfg.nslabs // n_bands)
+    ns_total = ns_band * n_bands
+    dz = (z_hi - z_lo) / ns_total
+
+    # brick basis support along the sweep axis (getDomain: bounds +-
+    # half the brick's cell width, ExaBricks.h:55-60)
+    cw_b = (1 << bricks.level).astype(np.float64)
+    b_lo = lo3[:, axis] - 0.5 * cw_b
+    b_hi = hi3[:, axis] + 0.5 * cw_b
+
+    pos, dir00, _, _ = permute_camera(camera, axis)
+    flip = bool(dir00[0] < 0)
+    order = range(n_bands - 1, -1, -1) if flip else range(n_bands)
+
+    p = width * height
+    color = np.zeros((p, 3), np.float32)
+    alpha = np.zeros(p, np.float32)
+    bcfg = _dc.replace(cfg, nslabs=ns_band, saturate_collapse=False)
+    for b in order:
+        zb0 = z_lo + b * ns_band * dz
+        zb1 = zb0 + ns_band * dz
+        sel = np.nonzero((b_hi > zb0) & (b_lo < zb1))[0]
+        if sel.size == 0:
+            continue
+        sub = Bricks(
+            lower=bricks.lower[sel], size=bricks.size[sel],
+            level=bricks.level[sel], begin=bricks.begin[sel],
+        )
+        gb = build_level_grids(sub, scalars, axis=axis)
+        lo_p = np.asarray(gb.bounds_lo).copy()
+        hi_p = np.asarray(gb.bounds_hi).copy()
+        lo_p[0], hi_p[0] = zb0, zb1
+        zr = _compute_zranges(
+            list(gb.levels),
+            [np.asarray(v) for v in gb.vals],
+            [np.asarray(m) for m in gb.masks],
+            [np.asarray(o) for o in gb.origins],
+            lo_p, hi_p,
+        )
+        gb = _dc.replace(
+            gb, bounds_lo=jnp.asarray(lo_p), bounds_hi=jnp.asarray(hi_p),
+            zranges=jnp.asarray(zr),
+        )
+        rgba = np.asarray(
+            render_slabs_camera(gb, fs, bcfg, camera, width, height)
+        )
+        # front-to-back across bands
+        t = (1.0 - alpha)[:, None]
+        color += t * rgba[:, :3]
+        alpha += (1.0 - alpha) * rgba[:, 3]
+        if alpha.min() >= TERMINATION_THRESHOLD:
+            break
+
+    # the reference's saturated-pixel collapse, applied once globally
+    sat = alpha >= TERMINATION_THRESHOLD
+    color = np.where(sat[:, None], color * alpha[:, None], color)
+    alpha = np.where(sat, 1.0, alpha)
+    return np.concatenate([color, alpha[:, None]], axis=1)
 
 
 def permute_camera(camera, axis: int):

@@ -64,6 +64,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     frames = 8
     out = "exa_render.png"
     fast = False
+    bands = 1
     display_string = ""
     multi_field = False
     bench = 0
@@ -190,6 +191,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1
         elif a == "--display-string":
             display_string = argv[i + 1]
+            i += 2
+        elif a == "--bands":
+            bands = int(argv[i + 1])
             i += 2
         else:
             raise SystemExit(f"unrecognized parameter '{a}'")
@@ -338,7 +342,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         axis = principal_axis(view)
         reorient = not check_separable(vcam, axis)
-        if fast:
+        if fast and bands > 1 and not reorient:
+            # out-of-core z-banded sweep for >HBM datasets: grids are
+            # built and streamed per band (render_slabs_banded)
+            from ..render.slabs import render_slabs_banded
+
+            lo3, hi3 = cfg.bricks.bounds()
+            coarsest = float(1 << int(np.max(cfg.bricks.level)))
+            extent = float(hi3[:, axis].max() - lo3[:, axis].min()) + coarsest
+            finest = float(1 << int(np.min(cfg.bricks.level)))
+            scfg = SlabConfig(
+                num_channels=n_channels,
+                nslabs=int(np.ceil(extent / (dt * finest))),
+            )
+            print(f"#viewer: banded fast path ({bands} z-bands)")
+            t0 = time.time()
+            rgba = jnp.asarray(render_slabs_banded(
+                cfg.bricks, scene.scalars, fs, scfg, vcam, *size,
+                n_bands=bands, axis=axis,
+            ))
+            dt_s = time.time() - t0
+        elif fast:
             if reorient:
                 # tilted view: resample the grids into the camera frame
                 # (fixed rotation-max cube -> orbiting never recompiles)
@@ -362,6 +386,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 rgba = render_slabs_camera(grids, fsd, scfg, vcam, *size)
                 np.asarray(rgba[:4])
             dt_s = (time.time() - t0) / frames
+        if fast:
             print(f"#viewer: fast path {1/dt_s:.2f} FPS ({dt_s*1e3:.1f} ms)")
             from ..render.dvr import linear_to_srgb
 

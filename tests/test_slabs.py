@@ -370,6 +370,39 @@ def test_fast_iso_dvr_composite_stops_at_surface(amr_fixture):
     assert (a[..., :3] > 8).any()
 
 
+def test_banded_sweep_matches_single_pass(amr_fixture):
+    """Out-of-core z-banded rendering must equal the single-pass sweep
+    (band boundaries lie on the global slab lattice)."""
+    from owlexabrick_tpu.builder.bricker import build_bricks
+    from owlexabrick_tpu.pipeline import bricks_from_build
+    from owlexabrick_tpu.render.slabs import (
+        render_slabs_banded,
+        render_slabs_camera,
+    )
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX3)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
+    size = 20
+    for eye in ([4.0, 4.0, 25.0], [4.0, 4.0, -20.0]):  # both sweep dirs
+        cam = Camera.look_at(eye, [4.0, 4.0, 4.0], [0, 1, 0],
+                             35.0, size, size)
+        fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.4,
+                              opacity_scale=0.7)
+        grids = build_level_grids(bricks, scene.scalars, axis=2)
+        extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+        ns = 4 * -(-int(np.ceil(extent / 0.4)) // 4)
+        cfg = SlabConfig(num_channels=1, nslabs=ns)
+        single = np.asarray(
+            render_slabs_camera(grids, fs, cfg, cam, size, size)
+        )
+        banded = render_slabs_banded(
+            bricks, scene.scalars, fs, cfg, cam, size, size, n_bands=4
+        )
+        np.testing.assert_allclose(banded, single, atol=2e-5)
+        assert single[:, 3].max() > 0.1
+
+
 def test_fast_path_with_remap_transform(amr_fixture):
     """World->voxel remap (remap_from/remap_to): the fast path must agree
     with the exact wavefront path when the scene uses a non-identity
