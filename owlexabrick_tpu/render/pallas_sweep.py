@@ -309,7 +309,14 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
 
     # fat row tiles keep the (tr, NY) @ (NY, tc) contraction MXU-shaped
     tr = next((t for t in (120, 64, 32, 16, 8) if height % t == 0), 8)
-    tc = 512 if width % 512 == 0 else (256 if width % 256 == 0 else 128)
+    import os as _os
+
+    # tc=128 measured fastest at 1080p (wider tiles hurt: 384 -> -27%,
+    # 640 -> VMEM OOM); EXA_SWEEP_TC is a tuning override
+    tc_env = int(_os.environ.get("EXA_SWEEP_TC", "0"))
+    tc = tc_env or next(
+        (t for t in (512, 256, 128) if width % t == 0), 128
+    )
     grid = (pl.cdiv(width, tc), pl.cdiv(height, tr))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
