@@ -250,7 +250,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
 def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
                 luts, domains, dz, height: int, width: int, *,
-                knots=None, tf_cull=None, t_stop=None,
+                knots=None, tf_cull=None, t_stop=None, tiles=(0, 0),
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
@@ -307,14 +307,15 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     ]  # per channel (S, NY, W)
     mid_m = jnp.concatenate([mm for _, mm in mids], axis=1)
 
-    # fat row tiles keep the (tr, NY) @ (NY, tc) contraction MXU-shaped
-    tr = next((t for t in (120, 64, 32, 16, 8) if height % t == 0), 8)
-    import os as _os
-
+    # fat row tiles keep the (tr, NY) @ (NY, tc) contraction MXU-shaped;
     # tc=128 measured fastest at 1080p (wider tiles hurt: 384 -> -27%,
-    # 640 -> VMEM OOM); EXA_SWEEP_TC is a tuning override
-    tc_env = int(_os.environ.get("EXA_SWEEP_TC", "0"))
-    tc = tc_env or next(
+    # 640 -> VMEM OOM).  SlabConfig.tile_rows/tile_cols override.
+    # largest multiple-of-8 divisor of height up to 256 (1080 -> 216,
+    # measured ~5% over 120; sublane dim must be a multiple of 8)
+    tr = tiles[0] or max(
+        (t for t in range(8, 257, 8) if height % t == 0), default=8
+    )
+    tc = tiles[1] or next(
         (t for t in (512, 256, 128) if width % t == 0), 128
     )
     grid = (pl.cdiv(width, tc), pl.cdiv(height, tr))

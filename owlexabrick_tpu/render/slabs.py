@@ -401,6 +401,9 @@ class SlabConfig:
     # single-channel megakernel lane (pallas_sweep.py): y-interpolation +
     # classification + compositing fused in VMEM
     megakernel: bool = True
+    # kernel tile shape overrides (0 = auto); see pallas_sweep.py
+    tile_rows: int = 0
+    tile_cols: int = 0
 
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
@@ -666,6 +669,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     mids, orgs_y, cws_l, y_pos, sec, live,
                     luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
                     dz, h, w, knots=knots, tf_cull=tf_cull, t_stop=stop,
+                    tiles=(cfg.tile_rows, cfg.tile_cols),
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
