@@ -31,8 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
-                 n_texels: int = 0, has_stop: bool = False):
+                 n_texels: int = 0, has_stop: bool = False,
+                 dot_precision: str = "highest"):
     compressed = n_texels > 0
+    # near-f32 MXU passes by default (the CUDA reference multiplies in
+    # f32; TPU default dot precision is bf16 and shows up as ~1e-1
+    # compositing error); bf16_interp opts into the fast bf16 path
+    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel
+    prec = (None if dot_precision == "default"
+            else jax.lax.Precision.HIGHEST)
 
     def kernel(params_ref, lut_ref, d_ref, live_ref, act_ref, act_all_ref,
                orgy_ref, cw_ref, *refs):
@@ -92,7 +99,8 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
             wy = jnp.concatenate(wys, axis=1)  # (tr, NY)
 
             sw = jnp.dot(wy.astype(mm_ref.dtype), mm_ref[s],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
             if has_stop:
                 # surface hit caps the volume interval per pixel
@@ -136,7 +144,8 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
                     swv = jnp.dot(wy.astype(mm_ref.dtype), mv_refs[ch][s],
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
                     if compressed:
                         lo = lut_ref[ch, 0]
@@ -251,6 +260,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
                 luts, domains, dz, height: int, width: int, *,
                 knots=None, tf_cull=None, t_stop=None, tiles=(0, 0),
+                dot_precision: str = "highest",
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
@@ -419,7 +429,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, ny_list, n_channels,
                      n_texels=n if knots is not None else 0,
-                     has_stop=t_stop is not None),
+                     has_stop=t_stop is not None,
+                     dot_precision=dot_precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params

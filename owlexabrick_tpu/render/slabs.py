@@ -404,6 +404,10 @@ class SlabConfig:
     # kernel tile shape overrides (0 = auto); see pallas_sweep.py
     tile_rows: int = 0
     tile_cols: int = 0
+    # MXU pass precision for the interpolation contractions:
+    # "high" (bf16x3, ~f32 accurate) default; "highest" (full f32);
+    # bf16_interp=True overrides to "default" (single bf16 pass)
+    dot_precision: str = "high"
 
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
@@ -551,16 +555,24 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     0.0, 1.0 - jnp.abs(qx[..., None] - k)
                 ).astype(mm)  # (S, W, nx)
 
+                prec = (None if cfg.bf16_interp else {
+                    "high": jax.lax.Precision.HIGH,
+                    "highest": jax.lax.Precision.HIGHEST,
+                    "default": None,
+                }[cfg.dot_precision])
+
                 def resample(vol):  # (nz, ny, nx) -> (S, H, W)
                     sv = jnp.einsum(
                         "sz,zyx->syx", wz, vol.astype(mm),
-                        preferred_element_type=f32,
+                        preferred_element_type=f32, precision=prec,
                     ).astype(mm)
                     t1 = jnp.einsum(
-                        "syx,swx->syw", sv, wx, preferred_element_type=f32
+                        "syx,swx->syw", sv, wx,
+                        preferred_element_type=f32, precision=prec,
                     ).astype(mm)
                     return jnp.einsum(
-                        "shy,syw->shw", wy, t1, preferred_element_type=f32
+                        "shy,syw->shw", wy, t1,
+                        preferred_element_type=f32, precision=prec,
                     )
 
                 sw = sw + resample(m)
@@ -614,11 +626,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         0.0, 1.0 - jnp.abs(qx[..., None] - k)
                     )  # (S, W, nx)
 
+                    prec = (None if cfg.bf16_interp else {
+                        "high": jax.lax.Precision.HIGH,
+                        "highest": jax.lax.Precision.HIGHEST,
+                        "default": None,
+                    }[cfg.dot_precision])
+
                     def mid(vol):
                         sv = jnp.einsum("sz,zyx->syx", wz, vol,
-                                        preferred_element_type=f32)
+                                        preferred_element_type=f32,
+                                        precision=prec)
                         return jnp.einsum("syx,swx->syw", sv, wx,
-                                          preferred_element_type=f32)
+                                          preferred_element_type=f32,
+                                          precision=prec)
 
                     gate = occ_s[li].any().astype(f32)
                     mdt = jnp.bfloat16 if cfg.bf16_interp else f32
@@ -670,6 +690,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
                     dz, h, w, knots=knots, tf_cull=tf_cull, t_stop=stop,
                     tiles=(cfg.tile_rows, cfg.tile_cols),
+                    dot_precision=("default" if cfg.bf16_interp else cfg.dot_precision),
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
