@@ -327,8 +327,9 @@ def trace_dvr(scene, fs, cfg: RenderConfig, o_world, d_world, offset,
     deterministic analog of the clock heat map, exabrick.cu:1703-1707)."""
     p = o_world.shape[0]
     m = scene.voxel_from_world
-    o = o_world @ m[:, :3].T + m[:, 3]
-    d = d_world @ m[:, :3].T
+    hi = lax.Precision.HIGHEST  # TPU default dot precision is bf16
+    o = jnp.matmul(o_world, m[:, :3].T, precision=hi) + m[:, 3]
+    d = jnp.matmul(d_world, m[:, :3].T, precision=hi)
     dt_scale = jnp.linalg.norm(d, axis=-1)
     d = d / dt_scale[:, None]
 

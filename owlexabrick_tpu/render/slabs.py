@@ -310,8 +310,12 @@ def _slab_field(grids: LevelGrids, zv, y_pos, x_pos, channel: int):
         wy = _tent_matrix(qy, ny)  # (H, ny)
         wx = _tent_matrix(qx, nx)  # (W, nx)
 
-        swv = swv + wy @ v_sl @ wx.T
-        sw = sw + wy @ m_sl @ wx.T
+        # f32-accurate MXU passes (the TPU default dot precision is bf16)
+        hi = jax.lax.Precision.HIGHEST
+        swv = swv + jnp.matmul(jnp.matmul(wy, v_sl, precision=hi),
+                               wx.T, precision=hi)
+        sw = sw + jnp.matmul(jnp.matmul(wy, m_sl, precision=hi),
+                             wx.T, precision=hi)
     return sw, swv
 
 
