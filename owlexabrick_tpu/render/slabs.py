@@ -30,8 +30,11 @@ loop is matmuls and dense vector ops only:
     (exabrick.cu:250-331); inactive slabs are skipped with lax.cond.
 
 This path renders cameras aligned to a principal axis (image plane
-perpendicular to x, y or z).  Arbitrary orientations use the exact
-wavefront path (dvr.py); a final-warp variant is planned.
+perpendicular to x, y or z) directly; arbitrary orientations resample
+the level grids into the camera frame once per orientation
+(reorient_grids — a compile-stable preview; the wavefront path in
+dvr.py remains the exact renderer for tilted views).  Datasets whose
+grids exceed HBM stream through render_slabs_banded.
 """
 
 from __future__ import annotations
