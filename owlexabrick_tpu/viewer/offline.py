@@ -363,6 +363,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             ))
             dt_s = time.time() - t0
         elif fast:
+            if bands > 1:
+                print("#viewer: --bands requires an axis-aligned camera; "
+                      "rendering unbanded")
             if reorient:
                 # tilted view: resample the grids into the camera frame
                 # (fixed rotation-max cube -> orbiting never recompiles)
