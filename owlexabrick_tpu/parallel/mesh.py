@@ -92,7 +92,10 @@ def make_sharded_slab_renderer(mesh: Mesh, cfg, width: int, height: int,
     dir00 along dv).  Devices along "spp" render decorrelated sub-pixel
     offsets, psum-averaged — progressive AA at line rate.
 
-    Returns f(grids, fs, pos, dir00, du, dv, key) -> (H*W, 4) rgba.
+    Returns f(grids, fs, pos, dir00, du, dv, key[, knots]) -> (H*W, 4)
+    rgba.  Pass ``knots`` from ``compress_pwl`` (computed on the host
+    from the concrete LUT) so each device's kernel gets the compressed
+    transfer-function classification too.
     """
     from ..render.slabs import render_slabs
 
@@ -101,7 +104,7 @@ def make_sharded_slab_renderer(mesh: Mesh, cfg, width: int, height: int,
         raise ValueError(f"height {height} not divisible by px={n_px}")
     rows = height // n_px
 
-    def body(grids, fs, pos, dir00, du, dv, key):
+    def body(grids, fs, pos, dir00, du, dv, key, knots=None):
         band = jax.lax.axis_index("px")
         spp = jax.lax.axis_index("spp")
         if jitter:
@@ -114,20 +117,23 @@ def make_sharded_slab_renderer(mesh: Mesh, cfg, width: int, height: int,
             jx = jy = 0.0
         dir00_b = dir00 + (band * rows + jy) * dv + jx * du
         rgba = render_slabs(
-            grids, fs, cfg, pos, dir00_b, du, dv, width, rows
+            grids, fs, cfg, pos, dir00_b, du, dv, width, rows, knots=knots
         )
         n_spp = jax.lax.axis_size("spp")
         return jax.lax.psum(rgba, "spp") / n_spp
 
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P()),
-        out_specs=P("px"),
-        # pallas_call outputs don't carry vma annotations yet
-        check_vma=False,
-    )
-    return jax.jit(fn)
+    def fn(grids, fs, pos, dir00, du, dv, key, knots=None):
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(),) * 7 + ((P(),) if knots is not None else ()),
+            out_specs=P("px"),
+            # pallas_call outputs don't carry vma annotations yet
+            check_vma=False,
+        )(grids, fs, pos, dir00, du, dv, key,
+          *(() if knots is None else (knots,)))
+
+    return jax.jit(fn, static_argnames=())
 
 
 def shard_rays(mesh: Mesh, o: np.ndarray, d: np.ndarray):

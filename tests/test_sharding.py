@@ -137,3 +137,19 @@ def test_sharded_slab_render_matches_single(setup):
         )
     )
     np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-6)
+
+    # with host-compressed TF knots passed through the sharded path
+    from owlexabrick_tpu.render.slabs import compress_pwl
+
+    lut = np.asarray(fs.xf_lut[0])
+    kn = compress_pwl([np.concatenate(
+        [lut[:, :3], lut[:, 3:4] * float(fs.xf_opacity_scale)], axis=1
+    )])
+    assert kn is not None
+    out_k = np.asarray(
+        f(replicate(mesh, grids), replicate(mesh, fs),
+          jnp.asarray(pos), jnp.asarray(dir00), jnp.asarray(du),
+          jnp.asarray(dv), jax.random.PRNGKey(0),
+          jax.tree.map(jnp.asarray, kn))
+    )
+    np.testing.assert_allclose(out_k, single, rtol=1e-5, atol=2e-5)
