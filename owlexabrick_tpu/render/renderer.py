@@ -182,12 +182,10 @@ class Renderer:
         Returns True when active."""
         from .slabs import (
             SlabConfig,
+            camera_to_voxel,
             check_separable,
-            grids_from_scene,
             principal_axis,
         )
-
-        from .slabs import camera_to_voxel
 
         if (
             (self.cfg.num_channels != 1 and self.cfg.iso_surfaces)
@@ -210,27 +208,30 @@ class Renderer:
             + self.height * np.asarray(cam.dir_dv)
         )
         axis = principal_axis(view)
-        # level grids depend only on the sweep axis, not the camera —
-        # cache per axis so orbiting never re-scatters the bricks
-        cache = getattr(self, "_grids_cache", None)
-        if cache is None:
-            cache = self._grids_cache = {}
-
-        def _grids(ax):
-            if ax not in cache:
-                cache[ax] = grids_from_scene(self.scene, axis=ax)
-            return cache[ax]
+        _grids = self._grids_for
 
         if check_separable(cam, axis):
             grids = _grids(axis)
             cam_r = None  # the plain voxel-space camera sweeps directly
         else:
-            # arbitrary orientation: resample the grids into the camera
-            # frame once per orientation (approximate preview; the exact
-            # wavefront path remains ground truth)
-            from .slabs import reorient_grids
+            # arbitrary orientation: exact shear-warp factorization —
+            # sweep an axis-aligned intermediate camera over the same ray
+            # pencil, then one 2-D homography warp (render/shearwarp.py)
+            from .shearwarp import inter_dims, setup_shearwarp
 
-            grids, cam_r = reorient_grids(_grids(2), cam)
+            iw, ih = inter_dims(self.width, self.height)
+            if (
+                setup_shearwarp(cam, axis, self.width, self.height, iw, ih)
+                is not None
+            ):
+                grids = _grids(axis)
+                cam_r = "shearwarp"
+            else:
+                # frustum too oblique for any shear-warp axis: fall back
+                # to the reorientation preview
+                from .slabs import reorient_grids
+
+                grids, cam_r = reorient_grids(_grids(2), cam)
         extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
         finest = float(min(1 << l for l in grids.levels))
         nslabs = int(np.ceil(extent / (float(self.fs.dt) * finest)))
@@ -240,6 +241,18 @@ class Renderer:
             cam_r,
         )
         return True
+
+    def _grids_for(self, axis: int):
+        """Level grids for a sweep axis — cached: they depend only on the
+        axis, not the camera, so orbiting never re-scatters the bricks."""
+        from .slabs import grids_from_scene
+
+        cache = getattr(self, "_grids_cache", None)
+        if cache is None:
+            cache = self._grids_cache = {}
+        if axis not in cache:
+            cache[axis] = grids_from_scene(self.scene, axis=axis)
+        return cache[axis]
 
     def _camera_from_fs(self) -> Camera:
         return Camera(
@@ -253,9 +266,7 @@ class Renderer:
         import dataclasses as _dc
 
         from .dvr import accumulate, pack_rgba8
-        from .slabs import render_slabs_camera
-
-        from .slabs import camera_to_voxel
+        from .slabs import camera_to_voxel, render_slabs_camera
 
         grids, scfg, cam_r = self._fast
         key = jax.random.fold_in(
@@ -264,23 +275,74 @@ class Renderer:
         # per-frame sub-pixel jitter as a whole-grid shift (separability)
         jx = float(jax.random.uniform(jax.random.fold_in(key, 0), ())) - 0.5
         jy = float(jax.random.uniform(jax.random.fold_in(key, 1), ())) - 0.5
-        cam = cam_r if cam_r is not None else camera_to_voxel(
-            self._camera_from_fs(), np.asarray(self.scene.voxel_from_world)
-        )
-        cam = Camera(
-            pos=cam.pos,
-            dir00=cam.dir00 + jx * cam.dir_du + jy * cam.dir_dv,
-            dir_du=cam.dir_du,
-            dir_dv=cam.dir_dv,
-        )
+
+        shear = None
+        if cam_r == "shearwarp":
+            # exact tilted camera: factorize per frame (cheap host math —
+            # orbiting re-derives the axis/lattice without grid rebuilds)
+            from .shearwarp import inter_dims, setup_shearwarp
+            from .slabs import principal_axis
+
+            cam_v = camera_to_voxel(
+                self._camera_from_fs(),
+                np.asarray(self.scene.voxel_from_world),
+            )
+            view = np.asarray(cam_v.dir00) + 0.5 * (
+                self.width * np.asarray(cam_v.dir_du)
+                + self.height * np.asarray(cam_v.dir_dv)
+            )
+            axis = int(np.argmax(np.abs(view)))
+            grids = self._grids_for(axis)
+            extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+            finest = float(min(1 << l for l in grids.levels))
+            scfg = _dc.replace(
+                scfg,
+                nslabs=int(np.ceil(extent / (float(self.fs.dt) * finest))),
+            )
+            iw, ih = inter_dims(self.width, self.height)
+            shear = setup_shearwarp(
+                cam_v, axis, self.width, self.height, iw, ih
+            )
+            if shear is None:
+                # frustum went too oblique mid-orbit: exact wavefront frame
+                self.accum, rgba8_dev, _ = render_step(
+                    self.scene, self.fs, self.surf, self.accum,
+                    cfg=self.cfg, width=self.width, height=self.height,
+                )
+                return np.asarray(rgba8_dev).reshape(
+                    self.height, self.width
+                )
+            # lattice-phase jitter (the intermediate rays move each frame;
+            # the warp compensates so screen positions stay put)
+            kx = jx
+            ky = jy
+            cam = Camera(
+                pos=shear.camera.pos,
+                dir00=shear.camera.dir00
+                + kx * shear.camera.dir_du + ky * shear.camera.dir_dv,
+                dir_du=shear.camera.dir_du,
+                dir_dv=shear.camera.dir_dv,
+            )
+            rw, rh = iw, ih
+        else:
+            cam = cam_r if cam_r is not None else camera_to_voxel(
+                self._camera_from_fs(),
+                np.asarray(self.scene.voxel_from_world),
+            )
+            cam = Camera(
+                pos=cam.pos,
+                dir00=cam.dir00 + jx * cam.dir_du + jy * cam.dir_dv,
+                dir_du=cam.dir_du,
+                dir_dv=cam.dir_dv,
+            )
+            rw, rh = self.width, self.height
+
         bg = jnp.zeros(3)
         t_stop = None
         if self.cfg.iso_surfaces:
             # iso surface pass first: its hit depth caps the volume
             # interval (integrateVolume t1 = min(t1, surface t),
             # exabrick.cu:1675-1680) and its color becomes the background
-            import dataclasses as _dc
-
             from .slabs import (
                 permute_camera,
                 render_slabs_iso,
@@ -297,24 +359,28 @@ class Renderer:
             )
             if not swapped:
                 iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
-                                     du, dv, self.width, self.height,
-                                     return_depth=True)
+                                     du, dv, rw, rh, return_depth=True)
             else:
                 iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
-                                     dv, du, self.height, self.width,
-                                     return_depth=True)
+                                     dv, du, rh, rw, return_depth=True)
                 iso_rgba = iso_rgba.reshape(
-                    self.width, self.height, 4
+                    rw, rh, 4
                 ).transpose(1, 0, 2).reshape(-1, 4)
-                t_stop = t_stop.reshape(
-                    self.width, self.height
-                ).T.reshape(-1)
+                t_stop = t_stop.reshape(rw, rh).T.reshape(-1)
             bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
         rgba = render_slabs_camera(
-            grids, self.fs, scfg, cam, self.width, self.height,
-            t_stop=t_stop,
+            grids, self.fs, scfg, cam, rw, rh, t_stop=t_stop,
         )
         color = composite_background(rgba, bg)
+        if shear is not None:
+            # surfaces and volume composited on intermediate rays; one
+            # screen-space homography warp finishes the frame
+            from .shearwarp import warp_bicubic
+
+            color = warp_bicubic(
+                color, shear, self.width, self.height,
+                jx=0.5 + jx, jy=0.5 + jy, shift_i=kx, shift_j=ky,
+            )
         self.accum, shown = accumulate(color, self.accum, self.fs.frame_id)
         return np.asarray(pack_rgba8(shown)).reshape(self.height, self.width)
 

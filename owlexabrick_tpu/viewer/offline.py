@@ -366,14 +366,31 @@ def main(argv: Optional[List[str]] = None) -> int:
             if bands > 1:
                 print("#viewer: --bands requires an axis-aligned camera; "
                       "rendering unbanded")
+            shear = None
             if reorient:
-                # tilted view: resample the grids into the camera frame
-                # (fixed rotation-max cube -> orbiting never recompiles)
-                from ..render.slabs import reorient_grids
+                # tilted view: exact shear-warp factorization (sweep an
+                # axis-aligned intermediate camera, warp once); grid
+                # reorientation remains the fallback for frusta too
+                # oblique to factorize
+                from ..render.shearwarp import inter_dims, setup_shearwarp
 
-                grids = build_level_grids(cfg.bricks, scene.scalars, axis=2)
-                grids, vcam = reorient_grids(grids, vcam)
-                print("#viewer: fast path via grid reorientation (preview)")
+                grids = build_level_grids(
+                    cfg.bricks, scene.scalars, axis=axis
+                )
+                iw, ih = inter_dims(*size)
+                shear = setup_shearwarp(vcam, axis, size[0], size[1],
+                                        iw, ih)
+                if shear is not None:
+                    print("#viewer: fast path via shear-warp (exact)")
+                else:
+                    from ..render.slabs import reorient_grids
+
+                    grids = build_level_grids(
+                        cfg.bricks, scene.scalars, axis=2
+                    )
+                    grids, vcam = reorient_grids(grids, vcam)
+                    print("#viewer: fast path via grid reorientation "
+                          "(preview)")
             else:
                 grids = build_level_grids(cfg.bricks, scene.scalars, axis=axis)
             extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
@@ -383,10 +400,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                 nslabs=int(np.ceil(extent / (dt * finest))),
             )
             fsd = __import__("jax").tree.map(jnp.asarray, fs)
+            if shear is not None:
+                from ..render.shearwarp import render_slabs_shearwarp
+
+                def _render_one():
+                    return render_slabs_shearwarp(
+                        grids, fsd, scfg, vcam, *size, sw=shear
+                    )
+            else:
+                def _render_one():
+                    return render_slabs_camera(grids, fsd, scfg, vcam, *size)
             t0 = time.time()
             rgba = None
             for f in range(frames):
-                rgba = render_slabs_camera(grids, fsd, scfg, vcam, *size)
+                rgba = _render_one()
                 np.asarray(rgba[:4])
             dt_s = (time.time() - t0) / frames
         if fast:

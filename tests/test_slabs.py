@@ -477,34 +477,47 @@ def test_camera_inside_volume(amr_fixture):
 
 
 def test_reoriented_fast_path_tilted_camera(amr_fixture):
-    """Arbitrary camera orientation through grid reorientation: the
-    preview must approximate the exact wavefront render."""
-    from owlexabrick_tpu.render.renderer import Renderer
+    """Grid-reorientation fallback (used when the frustum is too oblique
+    for shear-warp): the preview must approximate the exact wavefront
+    render."""
+    from owlexabrick_tpu.render.slabs import (
+        camera_to_voxel,
+        render_slabs_camera,
+        reorient_grids,
+    )
 
     from owlexabrick_tpu.pipeline import scene_from_cells
     from owlexabrick_tpu.tools.artificial import parse_grids_text
 
     lower, level, scal = parse_grids_text(EX2)
-    scene, *_ = scene_from_cells(lower, level, [scal])
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
     size = 16
     cam = Camera.look_at([14.0, 11.0, 17.0], [4.0, 4.0, 4.0], [0, 1, 0],
                          35.0, size, size)
     fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
 
-    r1 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
-                  frame_state=fs)
-    exact = r1.render()
-    r2 = Renderer(scene, size, size, cfg=RenderConfig(num_channels=1),
-                  frame_state=fs)
-    assert r2.enable_fast_path()  # reorientation path
-    fast = r2.render()
-    a = exact.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
-    b = fast.view(np.uint8).reshape(size, size, 4)[..., :3].astype(float)
-    rmse = np.sqrt((((a - b) / 255.0) ** 2).mean())
+    dscene = to_device(scene)
+    o, d = cam.rays(size, size)
+    exact = np.asarray(
+        jax.jit(trace_dvr, static_argnames="cfg")(
+            dscene, jax.tree.map(jnp.asarray, fs),
+            RenderConfig(num_channels=1),
+            jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+        )
+    )
+
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
+    grids_rot, cam_rot = reorient_grids(grids, cam)
+    extent = float(grids_rot.bounds_hi[0] - grids_rot.bounds_lo[0])
+    cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent / 0.1)))
+    fast = np.asarray(
+        render_slabs_camera(grids_rot, fs, cfg, cam_rot, size, size)
+    )
+    rmse = np.sqrt(((exact - fast) ** 2).mean())
     # approximate preview: resampling at cell granularity blurs the very
     # coarse 8^3 fixture noticeably; silhouettes must agree
     assert rmse < 0.15, rmse
-    sil_a = a.max(-1) > 10
-    sil_b = b.max(-1) > 10
-    assert (sil_a == sil_b).mean() > 0.9
-    assert a.max() > 30 and b.max() > 30
+    sil_a = exact[:, 3] > 0.05
+    sil_b = fast[:, 3] > 0.05
+    assert (sil_a == sil_b).mean() > 0.85
+    assert exact[:, 3].max() > 0.3 and fast[:, 3].max() > 0.3
