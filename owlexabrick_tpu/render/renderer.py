@@ -316,13 +316,8 @@ class Renderer:
             # the warp compensates so screen positions stay put)
             kx = jx
             ky = jy
-            cam = Camera(
-                pos=shear.camera.pos,
-                dir00=shear.camera.dir00
-                + kx * shear.camera.dir_du + ky * shear.camera.dir_dv,
-                dir_du=shear.camera.dir_du,
-                dir_dv=shear.camera.dir_dv,
-            )
+            lattice = shear.lattice(kx, ky)
+            cam = shear.camera
             rw, rh = iw, ih
         else:
             cam = cam_r if cam_r is not None else camera_to_voxel(
@@ -335,6 +330,7 @@ class Renderer:
                 dir_du=cam.dir_du,
                 dir_dv=cam.dir_dv,
             )
+            lattice = None
             rw, rh = self.width, self.height
 
         bg = jnp.zeros(3)
@@ -359,7 +355,8 @@ class Renderer:
             )
             if not swapped:
                 iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
-                                     du, dv, rw, rh, return_depth=True)
+                                     du, dv, rw, rh, return_depth=True,
+                                     lattice=lattice)
             else:
                 iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
                                      dv, du, rh, rw, return_depth=True)
@@ -370,14 +367,15 @@ class Renderer:
             bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
         rgba = render_slabs_camera(
             grids, self.fs, scfg, cam, rw, rh, t_stop=t_stop,
+            lattice=lattice,
         )
         color = composite_background(rgba, bg)
         if shear is not None:
             # surfaces and volume composited on intermediate rays; one
             # screen-space homography warp finishes the frame
-            from .shearwarp import warp_bicubic
+            from .shearwarp import warp_image
 
-            color = warp_bicubic(
+            color = warp_image(
                 color, shear, self.width, self.height,
                 jx=0.5 + jx, jy=0.5 + jy, shift_i=kx, shift_j=ky,
             )

@@ -2,25 +2,30 @@
 slab sweep (replaces the reorient_grids preview for tilted views).
 
 The slab sweep (render/slabs.py) renders any camera whose rays form a
-uniform lattice in *normalized ray space*: with the sweep axis permuted
-to z, every eye ray is characterized by (xi, eta) = (rx/rz, ry/rz), and
-a separable camera is exactly a uniform (xi, eta) lattice.  An
-arbitrarily oriented perspective camera shares the same eye, so its
-pencil of rays can be covered by an axis-aligned *intermediate* camera:
-a uniform lattice over the bounding box of the real frustum's (xi, eta)
-corner coordinates.  Rendering that intermediate camera with the sweep
-megakernel samples the volume **exactly** (the same tent-matmul basis
-reconstruction as an aligned view — no volume resampling, unlike
-reorient_grids); the screen image is then a single 2-D homography warp
-of the intermediate image, because ray (u, v) has lattice coordinates
+*separable monotone lattice* in normalized ray space: with the sweep
+axis permuted to z, every eye ray is characterized by
+(xi, eta) = (rx/rz, ry/rz), and the sweep's tent-matrix resampling only
+needs xi to depend on the column index and eta on the row index.  An
+arbitrarily oriented perspective camera shares the same eye, so its ray
+pencil is covered by an *intermediate* lattice camera spanning the
+frustum's (xi, eta) bounding box; the screen image is then a single 2-D
+projective warp of the intermediate image, because the screen->lattice
+index map is a composition of homographies.  This is the perspective
+shear-warp factorization (Lacroute & Levoy 1994) built on the MXU
+sweep: volume sampling is exact (the same tent-matmul basis
+reconstruction as an aligned view — no 3-D resampling, unlike
+reorient_grids); the only approximation is the final image resample.
 
-    i(u, v) = (xi(u, v) - xi0) / dxi - 1/2,   xi = rx/rz  (projective),
-
-a ratio of affine forms in (u, v).  This is the perspective shear-warp
-factorization (Lacroute & Levoy 1994) built on the MXU sweep; the only
-approximation versus per-pixel ray marching is the final bilinear image
-resample, so accuracy is controlled by the intermediate oversampling
-factor rather than by a 3-D grid resample per level.
+The lattice is *perspective-adaptive* rather than uniform in xi: lattice
+columns are uniform in center-row screen-u (xi_i = xi(u_i, H/2), a 1-D
+projective map), and rows uniform in center-column screen-v.  Under
+strong tilt a uniform-xi lattice is up to ~5x denser than the screen in
+some regions and sparser in others; the adaptive lattice keeps the
+density ratio near the oversample factor everywhere, which both
+preserves warp accuracy and bounds the Pallas warp kernel's window
+sizes.  The screen->lattice map stays projective (ratio of affine forms
+in (u, v)) because composing the frustum homography with the inverse of
+a 1-D projective lattice map is again projective.
 
 Semantics parity: the intermediate render uses the same slab quadrature,
 opacity correction and TF classification as the aligned fast path
@@ -33,6 +38,7 @@ slab-plane sampling.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,27 +46,53 @@ import numpy as np
 from .camera import Camera
 from .slabs import permute_camera, render_slabs_camera
 
+_PAD = 3  # lattice cells of margin for jitter + bicubic support
+
 
 @dataclass(frozen=True)
 class ShearWarp:
     """Per-(camera, screen-size) shear-warp factorization."""
 
-    camera: Camera  # intermediate axis-aligned camera (voxel frame)
+    camera: Camera  # intermediate camera (voxel frame): pos + sweep sign
     width: int  # intermediate lattice dims (static per screen size)
     height: int
-    # homography rows (P_i, P_j, P_w) over (u, v, 1): lattice coords of
-    # screen position (u, v) are (P_i.q / P_w.q, P_j.q / P_w.q)
-    hom: np.ndarray  # (3, 3) float64
+    # screen->lattice projective map: hom[k] = (num_row, den_row) over
+    # centered screen coords (u - W/2, v - H/2, 1), k = 0 for i, 1 for j
+    hom: np.ndarray  # (2, 2, 3) float64
     axis: int
+    sign: float  # sweep direction (sign of rz)
+    # lattice generators: u(i) = u_lo + (i + phase) * u_step;
+    # xi_i = (a + b u)/(c + d u) with (a, b, c, d) = coef_u
+    u_lo: float
+    u_step: float
+    coef_u: Tuple[float, float, float, float]
+    v_lo: float
+    v_step: float
+    coef_v: Tuple[float, float, float, float]
+    screen: Tuple[int, int]  # (width, height) of the screen
+
+    def lattice(self, kx: float = 0.0, ky: float = 0.0):
+        """Lateral ray components ((iw,), (ih,)) for the sweep, with an
+        optional sub-cell phase shift (kx, ky) for jittered accumulation
+        (compensated in the warp via shift_i/shift_j = kx/ky)."""
+        a, b, c, d = self.coef_u
+        u = self.u_lo + (np.arange(self.width) + kx) * self.u_step
+        xi = (a + b * u) / (c + d * u)
+        a, b, c, d = self.coef_v
+        v = self.v_lo + (np.arange(self.height) + ky) * self.v_step
+        eta = (a + b * v) / (c + d * v)
+        return (
+            (self.sign * xi).astype(np.float32),
+            (self.sign * eta).astype(np.float32),
+        )
 
 
 def inter_dims(width: int, height: int, oversample: float = 1.5):
     """Static intermediate lattice dims for a screen size.
 
-    The (xi, eta) bounding box of a tilted frustum is larger than the
-    screen's own footprint (up to ~2x area at 45 degree tilt/roll);
-    ``oversample`` keeps the lattice at least as dense as the screen
-    rays so the final bilinear warp stays sub-pixel."""
+    The lattice is screen-density-adaptive along its center row/column;
+    ``oversample`` covers the frustum-bbox growth of a tilted view plus
+    the residual cross-axis density variation."""
 
     def up(n, m):
         return -(-n // m) * m
@@ -70,9 +102,46 @@ def inter_dims(width: int, height: int, oversample: float = 1.5):
     return iw, ih
 
 
+def _center_map(d00, dstep, dother, mid, num_comp):
+    """1-D projective map q -> (a + b q)/(c + d q) of the ray coordinate
+    ``num_comp``/z along one screen axis, at the other axis' midline."""
+    a = d00[num_comp] + mid * dother[num_comp]
+    b = dstep[num_comp]
+    c = d00[0] + mid * dother[0]
+    d = dstep[0]
+    return a, b, c, d
+
+
+def _solve_axis(coef, lo, hi, n):
+    """Given xi(u) = (a+bu)/(c+du), find (q_lo, q_step) so the lattice
+    xi(q_lo + i q_step), i in [0, n), covers [lo, hi] with _PAD cells of
+    margin.  Returns None when the map's pole falls inside the range."""
+    a, b, c, d = coef
+
+    def inv(xi):
+        den = b - xi * d
+        if abs(den) < 1e-30:
+            return None
+        return (xi * c - a) / den
+
+    u0 = inv(lo)
+    u1 = inv(hi)
+    if u0 is None or u1 is None:
+        return None
+    q_lo, q_hi = min(u0, u1), max(u0, u1)
+    step = max(q_hi - q_lo, 1e-12) / (n - 1 - 2 * _PAD)
+    q_lo -= _PAD * step
+    q_hi += _PAD * step
+    if abs(d) > 1e-30:
+        pole = -c / d
+        if q_lo - step <= pole <= q_hi + step:
+            return None
+    return q_lo, step
+
+
 def setup_shearwarp(
     camera: Camera, axis: int, width: int, height: int,
-    iw: int, ih: int, min_rz: float = 0.25,
+    iw: int, ih: int, min_rz: float = 0.12,
 ):
     """Factorize ``camera`` (voxel frame) for a sweep along ``axis``.
 
@@ -96,25 +165,17 @@ def setup_shearwarp(
 
     xi = corners[:, 2] / rz
     eta = corners[:, 1] / rz
-    xi0, xi1 = float(xi.min()), float(xi.max())
-    eta0, eta1 = float(eta.min()), float(eta.max())
-    # three lattice cells of pad each side keep screen samples — plus
-    # +-1/2 px screen jitter and +-1/2 cell lattice-phase jitter — inside
-    # the bicubic interior (which needs one extra support cell)
-    pad = 3
-    dxi = max(xi1 - xi0, 1e-12) / (iw - 2 * pad)
-    deta = max(eta1 - eta0, 1e-12) / (ih - 2 * pad)
-    xi0p = xi0 - pad * dxi
-    eta0p = eta0 - pad * deta
+    coef_u = _center_map(d00_p, du_p, dv_p, height / 2.0, 2)
+    coef_v = _center_map(d00_p, dv_p, du_p, width / 2.0, 1)
+    su = _solve_axis(coef_u, float(xi.min()), float(xi.max()), iw)
+    sv = _solve_axis(coef_v, float(eta.min()), float(eta.max()), ih)
+    if su is None or sv is None:
+        return None
+    u_lo, u_step = su
+    v_lo, v_step = sv
 
-    # intermediate camera in the permuted (z, y, x) frame:
-    # r'(i, j) = s * (1, eta0p + (j+.5) deta, xi0p + (i+.5) dxi)
-    d00_i = np.array([s, s * eta0p, s * xi0p])
-    du_i = np.array([0.0, 0.0, s * dxi])
-    dv_i = np.array([0.0, s * deta, 0.0])
-
-    # un-permute back to the voxel frame: grid slot g holds world axis
-    # perm[g] (permute_camera)
+    # un-permute the sweep direction to the voxel frame: grid slot g
+    # holds world axis perm[g] (permute_camera)
     other = [a for a in (2, 1, 0) if a != axis]
     perm = (axis, *other)
 
@@ -126,31 +187,56 @@ def setup_shearwarp(
 
     cam_i = Camera(
         pos=np.asarray(camera.pos, np.float32),
-        dir00=unperm(d00_i),
-        dir_du=unperm(du_i),
-        dir_dv=unperm(dv_i),
+        dir00=unperm(np.array([s, 0.0, 0.0])),
+        dir_du=np.zeros(3, np.float32),
+        dir_dv=np.zeros(3, np.float32),
     )
 
-    # homography: i(u,v) = (num_x - xi0p*den)/(dxi*den) - 1/2 with
-    # num_x, den affine in (u, v); fold the -1/2 into the numerator row
-    def affine(comp):  # (du_coeff, dv_coeff, const) of ray component
-        return np.array([du_p[comp], dv_p[comp], d00_p[comp]])
+    # screen->lattice map over CENTERED screen coords (uc, vc, 1):
+    #   xi(u, v) = Nx.q / Dz.q  (affine rows from the camera vectors)
+    #   u_xi = (c Nx - a Dz) / (b Dz - d Nx)   (invert the 1-D map)
+    #   i = (u_xi - u_lo) / u_step
+    def rows(num_comp):  # affine rows over centered (uc, vc, 1)
+        n = np.array([
+            du_p[num_comp], dv_p[num_comp],
+            d00_p[num_comp]
+            + (width / 2.0) * du_p[num_comp]
+            + (height / 2.0) * dv_p[num_comp],
+        ])
+        return n
 
-    p_w = affine(0)
-    p_i = (affine(2) - xi0p * p_w) / dxi - 0.5 * p_w
-    p_j = (affine(1) - eta0p * p_w) / deta - 0.5 * p_w
-    hom = np.stack([p_i, p_j, p_w])
-    return ShearWarp(camera=cam_i, width=iw, height=ih, hom=hom, axis=axis)
+    n_x, n_y, d_z = rows(2), rows(1), rows(0)
+
+    def compose(coef, n_row, q_lo, q_step):
+        a, b, c, d = coef
+        num = (c * n_row - a * d_z) - q_lo * (b * d_z - d * n_row)
+        den = q_step * (b * d_z - d * n_row)
+        sc = max(np.abs(den).max(), 1e-30)
+        return np.stack([num / sc, den / sc])
+
+    hom = np.stack([
+        compose(coef_u, n_x, u_lo, u_step),
+        compose(coef_v, n_y, v_lo, v_step),
+    ])
+    return ShearWarp(
+        camera=cam_i, width=iw, height=ih, hom=hom, axis=axis, sign=s,
+        u_lo=u_lo, u_step=u_step, coef_u=tuple(map(float, coef_u)),
+        v_lo=v_lo, v_step=v_step, coef_v=tuple(map(float, coef_v)),
+        screen=(width, height),
+    )
 
 
 def _warp_coords(sw: ShearWarp, width, height, jx, jy, shift_i, shift_j):
     hom = jnp.asarray(sw.hom, jnp.float32)
     f32 = jnp.float32
-    uu = jnp.arange(width, dtype=f32)[None, :] + jx  # (1, W)
-    vv = jnp.arange(height, dtype=f32)[:, None] + jy  # (H, 1)
-    den = hom[2, 0] * uu + hom[2, 1] * vv + hom[2, 2]
-    i = (hom[0, 0] * uu + hom[0, 1] * vv + hom[0, 2]) / den - shift_i
-    j = (hom[1, 0] * uu + hom[1, 1] * vv + hom[1, 2]) / den - shift_j
+    uu = jnp.arange(width, dtype=f32)[None, :] + (jx - width / 2.0)
+    vv = jnp.arange(height, dtype=f32)[:, None] + (jy - height / 2.0)
+    i = (hom[0, 0, 0] * uu + hom[0, 0, 1] * vv + hom[0, 0, 2]) / (
+        hom[0, 1, 0] * uu + hom[0, 1, 1] * vv + hom[0, 1, 2]
+    ) - shift_i
+    j = (hom[1, 0, 0] * uu + hom[1, 0, 1] * vv + hom[1, 0, 2]) / (
+        hom[1, 1, 0] * uu + hom[1, 1, 1] * vv + hom[1, 1, 2]
+    ) - shift_j
     return i, j
 
 
@@ -158,12 +244,10 @@ def warp_bilinear(rgba_i, sw: ShearWarp, width: int, height: int,
                   jx=0.5, jy=0.5, shift_i=0.0, shift_j=0.0):
     """Resample the intermediate image to the screen (bilinear).
 
-    rgba_i: (iw*ih, 4) row-major from render_slabs_camera.  jx/jy: screen
+    rgba_i: (iw*ih, C) row-major from render_slabs_camera.  jx/jy: screen
     sub-pixel jitter (dynamic scalars — no recompile per frame).
-    shift_i/shift_j: intermediate-lattice phase shift in lattice cells
-    (when the caller jittered the intermediate camera's dir00 by that
-    fraction of du/dv, the same ray moves to lattice coord i - shift_i).
-    Returns (width*height, 4).
+    shift_i/shift_j: lattice phase used in ShearWarp.lattice(kx, ky).
+    Returns (width*height, C).
     """
     iw, ih = sw.width, sw.height
     f32 = jnp.float32
@@ -180,7 +264,7 @@ def warp_bilinear(rgba_i, sw: ShearWarp, width: int, height: int,
     base = (j0 * iw + i0).reshape(-1)  # (P,)
 
     def tap(off):
-        return jnp.take(img, base + off, axis=1)  # (4, P)
+        return jnp.take(img, base + off, axis=1)  # (C, P)
 
     fi = fi.reshape(-1)[None]
     fj = fj.reshape(-1)[None]
@@ -190,7 +274,7 @@ def warp_bilinear(rgba_i, sw: ShearWarp, width: int, height: int,
         + tap(iw) * (1 - fi) * fj
         + tap(iw + 1) * fi * fj
     )
-    return out.T  # (P, 4)
+    return out.T  # (P, C)
 
 
 def warp_bicubic(rgba_i, sw: ShearWarp, width: int, height: int,
@@ -245,10 +329,25 @@ def warp_bicubic(rgba_i, sw: ShearWarp, width: int, height: int,
     return out.T
 
 
+def warp_image(rgba_i, sw: ShearWarp, width: int, height: int,
+               jx=0.5, jy=0.5, shift_i=0.0, shift_j=0.0):
+    """Default warp: the tile-window Pallas kernel when the homography's
+    derivative bounds fit a window bucket (render/pallas_warp.py),
+    otherwise the XLA bicubic gather."""
+    from .pallas_warp import warp_pallas, warp_windows
+
+    wb = warp_windows(sw, width, height)
+    if wb is not None:
+        return warp_pallas(rgba_i, sw, width, height, *wb,
+                           jx=jx, jy=jy, shift_i=shift_i, shift_j=shift_j)
+    return warp_bicubic(rgba_i, sw, width, height, jx=jx, jy=jy,
+                        shift_i=shift_i, shift_j=shift_j)
+
+
 def render_slabs_shearwarp(grids, fs, cfg, camera, width: int, height: int,
                            sw: ShearWarp | None = None, t_stop=None,
                            jx=0.5, jy=0.5, oversample: float = 1.5,
-                           filter: str = "bicubic"):
+                           filter: str = "auto"):
     """Render an arbitrarily oriented camera exactly through the sweep.
 
     ``camera`` must already be in voxel space; ``grids.axis`` selects the
@@ -264,7 +363,9 @@ def render_slabs_shearwarp(grids, fs, cfg, camera, width: int, height: int,
                 "camera too oblique for shear-warp along this axis"
             )
     rgba_i = render_slabs_camera(
-        grids, fs, cfg, sw.camera, sw.width, sw.height, t_stop=t_stop
+        grids, fs, cfg, sw.camera, sw.width, sw.height, t_stop=t_stop,
+        lattice=sw.lattice(),
     )
-    warp = warp_bicubic if filter == "bicubic" else warp_bilinear
+    warp = {"auto": warp_image, "bicubic": warp_bicubic,
+            "bilinear": warp_bilinear}[filter]
     return warp(rgba_i, sw, width, height, jx=jx, jy=jy)

@@ -419,24 +419,32 @@ class SlabConfig:
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
-                 width: int, height: int, knots=None, t_stop=None):
+                 width: int, height: int, knots=None, t_stop=None,
+                 lattice=None):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
     t1 = min(t1, surface t), exabrick.cu:1675-1680)."""
     """Sweep-render one frame.  Camera vectors must already be permuted to
     the grid frame (z = sweep axis) and separable (check_separable).
 
-    Returns (P, 4) accumulated rgba in pixel-row-major order like
-    trace_dvr.
+    ``lattice``: optional ((W,), (H,)) lateral ray components replacing
+    the affine dir00/du/dv construction — any monotone separable ray
+    lattice sweeps exactly (the shear-warp path uses a perspective-
+    adaptive one).  Returns (P, 4) accumulated rgba in pixel-row-major
+    order like trace_dvr.
     """
     f32 = jnp.float32
     h, w = height, width
     # separable ray components: r(i,j) = dir00 + (i+.5) du + (j+.5) dv
     # with du = (0, 0, dux), dv = (0, dvy, 0) in (z, y, x) frame
-    i = jnp.arange(w, dtype=f32) + 0.5
-    j = jnp.arange(h, dtype=f32) + 0.5
-    rx = cam_dir00[2] + i * cam_du[2]  # du → grid x (check_separable)
-    ry = cam_dir00[1] + j * cam_dv[1]  # dv → grid y
+    if lattice is None:
+        i = jnp.arange(w, dtype=f32) + 0.5
+        j = jnp.arange(h, dtype=f32) + 0.5
+        rx = cam_dir00[2] + i * cam_du[2]  # du → grid x (check_separable)
+        ry = cam_dir00[1] + j * cam_dv[1]  # dv → grid y
+    else:
+        rx = jnp.asarray(lattice[0], f32)
+        ry = jnp.asarray(lattice[1], f32)
     rz = cam_dir00[0]  # constant across pixels
 
     # per-pixel path length per unit z: |r| / |rz|
@@ -772,7 +780,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
 def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                      cam_pos, cam_dir00, cam_du, cam_dv,
-                     width: int, height: int, return_depth: bool = False):
+                     width: int, height: int, return_depth: bool = False,
+                     lattice=None):
     """Slab-sweep implicit iso-surface rendering (fast path).
 
     Detects sign changes of (field - iso) between consecutive slabs per
@@ -788,10 +797,19 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     """
     f32 = jnp.float32
     h, w = height, width
-    i = jnp.arange(w, dtype=f32) + 0.5
-    j = jnp.arange(h, dtype=f32) + 0.5
-    rx = cam_dir00[2] + i * cam_du[2]
-    ry = cam_dir00[1] + j * cam_dv[1]
+    if lattice is None:
+        i = jnp.arange(w, dtype=f32) + 0.5
+        j = jnp.arange(h, dtype=f32) + 0.5
+        rx = cam_dir00[2] + i * cam_du[2]
+        ry = cam_dir00[1] + j * cam_dv[1]
+        dux = cam_du[2]  # pixel step of rx (scalar)
+        dvy = cam_dv[1]
+    else:
+        rx = jnp.asarray(lattice[0], f32)
+        ry = jnp.asarray(lattice[1], f32)
+        # per-column/row pixel steps for the finite-difference gradient
+        dux = jnp.gradient(rx)  # (W,) broadcasts over image columns
+        dvy = jnp.gradient(ry)[:, None]  # (H, 1) broadcasts over rows
     rz = cam_dir00[0]
 
     z_lo = grids.bounds_lo[0]
@@ -851,8 +869,8 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
             val = swv / jnp.where(sw > 1e-20, sw, 1.0)
 
             # screen-space + depth finite differences -> voxel gradient
-            dxs = scale * cam_du[2]  # voxel x per pixel step
-            dys = scale * cam_dv[1]
+            dxs = scale * dux  # voxel x per pixel step (per column if
+            dys = scale * dvy  # a lattice was given)
             gx = (jnp.roll(val, -1, 1) - jnp.roll(val, 1, 1)) / (2.0 * dxs)
             gy = (jnp.roll(val, -1, 0) - jnp.roll(val, 1, 0)) / (2.0 * dys)
             gz = (val - prev_val) / dz * (1.0 if not cfg.flip else -1.0)
@@ -1088,7 +1106,8 @@ def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
 
 
 def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
-                        width: int, height: int, t_stop=None):
+                        width: int, height: int, t_stop=None,
+                        lattice=None):
     """Convenience wrapper: permute/validate the camera, handle the
     swapped du/dv orientation by rendering transposed, pick the sweep
     direction from the view sign.  Returns (P, 4) rgba in row-major pixel
@@ -1096,14 +1115,18 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     import jax
 
     axis = grids.axis
-    m = separable_mapping(camera, axis)
-    if m is None:
-        raise ValueError(
-            "camera is not separable along the grid sweep axis; use the "
-            "wavefront path (trace_dvr) for arbitrary orientations"
-        )
-    (swapped,) = m
-    pos, dir00, du, dv = permute_camera(camera, axis)
+    if lattice is not None:
+        swapped = False
+        pos, dir00, du, dv = permute_camera(camera, axis)
+    else:
+        m = separable_mapping(camera, axis)
+        if m is None:
+            raise ValueError(
+                "camera is not separable along the grid sweep axis; use "
+                "the wavefront path (trace_dvr) for arbitrary orientations"
+            )
+        (swapped,) = m
+        pos, dir00, du, dv = permute_camera(camera, axis)
     flip = bool(dir00[0] < 0)
     cfg = dataclasses.replace(cfg, flip=flip)
 
@@ -1132,7 +1155,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     )
     if not swapped:
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
-                 knots=knots, t_stop=t_stop)
+                 knots=knots, t_stop=t_stop, lattice=lattice)
     if t_stop is not None:
         # the internal render is transposed: internal row = final column
         t_stop = t_stop.reshape(height, width).T.reshape(-1)
