@@ -6,9 +6,12 @@ step is a vmapped batch update over all seeds — one jit call per
 timestep, no pixel coupling.
 
 Lifecycle parity (exa/OptixRenderer.cpp:450-487):
-  * seeds are drawn uniformly inside a fractional ``seed_region`` of the
-    voxel-space bounds (deterministic PRNG; the reference uses
-    std::default_random_engine(0) whose exact stream we do not reproduce)
+  * seeds reproduce the reference's stream bit-for-bit: libstdc++
+    ``std::default_random_engine(0)`` (minstd_rand0, seed 0 -> state 1)
+    through ``std::uniform_real_distribution<float>``, with GCC's
+    right-to-left constructor-argument evaluation of
+    ``vec3f(x(engine),y(engine),z(engine))`` (z draws first) —
+    golden-tested against a g++-compiled oracle in tests/test_tracer_seed.py
   * one RK4 step per frame with step length ``steplen``; a particle dies
     (position := 2e10 sentinel) when any sub-sample is invalid, it leaves
     the bounds, or it moved less than 1e-10
@@ -29,6 +32,26 @@ from .dvr import locate_leaf, sample_basis
 from .surfaces import SurfaceData
 
 
+def minstd0_uniform_f32(n: int, seed: int = 0) -> np.ndarray:
+    """n float32 draws of libstdc++'s
+    ``uniform_real_distribution<float>(0,1)(default_random_engine(seed))``.
+
+    minstd_rand0: x' = 16807*x mod (2^31-1); seed 0 maps to state 1.
+    generate_canonical<float> uses one engine call: (x - 1) / R with
+    R = float(2^31 - 2) which rounds to 2^31, all in float32 arithmetic.
+    """
+    m = 2147483647
+    x = seed % m
+    if x == 0:
+        x = 1
+    out = np.empty(n, np.uint32)
+    for i in range(n):
+        x = (16807 * x) % m
+        out[i] = x
+    return ((out - 1).astype(np.float32)
+            / np.float32(2147483648.0)).astype(np.float32)
+
+
 def seed_traces(
     num_traces: int,
     bounds_lo,
@@ -37,12 +60,20 @@ def seed_traces(
     seed_region_hi=(1.0, 1.0, 1.0),
     seed: int = 0,
 ) -> np.ndarray:
-    """(N, 3) uniform seeds in the fractional seed region of the bounds."""
-    size = np.asarray(bounds_hi, np.float64) - np.asarray(bounds_lo, np.float64)
-    lo = np.asarray(bounds_lo) + np.asarray(seed_region_lo) * size
-    hi = np.asarray(bounds_lo) + np.asarray(seed_region_hi) * size
-    rng = np.random.default_rng(seed)
-    return rng.uniform(lo, hi, (num_traces, 3)).astype(np.float32)
+    """(N, 3) seeds exactly matching resetTracer
+    (exa/OptixRenderer.cpp:450-462): per-axis
+    ``uniform_real_distribution<float>(region_lo*size, region_hi*size)``
+    — relative to the bounds *size* only, like the reference (which
+    assumes voxel bounds start at 0) — drawn z, then y, then x per point
+    (GCC evaluates the vec3f ctor arguments right to left)."""
+    size = (
+        np.asarray(bounds_hi, np.float32) - np.asarray(bounds_lo, np.float32)
+    )
+    a = (np.asarray(seed_region_lo, np.float32) * size).astype(np.float32)
+    b = (np.asarray(seed_region_hi, np.float32) * size).astype(np.float32)
+    u = minstd0_uniform_f32(3 * num_traces, seed).reshape(num_traces, 3)
+    u = u[:, ::-1]  # draw order z, y, x -> columns x, y, z
+    return (u * (b - a) + a).astype(np.float32)
 
 
 def _sample_velocity(scene, pos, channels: Tuple[int, int, int]):
