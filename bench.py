@@ -73,6 +73,7 @@ def main():
         num_channels=1,
         nslabs=nslabs or int(np.ceil(extent / 1.0)),
         chunk=12,
+        extent_z=extent,
     )
 
     # warm-up / compile

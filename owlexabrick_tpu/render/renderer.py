@@ -187,15 +187,9 @@ class Renderer:
             principal_axis,
         )
 
-        if (
-            (self.cfg.num_channels != 1 and self.cfg.iso_surfaces)
-            or self.cfg.ao_samples > 0
-            or self.cfg.gradient_shading_dvr
-            or self.surf.num_tris > 0
-            or self.surf.num_segments > 0
-            or bool(self.fs.clip_enabled)
-            or bool(np.any(self.fs.contour_enabled))
-        ):
+        if self.cfg.ao_samples > 0:
+            # ambient occlusion needs incoherent secondary rays — the
+            # wavefront path renders it exactly
             self._fast = None
             return False
         # the sweep operates in voxel space (remap transform applied to
@@ -237,7 +231,14 @@ class Renderer:
         nslabs = int(np.ceil(extent / (float(self.fs.dt) * finest)))
         self._fast = (
             grids,
-            SlabConfig(num_channels=self.cfg.num_channels, nslabs=nslabs),
+            SlabConfig(
+                num_channels=self.cfg.num_channels,
+                nslabs=nslabs,
+                extent_z=extent,
+                gradient_shading_dvr=self.cfg.gradient_shading_dvr,
+                gradient_shading_iso=self.cfg.gradient_shading_iso,
+                colormap_channel=self.cfg.colormap_channel,
+            ),
             cam_r,
         )
         return True
@@ -261,6 +262,45 @@ class Renderer:
             dir_du=np.asarray(self.fs.cam_du),
             dir_dv=np.asarray(self.fs.cam_dv),
         )
+
+    def _sweep_rays_world(self, grids, cam, lattice, rw: int, rh: int):
+        """Per-pixel world rays matching the sweep parameterization.
+
+        The sweep advances p = o + s*r along the (possibly lattice-
+        generated) voxel-frame ray r; a world-space hit at parameter t
+        along the unit direction corresponds to sweep scale s = t/|r_w|.
+        Returns (o_w (P,3), d_unit (P,3), rnorm (P,))."""
+        from .slabs import permute_camera
+
+        axis = grids.axis
+        if lattice is not None:
+            _, dir00, _, _ = permute_camera(cam, axis)
+            rx = np.asarray(lattice[0], np.float32)
+            ry = np.asarray(lattice[1], np.float32)
+            rp = np.empty((rh, rw, 3), np.float32)
+            rp[..., 0] = float(dir00[0])
+            rp[..., 1] = ry[:, None]
+            rp[..., 2] = rx[None, :]
+            other = [a for a in (2, 1, 0) if a != axis]
+            perm = (axis, *other)
+            rv = np.empty((rh, rw, 3), np.float32)
+            for k, pax in enumerate(perm):
+                rv[..., pax] = rp[..., k]
+        else:
+            i = np.arange(rw, dtype=np.float32) + 0.5
+            j = np.arange(rh, dtype=np.float32) + 0.5
+            rv = (
+                np.asarray(cam.dir00)[None, None]
+                + i[None, :, None] * np.asarray(cam.dir_du)[None, None]
+                + j[:, None, None] * np.asarray(cam.dir_dv)[None, None]
+            )
+        r = np.asarray(self.scene.voxel_from_world)[:, :3]
+        dw = rv.reshape(-1, 3) @ np.linalg.inv(r).T.astype(np.float32)
+        rnorm = np.linalg.norm(dw, axis=-1).astype(np.float32)
+        o_w = np.broadcast_to(
+            np.asarray(self.fs.cam_pos, np.float32), dw.shape
+        )
+        return o_w, (dw / rnorm[:, None]).astype(np.float32), rnorm
 
     def _render_fast(self) -> np.ndarray:
         import dataclasses as _dc
@@ -298,6 +338,7 @@ class Renderer:
             scfg = _dc.replace(
                 scfg,
                 nslabs=int(np.ceil(extent / (float(self.fs.dt) * finest))),
+                extent_z=extent,
             )
             iw, ih = inter_dims(self.width, self.height)
             shear = setup_shearwarp(
@@ -335,10 +376,45 @@ class Renderer:
 
         bg = jnp.zeros(3)
         t_stop = None
+        t_start = None
+
+        # geometric surface pass: meshes, streamlines, contour planes on
+        # the sweep's own rays (traceSurfaces, exabrick.cu:1475-1529);
+        # implicit iso surfaces are rendered by the slab iso sweep below
+        include_contours = bool(np.any(self.fs.contour_enabled))
+        need_surf = (
+            self.surf.num_tris > 0
+            or self.surf.num_segments > 0
+            or include_contours
+        )
+        clip = bool(self.fs.clip_enabled)
+        t_surf = None
+        if need_surf or clip:
+            o_w, d_unit, rnorm = self._sweep_rays_world(
+                grids, cam, lattice, rw, rh
+            )
+        if need_surf:
+            from .surfaces import trace_surface_pass
+
+            key_s = jax.random.fold_in(key, 3)
+            fsurf = jax.jit(
+                trace_surface_pass,
+                static_argnames=("cfg", "include_iso", "include_contours"),
+            )
+            t_w, bg_s = fsurf(
+                self.scene, self.fs, self.surf, self.cfg,
+                o_w, d_unit, key_s,
+                include_iso=False, include_contours=include_contours,
+            )
+            t_surf = t_w / rnorm  # world t -> sweep scale
+            t_stop = t_surf
+            bg = bg_s
+
         if self.cfg.iso_surfaces:
-            # iso surface pass first: its hit depth caps the volume
-            # interval (integrateVolume t1 = min(t1, surface t),
-            # exabrick.cu:1675-1680) and its color becomes the background
+            # iso sweep: its hit depth caps the volume interval
+            # (integrateVolume t1 = min(t1, surface t),
+            # exabrick.cu:1675-1680); nearest of iso/geometry wins as the
+            # background (traceSurfaces comparator)
             from .slabs import (
                 permute_camera,
                 render_slabs_iso,
@@ -354,20 +430,46 @@ class Renderer:
                 static_argnames=("cfg", "width", "height", "return_depth"),
             )
             if not swapped:
-                iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
-                                     du, dv, rw, rh, return_depth=True,
-                                     lattice=lattice)
+                iso_rgba, t_iso = f(grids, self.fs, icfg, pos, dir00,
+                                    du, dv, rw, rh, return_depth=True,
+                                    lattice=lattice)
             else:
-                iso_rgba, t_stop = f(grids, self.fs, icfg, pos, dir00,
-                                     dv, du, rh, rw, return_depth=True)
+                iso_rgba, t_iso = f(grids, self.fs, icfg, pos, dir00,
+                                    dv, du, rh, rw, return_depth=True)
                 iso_rgba = iso_rgba.reshape(
                     rw, rh, 4
                 ).transpose(1, 0, 2).reshape(-1, 4)
-                t_stop = t_stop.reshape(rw, rh).T.reshape(-1)
-            bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
+                t_iso = t_iso.reshape(rw, rh).T.reshape(-1)
+            iso_bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
+            if t_surf is None:
+                bg = iso_bg
+                t_stop = t_iso
+            else:
+                iso_wins = t_iso < t_surf
+                bg = jnp.where(iso_wins[:, None], iso_bg, bg)
+                t_stop = jnp.minimum(t_iso, t_surf)
+
+        if clip:
+            # clip box shrinks the volume interval only (clipRay,
+            # exabrick.cu:1258-1264); surfaces render unclipped
+            from .dvr import ray_box
+
+            p = rw * rh
+            t_end_w = (
+                t_stop * rnorm if t_stop is not None
+                else jnp.full(p, 2e10, jnp.float32)
+            )
+            chit, c0, c1 = ray_box(
+                jnp.asarray(o_w), jnp.asarray(d_unit),
+                jnp.asarray(self.fs.clip_lo), jnp.asarray(self.fs.clip_hi),
+                jnp.zeros(p, jnp.float32), t_end_w,
+            )
+            t_start = jnp.where(chit, c0, jnp.inf) / rnorm
+            t_stop = jnp.where(chit, c1, 0.0) / rnorm
+
         rgba = render_slabs_camera(
             grids, self.fs, scfg, cam, rw, rh, t_stop=t_stop,
-            lattice=lattice,
+            lattice=lattice, t_start=t_start,
         )
         color = composite_background(rgba, bg)
         if shear is not None:

@@ -322,6 +322,95 @@ def _slab_field(grids: LevelGrids, zv, y_pos, x_pos, channel: int):
     return sw, swv
 
 
+def _dtent_matrix(q: Array, n: int) -> Array:
+    """(len(q), n) derivative of the tent weights w.r.t. q.
+
+    Half-open support [-1, 1) with -1 on [k, k+1) and +1 on [k-1, k), so
+    at lattice points the derivative is the forward-cell slope v1-v0 —
+    the same one-sided convention as the reference's analytic
+    addBasisFunctions derivative terms (exabrick.cu:667-775)."""
+    k = jnp.arange(n, dtype=q.dtype)
+    d = q[:, None] - k[None, :]
+    return jnp.where(
+        (d >= -1.0) & (d < 1.0), jnp.where(d >= 0.0, -1.0, 1.0), 0.0
+    )
+
+
+def _slab_field_ch(grids: LevelGrids, zv, y_pos, x_pos, num_channels: int,
+                   need_grad: bool = False):
+    """Multi-channel slab-plane reconstruction with optional analytic
+    gradients.
+
+    Returns (sw (H,W), swv list[(H,W)] per channel, dsw (3,H,W) or None,
+    dswv list[(3,H,W)] or None) where the gradient axes are the grid
+    (z, y, x) frame.  The caller combines them with the quotient-rule
+    numerator sw*dswv - swv*dsw, exactly like samplePointWithDerivative
+    (exabrick.cu:916-921)."""
+    sw = 0.0
+    swv = [0.0] * num_channels
+    dsw = [0.0, 0.0, 0.0] if need_grad else None
+    dswv = [[0.0, 0.0, 0.0] for _ in range(num_channels)] if need_grad else None
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)  # noqa: E731
+    for li, L in enumerate(grids.levels):
+        cw = float(1 << L)
+        m = grids.masks[li]
+        org = grids.origins[li]
+        nz, ny, nx = m.shape
+
+        qz = zv / cw - org[0] - 0.5
+        k0 = jnp.floor(qz)
+        fz = qz - k0
+        k0_int = k0.astype(jnp.int32)
+        k0i = jnp.clip(k0_int, 0, nz - 1)
+        k1i = jnp.clip(k0_int + 1, 0, nz - 1)
+        ok0 = (k0 >= 0) & (k0 <= nz - 1)
+        ok1 = (k0 + 1 >= 0) & (k0 + 1 <= nz - 1)
+        w0 = jnp.where(ok0, 1.0 - fz, 0.0)
+        w1 = jnp.where(ok1, fz, 0.0)
+
+        qy = y_pos / cw - org[1] - 0.5
+        qx = x_pos / cw - org[2] - 0.5
+        wy = _tent_matrix(qy, ny)  # (H, ny)
+        wx = _tent_matrix(qx, nx)  # (W, nx)
+        if need_grad:
+            # brick-local-unit derivatives: the reference's
+            # INV_CELL_WIDTH is hardcoded to 1 (exabrick.cu:641), so no
+            # 1/cellWidth factor when accumulating across levels
+            dwy = _dtent_matrix(qy, ny)
+            dwx = _dtent_matrix(qx, nx)
+
+        def zsl(v):
+            a = lax.dynamic_index_in_dim(v, k0i, 0, keepdims=False)
+            b = lax.dynamic_index_in_dim(v, k1i, 0, keepdims=False)
+            return w0 * a + w1 * b
+
+        def dzsl(v):
+            a = lax.dynamic_index_in_dim(v, k0i, 0, keepdims=False)
+            b = lax.dynamic_index_in_dim(v, k1i, 0, keepdims=False)
+            return jnp.where(ok1, b, 0.0) - jnp.where(ok0, a, 0.0)
+
+        planes = [zsl(m)] + [zsl(grids.vals[li][c]) for c in range(num_channels)]
+        res = [mm(mm(wy, p), wx.T) for p in planes]
+        sw = sw + res[0]
+        for c in range(num_channels):
+            swv[c] = swv[c] + res[1 + c]
+
+        if need_grad:
+            dplanes = [dzsl(m)] + [
+                dzsl(grids.vals[li][c]) for c in range(num_channels)
+            ]
+            for idx, (p, dp) in enumerate(zip(planes, dplanes)):
+                gz = mm(mm(wy, dp), wx.T)
+                gy = mm(mm(dwy, p), wx.T)
+                gx = mm(mm(wy, p), dwx.T)
+                tgt = dsw if idx == 0 else dswv[idx - 1]
+                tgt[0] = tgt[0] + gz
+                tgt[1] = tgt[1] + gy
+                tgt[2] = tgt[2] + gx
+    return sw, swv, dsw, dswv
+
+
 def _pwl_breakpoints(lut: np.ndarray, err_tol: float):
     """Sparsest breakpoint set whose reconstruction of ``lut`` stays
     within err_tol at every texel; the LUT comes from float32 control
@@ -415,15 +504,33 @@ class SlabConfig:
     # "high" (bf16x3, ~f32 accurate) default; "highest" (full f32);
     # bf16_interp=True overrides to "default" (single bf16 pass)
     dot_precision: str = "high"
+    # iso shading: analytic basis gradients (gradientShadingISO,
+    # exabrick.cu:1060-1073); False = unshaded TF color like the reference
+    gradient_shading_iso: bool = True
+    # DVR headlight gradient shading (integrateVolume, exabrick.cu:1004-1010);
+    # forces the non-megakernel lane
+    gradient_shading_dvr: bool = False
+    # secondary channel used to colormap iso surfaces through the channel-0
+    # LUT (LaunchParams colormapChannel, exabrick.cu:1079-1085)
+    colormap_channel: int = 0
+    # static sweep extent along z (bounds_hi[0]-bounds_lo[0]); when set,
+    # each chunk's z-interpolation contracts only the ~chunk*dz/cw lattice
+    # rows its tent weights can touch (a dynamic slice) instead of the
+    # level's whole z range — the hierarchical-z analog of space skipping,
+    # ~nz/KZ x less MXU work at large volumes
+    extent_z: float = 0.0
 
 
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
                  width: int, height: int, knots=None, t_stop=None,
-                 lattice=None):
+                 lattice=None, t_start=None):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
-    t1 = min(t1, surface t), exabrick.cu:1675-1680)."""
+    t1 = min(t1, surface t), exabrick.cu:1675-1680).  t_start: optional
+    (P,) parameter before which it is not integrated (the clip box
+    entry, clipRay exabrick.cu:1258-1264); requires the einsum lane
+    (set megakernel=False when clipping)."""
     """Sweep-render one frame.  Camera vectors must already be permuted to
     the grid frame (z = sweep axis) and separable (check_separable).
 
@@ -517,7 +624,12 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         lvl_occ.append((o0 + o1) > 0.0)  # (nslabs,)
 
     s_chunk = cfg.chunk
-    if cfg.megakernel:
+    # DVR gradient shading needs the per-sample gradient images and the
+    # clip-box entry needs per-pixel interval starts — neither is in the
+    # fused megakernel; those configurations use the einsum lane
+    mega = (cfg.megakernel and not cfg.gradient_shading_dvr
+            and t_start is None)
+    if mega:
         # cap the chunk so the megakernel's mid blocks ((1+C) x S x NY x tc
         # floats) fit VMEM with headroom
         ny_total = sum(m.shape[1] for m in grids.masks)
@@ -528,17 +640,52 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         )
         s_chunk = min(s_chunk, cap)
     n_chunks = -(-cfg.nslabs // s_chunk)
-    # pad slab tables to a whole number of chunks (padded slabs inactive)
+    # pad slab tables to a whole number of chunks (padded slabs inactive;
+    # pad z with the last real plane so the z-window slice below stays
+    # anchored to the chunk's real slabs)
     pad = n_chunks * s_chunk - cfg.nslabs
-    z_planes_p = jnp.concatenate([z_planes, jnp.zeros(pad, f32)])
+    z_planes_p = jnp.concatenate(
+        [z_planes, jnp.broadcast_to(z_planes[-1:], (pad,))]
+    )
     act_p = jnp.concatenate([act, jnp.zeros(pad, bool)])
     lvl_occ_p = [jnp.concatenate([o, jnp.zeros(pad, bool)]) for o in lvl_occ]
+
+    def z_window(li: int):
+        """Static per-level z-slice length a chunk's tents can touch, or
+        None to use the level's full z range."""
+        if cfg.extent_z <= 0.0:
+            return None
+        cw = float(1 << grids.levels[li])
+        nz = grids.masks[li].shape[0]
+        kz = int(np.ceil(s_chunk * (cfg.extent_z / cfg.nslabs) / cw)) + 2
+        return None if kz >= nz else kz
+
+    def z_weights_slice(qz, li: int):
+        """(wz builder, vol slicer) for one chunk at one level: tent
+        weights over either the full z range or a dynamic window."""
+        nz = grids.masks[li].shape[0]
+        kz = z_window(li)
+        if kz is None:
+            return (lambda mat=_tent_matrix: mat(qz, nz)), (lambda vol: vol), nz
+        k_lo = jnp.clip(
+            jnp.floor(qz.min()).astype(jnp.int32), 0, nz - kz
+        )
+        qz_w = qz - k_lo.astype(qz.dtype)
+        return (
+            (lambda mat=_tent_matrix: mat(qz_w, kz)),
+            (lambda vol: lax.dynamic_slice_in_dim(vol, k_lo, kz, axis=0)),
+            kz,
+        )
+
+    need_grad = cfg.gradient_shading_dvr
 
     def chunk_fields(z_s, live_s, occ_s):
         """Batched field reconstruction for S slab planes.
 
         z_s: (S,), live_s: (S,) bool, occ_s: list[(S,) bool] per level.
-        Returns per channel (sw, swv) of shape (S, H, W)."""
+        Returns (sw, swv per channel, dsw, dswv) of shape (S, H, W); the
+        d-terms ((3, S, H, W) grid-frame z/y/x partials) are None unless
+        ``cfg.gradient_shading_dvr``."""
         s = z_s.shape[0]
         scale = (z_s - oz) / rz  # (S,)
         y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
@@ -547,8 +694,12 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         # derive the zeros from the ray positions so carries keep their
         # varying mesh axes under shard_map
         z0 = 0.0 * y_pos[:, :, None] + 0.0 * x_pos[:, None, :]
-        sw = jnp.zeros((s, h, w), f32) + z0
-        swv = [jnp.zeros((s, h, w), f32) + z0 for _ in range(cfg.num_channels)]
+        zero = jnp.zeros((s, h, w), f32) + z0
+        sw = zero
+        swv = [zero for _ in range(cfg.num_channels)]
+        dsw = jnp.zeros((3, s, h, w), f32) + z0[None] if need_grad else None
+        dswv = ([jnp.zeros((3, s, h, w), f32) + z0[None]
+                 for _ in range(cfg.num_channels)] if need_grad else None)
         for li, L in enumerate(grids.levels):
             cw = float(1 << L)
             m = grids.masks[li]
@@ -556,9 +707,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             nz, ny, nx = m.shape
 
             def level_contrib(args):
-                sw, swv = args
+                sw, swv, dsw, dswv = args
                 qz = z_s / cw - org[0] - 0.5
-                wz = _tent_matrix(qz, nz).astype(mm)  # (S, nz)
+                wz_fn, vol_z, _kz = z_weights_slice(qz, li)
+                wz = wz_fn().astype(mm)  # (S, nz or KZ)
                 qy = y_pos / cw - org[1] - 0.5  # (S, H)
                 qx = x_pos / cw - org[2] - 0.5  # (S, W)
                 k = jnp.arange(ny, dtype=f32)
@@ -576,17 +728,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     "default": None,
                 }[cfg.dot_precision])
 
-                def resample(vol):  # (nz, ny, nx) -> (S, H, W)
+                def resample(vol, wz_=None, wy_=None, wx_=None):
+                    # (nz, ny, nx) -> (S, H, W)
                     sv = jnp.einsum(
-                        "sz,zyx->syx", wz, vol.astype(mm),
+                        "sz,zyx->syx", wz if wz_ is None else wz_,
+                        vol_z(vol).astype(mm),
                         preferred_element_type=f32, precision=prec,
                     ).astype(mm)
                     t1 = jnp.einsum(
-                        "syx,swx->syw", sv, wx,
+                        "syx,swx->syw", sv, wx if wx_ is None else wx_,
                         preferred_element_type=f32, precision=prec,
                     ).astype(mm)
                     return jnp.einsum(
-                        "shy,syw->shw", wy, t1,
+                        "shy,syw->shw", wy if wy_ is None else wy_, t1,
                         preferred_element_type=f32, precision=prec,
                     )
 
@@ -595,12 +749,40 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     swv[c] + resample(grids.vals[li][c])
                     for c in range(cfg.num_channels)
                 ]
-                return sw, swv
+                if need_grad:
+                    # local-unit derivatives (INV_CELL_WIDTH == 1,
+                    # exabrick.cu:641): no 1/cw factor
+                    dwz = wz_fn(_dtent_matrix).astype(mm)
+                    dy = qy[..., None] - jnp.arange(ny, dtype=f32)
+                    dwy = jnp.where(
+                        (dy >= -1.0) & (dy < 1.0),
+                        jnp.where(dy >= 0.0, -1.0, 1.0), 0.0,
+                    ).astype(mm)
+                    dx = qx[..., None] - jnp.arange(nx, dtype=f32)
+                    dwx = jnp.where(
+                        (dx >= -1.0) & (dx < 1.0),
+                        jnp.where(dx >= 0.0, -1.0, 1.0), 0.0,
+                    ).astype(mm)
 
-            sw, swv = lax.cond(
-                occ_s[li].any(), level_contrib, lambda a: a, (sw, swv)
+                    def grad3(vol):
+                        return jnp.stack([
+                            resample(vol, wz_=dwz),
+                            resample(vol, wy_=dwy),
+                            resample(vol, wx_=dwx),
+                        ])
+
+                    dsw = dsw + grad3(m)
+                    dswv = [
+                        dswv[c] + grad3(grids.vals[li][c])
+                        for c in range(cfg.num_channels)
+                    ]
+                return sw, swv, dsw, dswv
+
+            sw, swv, dsw, dswv = lax.cond(
+                occ_s[li].any(), level_contrib, lambda a: a,
+                (sw, swv, dsw, dswv),
             )
-        return sw, swv
+        return sw, swv, dsw, dswv
 
     def chunk_body(state):
         ci, color, alpha = state
@@ -616,7 +798,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         def active_chunk(color_alpha):
             color, alpha = color_alpha
 
-            if cfg.megakernel:
+            if mega:
                 # megakernel lane: z/x resampling to small per-level mids,
                 # then one pallas pass does y-interp + classification +
                 # compositing (see pallas_sweep.py)
@@ -634,7 +816,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     org = grids.origins[li]
                     nz, ny, nx = m.shape
                     qz = z_s / cw - org[0] - 0.5
-                    wz = _tent_matrix(qz, nz)  # (S, nz)
+                    wz_fn, vol_z, _kz = z_weights_slice(qz, li)
+                    wz = wz_fn()  # (S, nz or KZ)
                     qx = x_pos / cw - org[2] - 0.5  # (S, W)
                     k = jnp.arange(nx, dtype=f32)
                     wx = jnp.maximum(
@@ -648,7 +831,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     }[cfg.dot_precision])
 
                     def mid(vol):
-                        sv = jnp.einsum("sz,zyx->syx", wz, vol,
+                        sv = jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
                                         preferred_element_type=f32,
                                         precision=prec)
                         return jnp.einsum("syx,swx->syw", sv, wx,
@@ -711,13 +894,17 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
                 return color, alpha
 
-            sw, swv = chunk_fields(z_s, live, occ_s)
+            sw, swv, dsw, dswv = chunk_fields(z_s, live, occ_s)
             if t_stop is not None:
                 scale = (z_s - oz) / rz
                 in_front = scale[:, None, None] < t_stop.reshape(h, w)[None]
                 sw = jnp.where(in_front, sw, 0.0)
+            if t_start is not None:
+                scale = (z_s - oz) / rz
+                after = scale[:, None, None] >= t_start.reshape(h, w)[None]
+                sw = jnp.where(after, sw, 0.0)
 
-            if cfg.num_channels == 1:
+            if cfg.num_channels == 1 and not need_grad:
                 # single-channel fast lane: classification + front-to-back
                 # compositing fused in one pallas pass over the chunk
                 from .pallas_xf import composite_chunk
@@ -731,12 +918,33 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 # associative prefix-product merge over the chunk
                 from .pallas_xf import classify_field
 
+                if need_grad:
+                    # headlight shading per sample (integrateVolume,
+                    # exabrick.cu:1004-1010): scale rgb by |L.g|/(|g||L|)
+                    # with L = -ray dir, when |g| > finest_cw * 1e-6;
+                    # g is the analytic quotient-rule basis gradient
+                    finest = float(1 << min(grids.levels))
+                    dirn = jnp.stack([
+                        jnp.broadcast_to(rz, (h, w)),
+                        jnp.broadcast_to(ry[:, None], (h, w)),
+                        jnp.broadcast_to(rx[None, :], (h, w)),
+                    ])  # (3, H, W), unnormalized; |L| folded into shade
+                    dl = jnp.sqrt((dirn * dirn).sum(0))
+
                 slab_a = jnp.zeros_like(sw)
                 slab_rgb = jnp.zeros((3,) + sw.shape, f32)
                 for c in range(cfg.num_channels):
                     r, g, b, a = classify_field(
                         sw, swv[c], sec, luts[c], fs.xf_domain[c], dz
                     )
+                    if need_grad:
+                        gv = sw[None] * dswv[c] - swv[c][None] * dsw
+                        gl = jnp.sqrt((gv * gv).sum(0))  # (S, H, W)
+                        ndl = jnp.abs(
+                            (dirn[:, None] * gv).sum(0)
+                        ) / jnp.maximum(gl * dl[None], 1e-30)
+                        shade = jnp.where(gl > finest * 1e-6, ndl, 1.0)
+                        r, g, b = r * shade, g * shade, b * shade
                     take = live[:, None, None]
                     contrib = jnp.where(take, (1.0 - slab_a) * a, 0.0)
                     slab_rgb = slab_rgb + contrib[None] * jnp.stack([r, g, b])
@@ -784,12 +992,24 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                      lattice=None):
     """Slab-sweep implicit iso-surface rendering (fast path).
 
-    Detects sign changes of (field - iso) between consecutive slabs per
-    pixel (the slab analog of the reference's per-ray crossing detection,
-    exabrick.cu:1018-1114); shades with a screen/depth finite-difference
-    gradient (.3 + .7 |N.L|, exabrick.cu:1092-1098).  The surface color is
-    the transfer function at the iso value (the reference resamples at the
-    crossing point, which lies on the iso level set).
+    Mirrors IsoSurfaceIntegrationFunction (exabrick.cu:1018-1114) on the
+    slab lattice:
+
+      * per-iso ``fs.iso_channel`` selects which channel's field is
+        tested for sign changes between the last *valid* sample and the
+        current one (validity persists across holes/culled slabs, like
+        the reference's per-ray lastCellValue)
+      * the hit parameter is the distance-weighted average
+        t = t_prev*w1 + t*w2 with w1 = d2/(d1+d2) (exabrick.cu:1047-1053);
+        the field value there is exactly the iso value, so the surface
+        color is the channel's transfer function at iso
+      * with ``cfg.gradient_shading_iso`` the normal is the analytic
+        quotient-rule basis gradient (samplePointWithDerivative) lerped
+        to the crossing; shade = .3 + .7|N.L| (exabrick.cu:1092-1098);
+        without it the color is unshaded, like the reference
+      * ``cfg.colormap_channel`` != 0 recolors hits by resampling that
+        channel at the crossing through the channel-0 LUT
+        (exabrick.cu:1079-1085)
 
     Returns (P, 4) rgba with alpha 1 at hits; with ``return_depth`` also
     the per-pixel sweep parameter t of the first crossing (inf at
@@ -797,19 +1017,15 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     """
     f32 = jnp.float32
     h, w = height, width
+    nc = cfg.num_channels
     if lattice is None:
         i = jnp.arange(w, dtype=f32) + 0.5
         j = jnp.arange(h, dtype=f32) + 0.5
         rx = cam_dir00[2] + i * cam_du[2]
         ry = cam_dir00[1] + j * cam_dv[1]
-        dux = cam_du[2]  # pixel step of rx (scalar)
-        dvy = cam_dv[1]
     else:
         rx = jnp.asarray(lattice[0], f32)
         ry = jnp.asarray(lattice[1], f32)
-        # per-column/row pixel steps for the finite-difference gradient
-        dux = jnp.gradient(rx)  # (W,) broadcasts over image columns
-        dvy = jnp.gradient(ry)[:, None]  # (H, 1) broadcasts over rows
     rz = cam_dir00[0]
 
     z_lo = grids.bounds_lo[0]
@@ -822,7 +1038,10 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
         order = order[::-1]
     z_planes = z_lo + (order + 0.5) * dz
 
-    # iso activity per slab from the z value-range table
+    # iso activity per slab from the z value-range table (the analog of
+    # the TF-culled iso BVH bounds program, exabrick.cu:373-402); the
+    # last-valid-sample carry below reproduces the reference's crossing
+    # detection across culled spans
     nzf = grids.zranges.shape[0]
     zi = jnp.clip(
         (z_planes - jnp.floor(z_lo)).astype(jnp.int32), 0, nzf - 1
@@ -835,18 +1054,25 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
             & (fs.iso_value[k] >= vr[:, 0])
             & (fs.iso_value[k] <= vr[:, 1])
         )
-    # always evaluate the slab after an active one (the crossing is
+    # also evaluate the slab after an active span (the crossing is
     # detected on the *next* sample)
     act = act | jnp.roll(act, 1)
 
     from .xf import lookup_xf
 
+    # per-iso surface color: the iso channel's TF at the iso value (the
+    # field at the weighted crossing is exactly iso, see docstring)
     iso_rgbs = []
     for k in range(fs.iso_enabled.shape[0]):
-        iso_rgbs.append(
-            lookup_xf(fs.xf_lut[0], fs.xf_domain[0], fs.xf_opacity_scale,
-                      fs.iso_value[k])[:3]
-        )
+        rgb = jnp.zeros(3, f32)
+        for c in range(nc):
+            rgb = jnp.where(
+                fs.iso_channel[k] == c,
+                lookup_xf(fs.xf_lut[c], fs.xf_domain[c],
+                          fs.xf_opacity_scale, fs.iso_value[k])[:3],
+                rgb,
+            )
+        iso_rgbs.append(rgb)
 
     # ray-direction images for shading (components in grid frame z,y,x)
     rnorm = jnp.sqrt(ry[:, None] ** 2 + rx[None, :] ** 2 + rz ** 2)
@@ -854,8 +1080,17 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     dir_y = ry[:, None] / rnorm
     dir_x = rx[None, :] / rnorm
 
+    need_grad = cfg.gradient_shading_iso
+    ccm = cfg.colormap_channel
+    if ccm >= nc:
+        raise ValueError("colormap_channel out of range")
+    cm_lut = jnp.concatenate(
+        [fs.xf_lut[0][:, :3], fs.xf_lut[0][:, 3:4] * fs.xf_opacity_scale],
+        axis=1,
+    )
+
     def body(s, carry):
-        prev_val, prev_ok, found, color, t_hit = carry
+        prev_vals, prev_ok, prev_t, prev_grads, found, color, t_hit = carry
         zv = z_planes[s]
         scale = (zv - oz) / rz
         front = scale > 1e-6
@@ -863,48 +1098,96 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
         x_pos = ox + scale * rx
 
         def work(carry):
-            prev_val, prev_ok, found, color, t_hit = carry
-            sw, swv = _slab_field(grids, zv, y_pos, x_pos, 0)
+            prev_vals, prev_ok, prev_t, prev_grads, found, color, t_hit = carry
+            sw, swv, dsw, dswv = _slab_field_ch(
+                grids, zv, y_pos, x_pos, nc, need_grad
+            )
             ok = (sw > 1e-20) & front
-            val = swv / jnp.where(sw > 1e-20, sw, 1.0)
-
-            # screen-space + depth finite differences -> voxel gradient
-            dxs = scale * dux  # voxel x per pixel step (per column if
-            dys = scale * dvy  # a lattice was given)
-            gx = (jnp.roll(val, -1, 1) - jnp.roll(val, 1, 1)) / (2.0 * dxs)
-            gy = (jnp.roll(val, -1, 0) - jnp.roll(val, 1, 0)) / (2.0 * dys)
-            gz = (val - prev_val) / dz * (1.0 if not cfg.flip else -1.0)
+            den = jnp.where(sw > 1e-20, sw, 1.0)
+            vals = jnp.stack([swv[c] / den for c in range(nc)])  # (C,H,W)
+            if need_grad:
+                grads = jnp.stack([
+                    jnp.stack([
+                        sw * dswv[c][a] - swv[c] * dsw[a] for a in range(3)
+                    ])
+                    for c in range(nc)
+                ])  # (C, 3, H, W)
+            else:
+                grads = prev_grads
 
             for k in range(fs.iso_enabled.shape[0]):
                 iso = fs.iso_value[k]
+                sel = [fs.iso_channel[k] == c for c in range(nc)]
+                vk = sum(jnp.where(sel[c], vals[c], 0.0) for c in range(nc))
+                pvk = sum(
+                    jnp.where(sel[c], prev_vals[c], 0.0) for c in range(nc)
+                )
                 cross = (
                     fs.iso_enabled[k]
                     & ok & prev_ok & ~found
-                    & (((prev_val <= iso) & (val >= iso))
-                       | ((prev_val >= iso) & (val <= iso)))
+                    & (((pvk <= iso) & (vk >= iso))
+                       | ((pvk >= iso) & (vk <= iso)))
                 )
-                g2 = gx * gx + gy * gy + gz * gz
-                gl = jnp.sqrt(jnp.maximum(g2, 1e-30))
-                ndl = jnp.abs(
-                    -(dir_x * gx + dir_y * gy + dir_z * gz) / gl
+                # distance-weighted crossing parameter (exabrick.cu:1047-53)
+                d1 = jnp.abs(pvk - iso)
+                d2 = jnp.abs(vk - iso)
+                den_k = jnp.maximum(d1 + d2, 1e-30)
+                w1 = d2 / den_k
+                w2 = d1 / den_k
+                tavg = prev_t * w1 + scale * w2
+
+                rgb = jnp.broadcast_to(
+                    iso_rgbs[k][:, None, None], (3, h, w)
                 )
-                shade = 0.3 + 0.7 * ndl
-                rgb = iso_rgbs[k][:, None, None] * shade[None]
+                if ccm != 0:
+                    # recolor via the secondary channel resampled at the
+                    # crossing through the channel-0 LUT (cu:1079-1085)
+                    vcm = w1 * prev_vals[ccm] + w2 * vals[ccm]
+                    u = xf_texel_coord(vcm, fs.xf_domain[0])
+                    rgb = _xf_pwl4(cm_lut, u)[:3]
+                if need_grad:
+                    gk = sum(
+                        jnp.where(sel[c], grads[c], 0.0) for c in range(nc)
+                    )
+                    pgk = sum(
+                        jnp.where(sel[c], prev_grads[c], 0.0)
+                        for c in range(nc)
+                    )
+                    g = w1[None] * pgk + w2[None] * gk  # (3, H, W)
+                    g = jnp.where(jnp.isfinite(g), g, 0.0)
+                    gl = jnp.sqrt((g * g).sum(0))
+                    ndl = jnp.abs(
+                        dir_z * g[0] + dir_y * g[1] + dir_x * g[2]
+                    ) / jnp.maximum(gl, 1e-30)
+                    shade = jnp.where(gl > 0.0, 0.3 + 0.7 * ndl, 1.0)
+                    rgb = rgb * shade[None]
                 color = jnp.where(cross[None], rgb, color)
-                t_hit = jnp.where(cross, scale, t_hit)
+                t_hit = jnp.where(cross, tavg, t_hit)
                 found = found | cross
 
-            return val, ok, found, color, t_hit
+            # last-valid-sample carry (the reference's per-ray
+            # lastCellValue persists across holes and culled regions)
+            new_vals = jnp.where(ok[None], vals, prev_vals)
+            new_t = jnp.where(ok, scale, prev_t)
+            if need_grad:
+                new_grads = jnp.where(ok[None, None], grads, prev_grads)
+            else:
+                new_grads = prev_grads
+            new_ok = prev_ok | ok
+            return new_vals, new_ok, new_t, new_grads, found, color, t_hit
 
         return lax.cond(act[s], work, lambda c: c, carry)
 
-    prev0 = jnp.full((h, w), -1e36, f32)
+    prev_vals0 = jnp.full((nc, h, w), -1e36, f32)
+    prev_t0 = jnp.zeros((h, w), f32)
+    grads0 = jnp.zeros((nc, 3, h, w), f32)
     found0 = jnp.zeros((h, w), bool)
     color0 = jnp.zeros((3, h, w), f32)
     t0 = jnp.full((h, w), jnp.inf, f32)
-    _, _, found, color, t_hit = lax.fori_loop(
+    _, _, _, _, found, color, t_hit = lax.fori_loop(
         0, cfg.nslabs, body,
-        (prev0, jnp.zeros((h, w), bool), found0, color0, t0),
+        (prev_vals0, jnp.zeros((h, w), bool), prev_t0, grads0,
+         found0, color0, t0),
     )
     rgba = jnp.concatenate(
         [color, found[None].astype(f32)], axis=0
@@ -1107,7 +1390,7 @@ def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
 
 def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                         width: int, height: int, t_stop=None,
-                        lattice=None):
+                        lattice=None, t_start=None):
     """Convenience wrapper: permute/validate the camera, handle the
     swapped du/dv orientation by rendering transposed, pick the sweep
     direction from the view sign.  Returns (P, 4) rgba in row-major pixel
@@ -1155,12 +1438,15 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     )
     if not swapped:
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
-                 knots=knots, t_stop=t_stop, lattice=lattice)
+                 knots=knots, t_stop=t_stop, lattice=lattice,
+                 t_start=t_start)
     if t_stop is not None:
         # the internal render is transposed: internal row = final column
         t_stop = t_stop.reshape(height, width).T.reshape(-1)
+    if t_start is not None:
+        t_start = t_start.reshape(height, width).T.reshape(-1)
     rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots,
-             t_stop=t_stop)
+             t_stop=t_stop, t_start=t_start)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )
@@ -1208,7 +1494,8 @@ def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
     p = width * height
     color = np.zeros((p, 3), np.float32)
     alpha = np.zeros(p, np.float32)
-    bcfg = _dc.replace(cfg, nslabs=ns_band, saturate_collapse=False)
+    bcfg = _dc.replace(cfg, nslabs=ns_band, saturate_collapse=False,
+                       extent_z=float(ns_band * dz))
     for b in order:
         zb0 = z_lo + b * ns_band * dz
         zb1 = zb0 + ns_band * dz

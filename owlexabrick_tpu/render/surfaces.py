@@ -340,16 +340,21 @@ def _onb(w):
     return u, v
 
 
-def trace_surface_pass(scene, fs, surf, cfg, o, d, key):
+def trace_surface_pass(scene, fs, surf, cfg, o, d, key,
+                       include_iso: bool = True,
+                       include_contours: bool = True):
     """Full surface pass of the raygen program: nearest surface, AO,
-    shaded background color.  Returns (t_hit (P,), bg (P,3))."""
+    shaded background color.  Returns (t_hit (P,), bg (P,3)).
+
+    ``include_iso=False`` leaves implicit iso surfaces to the caller (the
+    slab fast path renders them with its own sweep)."""
     p = o.shape[0]
     tmin = jnp.full(p, 1e-6, o.dtype)
     tmax = jnp.full(p, 2e10, o.dtype)
 
     t, n, base, ambient, kind = _nearest_surface(
         scene, fs, surf, cfg, o, d, tmin, tmax,
-        include_contours=True, include_iso=True,
+        include_contours=include_contours, include_iso=include_iso,
         current_timestep=getattr(fs, "tracer_timestep", None),
     )
     hit = jnp.isfinite(t)

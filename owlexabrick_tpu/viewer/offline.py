@@ -319,8 +319,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         or r.surf.num_tris > 0
         or r.surf.num_segments > 0
     ):
-        print("#viewer: --fast incompatible with clip/shading/contour/"
-              "AO/surfaces; exact path")
+        # feature-rich configs go through the Renderer's fast path (slab
+        # sweep + surface/clip compositing); only AO still needs the
+        # exact wavefront pass
+        if r.enable_fast_path():
+            print("#viewer: fast path via Renderer (surfaces/clip/shading"
+                  " composited)")
+        else:
+            print("#viewer: --fast incompatible with AO; exact path")
         fast = False
     if fast:
         # slab fast path for axis-aligned cameras, DVR only
@@ -398,6 +404,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             scfg = SlabConfig(
                 num_channels=n_channels,
                 nslabs=int(np.ceil(extent / (dt * finest))),
+                extent_z=extent,
             )
             fsd = __import__("jax").tree.map(jnp.asarray, fs)
             if shear is not None:
