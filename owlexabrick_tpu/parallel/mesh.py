@@ -136,6 +136,242 @@ def make_sharded_slab_renderer(mesh: Mesh, cfg, width: int, height: int,
     return jax.jit(fn, static_argnames=())
 
 
+# ----------------------------------------------------------------------------
+# scene sharding: z-bands across devices (datasets beyond one chip's HBM)
+# ----------------------------------------------------------------------------
+
+def make_band_mesh(n_bands: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_bands > len(devices):
+        raise ValueError(f"{n_bands} bands need {n_bands} devices")
+    return Mesh(np.asarray(devices[:n_bands]), ("z",))
+
+
+def build_band_grids(bricks, scalars, n_bands: int, nslabs: int,
+                     axis: int = 2):
+    """Partition the sweep axis into ``n_bands`` equal z-bands on the
+    global slab lattice (the same partitioning as render_slabs_banded)
+    and build per-band level grids, padded to common shapes and stacked
+    with a leading band axis so they can be device-sharded.
+
+    Returns (stacked, meta): ``stacked`` is a dict of band-major arrays
+    (vals/masks/origins per level, bounds, zranges); ``meta`` carries the
+    static fields (levels, ns_band, extent per band, flip hint)."""
+    import dataclasses as _dc
+
+    from ..render.slabs import (
+        LevelGrids,
+        _compute_zranges,
+        build_level_grids,
+    )
+    from ..core.types import Bricks
+
+    scalars = np.asarray(scalars, np.float32)
+    if scalars.ndim == 1:
+        scalars = scalars[None]
+    lo3, hi3 = bricks.bounds()
+    coarsest = 1 << int(np.max(bricks.level))
+    pad = 0.5 * coarsest
+    z_lo = float(lo3[:, axis].min()) - pad
+    z_hi = float(hi3[:, axis].max()) + pad
+    ns_band = -(-nslabs // n_bands)
+    dz = (z_hi - z_lo) / (ns_band * n_bands)
+
+    cw_b = (1 << bricks.level).astype(np.float64)
+    b_lo = lo3[:, axis] - 0.5 * cw_b
+    b_hi = hi3[:, axis] + 0.5 * cw_b
+
+    levels_all = tuple(sorted(int(l) for l in np.unique(bricks.level)))
+    per_band = []
+    for b in range(n_bands):
+        zb0 = z_lo + b * ns_band * dz
+        zb1 = zb0 + ns_band * dz
+        sel = np.nonzero((b_hi > zb0) & (b_lo < zb1))[0]
+        if sel.size == 0:
+            per_band.append(None)
+            continue
+        sub = Bricks(
+            lower=bricks.lower[sel], size=bricks.size[sel],
+            level=bricks.level[sel], begin=bricks.begin[sel],
+        )
+        gb = build_level_grids(sub, scalars, axis=axis)
+        lo_p = np.asarray(gb.bounds_lo).copy()
+        hi_p = np.asarray(gb.bounds_hi).copy()
+        lo_p[0], hi_p[0] = zb0, zb1
+        zr = _compute_zranges(
+            list(gb.levels), [np.asarray(v) for v in gb.vals],
+            [np.asarray(m) for m in gb.masks],
+            [np.asarray(o) for o in gb.origins], lo_p, hi_p,
+        )
+        gb = _dc.replace(
+            gb, bounds_lo=jnp.asarray(lo_p), bounds_hi=jnp.asarray(hi_p),
+            zranges=jnp.asarray(zr),
+        )
+        per_band.append(gb)
+
+    # common padded dims per global level
+    dims = {}
+    nzf_max = 1
+    c = scalars.shape[0]
+    for gb in per_band:
+        if gb is None:
+            continue
+        nzf_max = max(nzf_max, gb.zranges.shape[0])
+        for L, v in zip(gb.levels, gb.vals):
+            d3 = tuple(int(s) for s in v.shape[1:])
+            prev = dims.get(L, (1, 1, 1))
+            dims[L] = tuple(max(a, b) for a, b in zip(prev, d3))
+    for L in levels_all:
+        dims.setdefault(L, (1, 1, 1))
+
+    def pad_to(a, shape):
+        out = np.zeros(shape, np.float32)
+        sl = tuple(slice(0, s) for s in a.shape)
+        out[sl] = a
+        return out
+
+    stacked = {"vals": [], "masks": [], "origins": [], "zranges": [],
+               "bounds_lo": [], "bounds_hi": []}
+    for L in levels_all:
+        nz, ny, nx = dims[L]
+        vs, ms, os_ = [], [], []
+        for gb in per_band:
+            if gb is not None and L in gb.levels:
+                li = gb.levels.index(L)
+                vs.append(pad_to(np.asarray(gb.vals[li]), (c, nz, ny, nx)))
+                ms.append(pad_to(np.asarray(gb.masks[li]), (nz, ny, nx)))
+                os_.append(np.asarray(gb.origins[li]))
+            else:
+                vs.append(np.zeros((c, nz, ny, nx), np.float32))
+                ms.append(np.zeros((nz, ny, nx), np.float32))
+                os_.append(np.zeros(3, np.float32))
+        stacked["vals"].append(jnp.asarray(np.stack(vs)))
+        stacked["masks"].append(jnp.asarray(np.stack(ms)))
+        stacked["origins"].append(jnp.asarray(np.stack(os_)))
+    for b, gb in enumerate(per_band):
+        zb0 = z_lo + b * ns_band * dz
+        zb1 = zb0 + ns_band * dz
+        if gb is None:
+            zr = np.stack([np.full(nzf_max, np.inf, np.float32),
+                           np.full(nzf_max, -np.inf, np.float32)], axis=1)
+            blo = np.asarray([zb0, 0.0, 0.0], np.float32)
+            bhi = np.asarray([zb1, 1.0, 1.0], np.float32)
+        else:
+            zr = np.asarray(gb.zranges)
+            padn = nzf_max - zr.shape[0]
+            if padn:
+                zr = np.concatenate(
+                    [zr, np.stack([np.full(padn, np.inf, np.float32),
+                                   np.full(padn, -np.inf, np.float32)],
+                                  axis=1)]
+                )
+            blo = np.asarray(gb.bounds_lo)
+            bhi = np.asarray(gb.bounds_hi)
+        stacked["zranges"].append(jnp.asarray(zr))
+        stacked["bounds_lo"].append(jnp.asarray(blo))
+        stacked["bounds_hi"].append(jnp.asarray(bhi))
+    stacked["zranges"] = jnp.stack(stacked["zranges"])
+    stacked["bounds_lo"] = jnp.stack(stacked["bounds_lo"])
+    stacked["bounds_hi"] = jnp.stack(stacked["bounds_hi"])
+
+    meta = {
+        "levels": levels_all,
+        "ns_band": ns_band,
+        "extent_band": float(ns_band * dz),
+        "num_channels": c,
+        "axis": axis,
+    }
+    return stacked, meta
+
+
+def make_band_sharded_slab_renderer(mesh: Mesh, cfg, meta,
+                                    width: int, height: int):
+    """Scene-sharded rendering: each device along the ``"z"`` mesh axis
+    holds only its z-band's level grids (the device-resident analog of
+    render_slabs_banded) and sweeps its band for ALL pixels; partial
+    (color, alpha) images are combined front-to-back with a
+    ppermute-doubling parallel-prefix of the 'over' operator — log2(D)
+    ICI steps, no host round trips.
+
+    Returns f(stacked, fs, pos, dir00, du, dv) -> (H*W, 4) rgba (on the
+    back-most device's prefix, gathered by indexing the stacked output).
+    Camera vectors must be permuted to the grid frame and separable."""
+    import dataclasses as _dc
+
+    from ..render.slabs import LevelGrids, render_slabs
+    from ..core.constants import TERMINATION_THRESHOLD
+
+    n_bands = mesh.shape["z"]
+    bcfg_base = cfg
+
+    def body(stacked, fs, pos, dir00, du, dv):
+        g = LevelGrids(
+            vals=tuple(v[0] for v in stacked["vals"]),
+            masks=tuple(m[0] for m in stacked["masks"]),
+            origins=tuple(o[0] for o in stacked["origins"]),
+            zranges=stacked["zranges"][0],
+            bounds_lo=stacked["bounds_lo"][0],
+            bounds_hi=stacked["bounds_hi"][0],
+            vrange_zy=(),
+            levels=meta["levels"],
+            num_channels=meta["num_channels"],
+            axis=meta["axis"],
+            y_bin=(),
+        )
+        flip = bool(bcfg_base.flip)
+        bcfg = _dc.replace(
+            bcfg_base, nslabs=meta["ns_band"], saturate_collapse=False,
+            extent_z=meta["extent_band"],
+        )
+        rgba = render_slabs(
+            g, fs, bcfg, pos, dir00, du, dv, width, height
+        )
+        color = rgba[:, :3]
+        alpha = rgba[:, 3]
+
+        # parallel-prefix 'over' along ascending front-to-back band order
+        # (band 0 is nearest when not flipped); unpaired ppermute receives
+        # zeros = the identity of 'over'
+        k = 1
+        while k < n_bands:
+            if not flip:
+                perm = [(i, i + k) for i in range(n_bands - k)]
+            else:
+                perm = [(i, i - k) for i in range(k, n_bands)]
+            rc = jax.lax.ppermute(color, "z", perm)
+            ra = jax.lax.ppermute(alpha, "z", perm)
+            # received prefix is IN FRONT of ours
+            color = rc + (1.0 - ra)[:, None] * color
+            alpha = ra + (1.0 - ra) * alpha
+            k *= 2
+
+        # the reference's saturated-pixel collapse, applied once globally
+        sat = alpha >= TERMINATION_THRESHOLD
+        color = jnp.where(sat[:, None], color * alpha[:, None], color)
+        alpha = jnp.where(sat, 1.0, alpha)
+        return jnp.concatenate([color, alpha[:, None]], axis=1)[None]
+
+    def fn(stacked, fs, pos, dir00, du, dv):
+        out = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("z"), P(), P(), P(), P(), P()),
+            out_specs=P("z"),
+            check_vma=False,
+        )(stacked, fs, pos, dir00, du, dv)
+        # the back-most band in traversal order holds the full composite
+        back = (n_bands - 1) if not bcfg_base.flip else 0
+        return out[back]
+
+    return jax.jit(fn)
+
+
+def shard_bands(mesh: Mesh, stacked):
+    """Place stacked band grids with each band on its own device."""
+    sh = NamedSharding(mesh, P("z"))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), stacked)
+
+
 def shard_rays(mesh: Mesh, o: np.ndarray, d: np.ndarray):
     """Place ray arrays sharded along the pixel axis."""
     sh = NamedSharding(mesh, P("px"))
