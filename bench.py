@@ -96,13 +96,37 @@ def main():
 
     fps = frames / dt_total
     mray_s = frames * width * height / dt_total / 1e6
+
+    # blocking single-frame latency: dispatch one frame, read it back
+    # (includes the dev tunnel's ~25-30 ms RTT)
     t0 = time.time()
     np.asarray(render_slabs_camera(grids, fs, cfg, cam, width, height)[:4])
     latency_ms = (time.time() - t0) * 1e3
+
+    # pipelined interactive latency: double-buffered dispatch (depth 2,
+    # like the reference viewer's display loop) overlaps frame k+1's
+    # compute with frame k's readback; steady-state per-frame arrival
+    # interval is what an interactive user sees (one frame of lag)
+    inflight = [
+        render_slabs_camera(grids, fs, cfg, cam, width, height)
+        for _ in range(2)
+    ]
+    arrivals = []
+    for _ in range(min(frames, 16)):
+        nxt = render_slabs_camera(grids, fs, cfg, cam, width, height)
+        np.asarray(inflight[0][:4])
+        arrivals.append(time.time())
+        inflight = [inflight[1], nxt]
+    np.asarray(inflight[0][:4])
+    np.asarray(inflight[1][:4])
+    iv = np.diff(np.asarray(arrivals)) * 1e3
+    pipelined_ms = float(np.median(iv)) if iv.size else latency_ms
+
     print(
         f"# {fps:.2f} FPS ({1000/fps:.1f} ms/frame) sustained, "
         f"{mray_s:.1f} Mray/s at {width}x{height}, {cfg.nslabs} slabs; "
-        f"single-frame latency incl. host readback {latency_ms:.0f} ms, "
+        f"latency incl. host readback: blocking {latency_ms:.0f} ms, "
+        f"double-buffered {pipelined_ms:.0f} ms/frame, "
         f"platform {jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -4,10 +4,17 @@ reference's GLUT/GLUI window (exa/viewer.cpp).
 Zero-dependency: a stdlib http.server streams PNG frames to a canvas;
 mouse-drag orbits the camera (InspectMode analog, glutViewer/InspectMode),
 the wheel zooms, and a side panel exposes the GLUI controls
-(exa/viewer.cpp:481-853): colormap + custom colormap string, domain
-range, opacity scale, dt, iso surface, contour plane, clip box, gradient
-shading, space skipping, field selector, plus the 'C'/'T'/'!' key
-equivalents (camera echo, .xf download, screenshot).
+(exa/viewer.cpp:481-853): colormap + custom colormap string, a drawable
+per-channel opacity curve (the GLUI_TransferFunction widget,
+exa/viewer.cpp:577-580), domain range, opacity scale, dt, iso surface,
+contour plane, clip box, gradient shading, space skipping, field
+selector, plus the 'C'/'T'/'!' key equivalents (camera echo, .xf
+download, screenshot).
+
+Camera manipulators match the reference's key bindings
+(glutViewer/Camera.cpp:124-174, FlyMode.cpp:33-150): 'i' = inspect
+(orbit/zoom), 'f' = fly (WASD/RF move, drag looks around), '+'/'-'
+motion speed, 'x'/'y'/'z' snap to an axis view.
 
 Run:  python -m owlexabrick_tpu.viewer.serve scene.exa --port 8000
 """
@@ -67,6 +74,13 @@ legend { color:#9ab; }
   </div>
   <label>opacity scale <input id="os" type="range" min="0" max="2"
     step="0.01" value="1"></label>
+  <fieldset><legend>opacity curve (draw; per field)</legend>
+    <canvas id="alpha" width="236" height="72"
+      style="background:#000;border:1px solid #333;cursor:crosshair"></canvas>
+    <button id="alpharamp" style="width:32%">ramp</button>
+    <button id="alphaflat" style="width:32%">flat</button>
+    <button id="alphazero" style="width:32%">zero</button>
+  </fieldset>
   <label>dt <input id="dt" type="number" step="0.05" value="__DT__"></label>
   <fieldset><legend>iso surface</legend>
     <label>value (0=off) <input id="iso" type="number" step="any"
@@ -108,13 +122,17 @@ legend { color:#9ab; }
     <button id="shot">screenshot</button>
     <button id="xf">save .xf</button>
   </div>
-  <div style="margin-top:10px">drag = orbit, wheel = zoom</div>
+  <div style="margin-top:10px" id="help">drag = orbit, wheel = zoom<br>
+    keys: f fly / i inspect, WASD+RF move, +/- speed, x/y/z views</div>
 </div>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
 let theta = __THETA__, phi = __PHI__, dist = __DIST__;
 const CENTER = __CENTER__, DIAG = __DIAG__;
 let dirty = true, frame = 0, busy = false;
+// fly mode state (FlyMode.cpp:33-150): explicit eye + yaw/pitch
+let mode = 'inspect', speed = 0.05;
+let eye = null, yaw = 0, pitch = 0;
 const t0 = [];
 const ids = ['field','cmap','customcm','lo','hi','os','dt','iso','gsiso',
              'caxis','coff','clip','cx0','cx1','cy0','cy1','cz0','cz1',
@@ -124,18 +142,98 @@ function val(id) {
   const e = $(id);
   return e.type === 'checkbox' ? (e.checked ? 1 : 0) : e.value;
 }
+// --- per-field drawable opacity curve (GLUI_TransferFunction analog) ---
+const NA = 128;
+const curves = {};  // field -> Uint8Array(NA), only when user-edited
+const ac = $('alpha'), actx = ac.getContext('2d');
+function curFieldCurve() {
+  const f = val('field');
+  if (!(f in curves)) return null;
+  return curves[f];
+}
+function drawAlpha() {
+  actx.clearRect(0, 0, ac.width, ac.height);
+  actx.strokeStyle = '#6c6';
+  actx.beginPath();
+  const cv = curFieldCurve();
+  for (let i = 0; i < NA; i++) {
+    const a = cv ? cv[i] / 255 : i / (NA - 1);
+    const x = i / (NA - 1) * (ac.width - 1);
+    const y = (1 - a) * (ac.height - 1);
+    i ? actx.lineTo(x, y) : actx.moveTo(x, y);
+  }
+  actx.stroke();
+}
+function paintAlpha(e) {
+  const r = ac.getBoundingClientRect();
+  const i = Math.max(0, Math.min(NA - 1,
+    Math.round((e.clientX - r.left) / (r.width - 1) * (NA - 1))));
+  const a = Math.max(0, Math.min(1, 1 - (e.clientY - r.top) / (r.height - 1)));
+  const f = val('field');
+  if (!(f in curves)) {
+    curves[f] = new Uint8Array(NA);
+    for (let k = 0; k < NA; k++) curves[f][k] = Math.round(k/(NA-1)*255);
+  }
+  const cv = curves[f];
+  if (paintAlpha.last !== null) {
+    const [i0, a0] = paintAlpha.last;  // interpolate between drag samples
+    const lo = Math.min(i0, i), hi = Math.max(i0, i);
+    for (let k = lo; k <= hi; k++) {
+      const w = hi > lo ? (k - i0) / (i - i0 || 1) : 1;
+      cv[k] = Math.round((a0 + (a - a0) * Math.max(0, Math.min(1, w))) * 255);
+    }
+  } else cv[i] = Math.round(a * 255);
+  paintAlpha.last = [i, a];
+  drawAlpha(); dirty = true;
+}
+paintAlpha.last = null;
+ac.onmousedown = e => { paintAlpha.last = null; paintAlpha(e);
+  ac.onmousemove = paintAlpha; };
+window.addEventListener('mouseup', () => { ac.onmousemove = null; });
+$('alpharamp').onclick = () => { delete curves[val('field')];
+  drawAlpha(); dirty = true; };
+$('alphaflat').onclick = () => { const cv = new Uint8Array(NA).fill(255);
+  curves[val('field')] = cv; drawAlpha(); dirty = true; };
+$('alphazero').onclick = () => { curves[val('field')] = new Uint8Array(NA);
+  drawAlpha(); dirty = true; };
+$('field').addEventListener('input', drawAlpha);
+drawAlpha();
+function alphaHex() {
+  const cv = curFieldCurve();
+  if (!cv) return '';
+  return Array.from(cv, b => b.toString(16).padStart(2, '0')).join('');
+}
+// --- camera ---
+function orbitEye() {
+  return [CENTER[0] + dist*DIAG*Math.cos(phi)*Math.sin(theta),
+          CENTER[1] + dist*DIAG*Math.sin(phi),
+          CENTER[2] + dist*DIAG*Math.cos(phi)*Math.cos(theta)];
+}
+function flyDir() {
+  return [Math.cos(pitch)*Math.sin(yaw), Math.sin(pitch),
+          Math.cos(pitch)*Math.cos(yaw)];
+}
+function camVecs() {
+  if (mode === 'fly') {
+    const d = flyDir();
+    return [eye, [eye[0]+d[0]*DIAG, eye[1]+d[1]*DIAG, eye[2]+d[2]*DIAG]];
+  }
+  return [orbitEye(), CENTER];
+}
 function params() {
-  const p = new URLSearchParams({theta, phi, dist, frame});
+  const [e, at] = camVecs();
+  const p = new URLSearchParams({frame,
+    ex: e[0], ey: e[1], ez: e[2], ax: at[0], ay: at[1], az: at[2]});
   for (const id of ids) p.set(id, val(id));
+  const ah = alphaHex();
+  if (ah) p.set('alpha', ah);
   return p;
 }
 function camEcho() {
-  const ex = CENTER[0] + dist*DIAG*Math.cos(phi)*Math.sin(theta);
-  const ey = CENTER[1] + dist*DIAG*Math.sin(phi);
-  const ez = CENTER[2] + dist*DIAG*Math.cos(phi)*Math.cos(theta);
+  const [e, at] = camVecs();
   const f = x => x.toPrecision(5);
-  $('cam').textContent = `--camera ${f(ex)} ${f(ey)} ${f(ez)} ` +
-    `${f(CENTER[0])} ${f(CENTER[1])} ${f(CENTER[2])} 0 1 0`;
+  $('cam').textContent = `--camera ${f(e[0])} ${f(e[1])} ${f(e[2])} ` +
+    `${f(at[0])} ${f(at[1])} ${f(at[2])} 0 1 0  [${mode}]`;
 }
 async function tick() {
   if (busy) return;
@@ -159,13 +257,59 @@ c.onmousedown = e => drag = [e.clientX, e.clientY];
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
   if (!drag) return;
-  theta += (e.clientX - drag[0]) * 0.01;
-  phi = Math.max(-1.5, Math.min(1.5, phi + (e.clientY - drag[1]) * 0.01));
+  const dx = (e.clientX - drag[0]) * 0.01;
+  const dy = (e.clientY - drag[1]) * 0.01;
+  if (mode === 'fly') {           // look around (FlyMode rotate)
+    yaw -= dx;
+    pitch = Math.max(-1.5, Math.min(1.5, pitch - dy));
+  } else {                        // orbit the POI (InspectMode rotate)
+    theta += dx;
+    phi = Math.max(-1.5, Math.min(1.5, phi + dy));
+  }
   drag = [e.clientX, e.clientY];
   dirty = true;
 };
-c.onwheel = e => { dist *= Math.exp(e.deltaY * 0.001); dirty = true;
-                   e.preventDefault(); };
+c.onwheel = e => {
+  if (mode === 'fly') {           // wheel = dolly along view
+    const d = flyDir(), s = -e.deltaY * 0.001 * DIAG * speed * 10;
+    eye = [eye[0]+d[0]*s, eye[1]+d[1]*s, eye[2]+d[2]*s];
+  } else dist *= Math.exp(e.deltaY * 0.001);
+  dirty = true; e.preventDefault();
+};
+// key bindings (Camera.cpp:124-174 + FlyMode WASD)
+window.addEventListener('keydown', e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'TEXTAREA'
+      || e.target.tagName === 'SELECT') return;
+  const k = e.key;
+  if (k === 'f' && mode !== 'fly') {
+    // enter fly mode at the current orbit pose
+    eye = orbitEye();
+    const d = [CENTER[0]-eye[0], CENTER[1]-eye[1], CENTER[2]-eye[2]];
+    const l = Math.hypot(...d);
+    yaw = Math.atan2(d[0], d[2]); pitch = Math.asin(d[1]/l);
+    mode = 'fly';
+  } else if (k === 'i') {
+    mode = 'inspect';
+  } else if (k === '+' || k === '=') { speed *= 1.5;
+  } else if (k === '-') { speed /= 1.5;
+  } else if ('xyz'.includes(k.toLowerCase())) {
+    mode = 'inspect';
+    const s = k === k.toLowerCase() ? 1 : -1;  // shift = opposite side
+    if (k.toLowerCase() === 'x') { theta = s*Math.PI/2; phi = 0; }
+    if (k.toLowerCase() === 'y') { theta = 0; phi = s*1.5; }
+    if (k.toLowerCase() === 'z') { theta = s > 0 ? 0 : Math.PI; phi = 0; }
+  } else if (mode === 'fly' && 'wasdrf'.includes(k.toLowerCase())) {
+    const d = flyDir();
+    const right = [Math.cos(yaw), 0, -Math.sin(yaw)];
+    const s = DIAG * speed;
+    const mv = {w: d, s: d.map(v => -v), d: right,
+                a: right.map(v => -v), r: [0, 1, 0], f: [0, -1, 0]
+               }[k.toLowerCase()].map(v => v * s);
+    eye = [eye[0]+mv[0], eye[1]+mv[1], eye[2]+mv[2]];
+  } else return;
+  dirty = true;
+  e.preventDefault();
+});
 for (const id of ids) $(id).oninput = () => dirty = true;
 $('shot').onclick = () => {
   const a = document.createElement('a');
@@ -205,6 +349,19 @@ class ViewerState:
         return Camera.look_at(eye, self.center, [0, 1, 0], 55.0,
                               self.width, self.height)
 
+    def camera_from_query(self, q):
+        """Explicit eye/at camera (fly or inspect pose from the client);
+        falls back to the orbit parameterization."""
+        if "ex" in q:
+            eye = [float(q[k][0]) for k in ("ex", "ey", "ez")]
+            at = [float(q[k][0]) for k in ("ax", "ay", "az")]
+            return Camera.look_at(eye, at, [0, 1, 0], 55.0,
+                                  self.width, self.height)
+        theta = float(q.get("theta", ["0.5"])[0])
+        phi = float(q.get("phi", ["0.3"])[0])
+        dist = float(q.get("dist", ["1.2"])[0])
+        return self.camera(theta, phi, dist)
+
     def _scene_for_field(self, field: int):
         """Single-channel view of one scalar field (the GLUI channel
         selector, exa/viewer.cpp:641-650)."""
@@ -236,9 +393,10 @@ class ViewerState:
         cfrac = [float(g1(k, d)) for k, d in
                  (("cx0", "0"), ("cy0", "0"), ("cz0", "0"),
                   ("cx1", "1"), ("cy1", "1"), ("cz1", "1"))]
+        alpha_hex = g1("alpha", "")
 
         key = (field, cmap, custom, lo, hi, os_, dt, iso != 0.0, gs_iso,
-               gs_dvr, skip, caxis, coff, clip, tuple(cfrac))
+               gs_dvr, skip, caxis, coff, clip, tuple(cfrac), alpha_hex)
         if self.renderer is not None and key == self.key:
             return self.renderer
 
@@ -247,9 +405,17 @@ class ViewerState:
             from .colormaps import ColorMapper
 
             colormap = ColorMapper.from_string(custom)
+        opacities = None
+        if alpha_hex:
+            # the drawn per-field opacity curve (GLUI_TransferFunction
+            # widget analog, exa/viewer.cpp:577-580), 8-bit per texel
+            opacities = (
+                np.frombuffer(bytes.fromhex(alpha_hex), np.uint8)
+                .astype(np.float32) / 255.0
+            )
         fs = make_frame_state(
             cam, 1, [[lo, hi]], colormap=colormap,
-            opacity_scale=os_, dt=dt,
+            opacity_scale=os_, dt=dt, opacities=opacities,
         )
         if iso != 0.0:
             fs.iso_enabled[0] = True
@@ -288,13 +454,10 @@ class ViewerState:
         return self.renderer
 
     def render(self, q) -> bytes:
-        theta = float(q.get("theta", ["0.5"])[0])
-        phi = float(q.get("phi", ["0.3"])[0])
-        dist = float(q.get("dist", ["1.2"])[0])
         frame = int(q.get("frame", ["0"])[0])
 
         with self.lock:
-            cam = self.camera(theta, phi, dist)
+            cam = self.camera_from_query(q)
             r = self._ensure_renderer(q, cam)
             from ..render.frame import with_camera
 
