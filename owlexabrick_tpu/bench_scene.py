@@ -23,6 +23,25 @@ def synthetic_volume(n: int = 64) -> np.ndarray:
     return v.astype(np.float32)
 
 
+def exajet_pattern_volume(n: int = 256) -> np.ndarray:
+    """Exajet-*pattern* field: a thin wavy sheet (the 'wing surface') with
+    a sharp gradient across it embedded in a smooth background.  Under
+    raw2cells threshold collapse the finest level hugs the sheet — the
+    level-population pattern of real exajet-class AMR data (fine cells on
+    geometry, coarse everywhere else), so the finest level's own bounding
+    box stays thin along y."""
+    z, y, x = np.meshgrid(*([np.linspace(-1, 1, n)] * 3), indexing="ij")
+    sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x
+    d = y - sheet
+    w = 6.0 / n  # a few finest cells thick
+    v = (
+        1.0 / (1.0 + np.exp(-d / w))          # sharp jump across the sheet
+        + 0.35 * np.exp(-2.0 * (x * x + z * z))  # smooth large-scale flow
+        + 0.15 * np.exp(-8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z))
+    )
+    return v.astype(np.float32)
+
+
 def build_bench_scene(n: int = 64, threshold: float = 0.004,
                       max_level: int = 3):
     vol = synthetic_volume(n)

@@ -36,10 +36,18 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
     compressed = n_texels > 0
     # near-f32 MXU passes by default (the CUDA reference multiplies in
     # f32; TPU default dot precision is bf16 and shows up as ~1e-1
-    # compositing error); bf16_interp opts into the fast bf16 path
-    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel
+    # compositing error); bf16_interp opts into the fast bf16 path.
+    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel;
+    # a manual bf16x3 "high" was measured at 256^3: +9% frame rate for a
+    # 2e-2 composited error vs HIGHEST — not worth it, the kernel's MXU
+    # passes are not the bottleneck (see PERFORMANCE.md)
     prec = (None if dot_precision == "default"
             else jax.lax.Precision.HIGHEST)
+
+    def mxu_dot(a, b):
+        return jnp.dot(a.astype(b.dtype), b,
+                       preferred_element_type=jnp.float32,
+                       precision=prec)
 
     def kernel(params_ref, lut_ref, d_ref, live_ref, act_ref, act_all_ref,
                orgy_ref, cw_ref, *refs):
@@ -98,9 +106,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                 )
             wy = jnp.concatenate(wys, axis=1)  # (tr, NY)
 
-            sw = jnp.dot(wy.astype(mm_ref.dtype), mm_ref[s],
-                         preferred_element_type=jnp.float32,
-                         precision=prec)
+            sw = mxu_dot(wy, mm_ref[s])
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
             if has_stop:
                 # surface hit caps the volume interval per pixel
@@ -143,9 +149,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    swv = jnp.dot(wy.astype(mm_ref.dtype), mv_refs[ch][s],
-                                  preferred_element_type=jnp.float32,
-                                  precision=prec)
+                    swv = mxu_dot(wy, mv_refs[ch][s])
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
                     if compressed:
                         lo = lut_ref[ch, 0]

@@ -35,13 +35,9 @@ from .scene import to_device
 from .surfaces import SurfaceData, trace_surface_pass
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def render_step(scene, fs: FrameState, surf: SurfaceData, accum, *,
-                cfg: RenderConfig, width: int, height: int):
-    """One progressive frame: rays -> surfaces -> DVR -> accumulate.
-
-    Returns (new_accum, rgba8 (P,) uint32, linear color (P,3)).
-    """
+def _render_step_impl(scene, fs: FrameState, surf: SurfaceData, accum, *,
+                      cfg: RenderConfig, width: int, height: int,
+                      pack=None):
     p = width * height
     key = jax.random.fold_in(jax.random.PRNGKey(0x9E3779B9), fs.frame_id)
     jitter = jax.random.uniform(jax.random.fold_in(key, 1), (p, 2))
@@ -63,13 +59,41 @@ def render_step(scene, fs: FrameState, surf: SurfaceData, accum, *,
     t_start = jnp.where(fs.clip_enabled, jnp.where(chit, c0, jnp.inf), 0.0)
     t_end = jnp.where(fs.clip_enabled, jnp.where(chit, c1, 0.0), t_hit)
 
-    rgba = trace_dvr(
-        scene, fs, cfg, o, d, offset,
-        t_end_world=t_end, t_start_world=t_start,
-    )
+    if pack is not None:
+        from .wavefront import trace_dvr_packed
+
+        rgba = trace_dvr_packed(
+            pack, scene, fs, cfg, o, d, offset,
+            t_end_world=t_end, t_start_world=t_start,
+        )
+    else:
+        rgba = trace_dvr(
+            scene, fs, cfg, o, d, offset,
+            t_end_world=t_end, t_start_world=t_start,
+        )
     color = composite_background(rgba, bg)
     new_accum, shown = accumulate(color, accum, fs.frame_id)
     return new_accum, pack_rgba8(shown), shown
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_step(scene, fs: FrameState, surf: SurfaceData, accum, *,
+                cfg: RenderConfig, width: int, height: int):
+    """One progressive frame: rays -> surfaces -> DVR -> accumulate.
+
+    Returns (new_accum, rgba8 (P,) uint32, linear color (P,3)).
+    """
+    return _render_step_impl(scene, fs, surf, accum, cfg=cfg,
+                             width=width, height=height)
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_step_packed(pack, scene, fs: FrameState, surf: SurfaceData,
+                       accum, *, cfg: RenderConfig, width: int, height: int):
+    """render_step with the row-packed wavefront DVR (render/wavefront.py)
+    — same semantics, ~2 orders of magnitude fewer gather rows."""
+    return _render_step_impl(scene, fs, surf, accum, cfg=cfg,
+                             width=width, height=height, pack=pack)
 
 
 class Renderer:
@@ -85,6 +109,9 @@ class Renderer:
         frame_state: Optional[FrameState] = None,
     ):
         self.scene = to_device(scene)
+        # host copy for offline builders (level grids, wavefront pack):
+        # reading device arrays back through a remote TPU tunnel is slow
+        self._scene_host = scene
         self.width = width
         self.height = height
         self.cfg = cfg or RenderConfig(num_channels=1)
@@ -252,7 +279,9 @@ class Renderer:
         if cache is None:
             cache = self._grids_cache = {}
         if axis not in cache:
-            cache[axis] = grids_from_scene(self.scene, axis=axis)
+            cache[axis] = grids_from_scene(
+                getattr(self, "_scene_host", self.scene), axis=axis
+            )
         return cache[axis]
 
     def _camera_from_fs(self) -> Camera:
@@ -484,16 +513,42 @@ class Renderer:
         self.accum, shown = accumulate(color, self.accum, self.fs.frame_id)
         return np.asarray(pack_rgba8(shown)).reshape(self.height, self.width)
 
+    def _wavefront_pack(self):
+        """Lazily build (and cache) the row-gather tables for the packed
+        wavefront path; None when the config needs the classic sampler."""
+        if not self.cfg.basis_method or self.cfg.gradient_shading_dvr:
+            return None
+        pack = getattr(self, "_pack", None)
+        if pack is None:
+            from .wavefront import build_pack
+
+            try:
+                pack = build_pack(
+                    getattr(self, "_scene_host", self.scene),
+                    self._grids_for(2),
+                )
+            except ValueError:
+                pack = False  # scene exceeds packed-id range
+            self._pack = pack
+        return pack or None
+
     # -- frame ----------------------------------------------------------
     def render(self) -> np.ndarray:
         """Render one progressive frame; returns (H, W) uint32 RGBA8."""
         if getattr(self, "_fast", None) is not None:
             rgba8 = self._render_fast()
         else:
-            self.accum, rgba8_dev, _ = render_step(
-                self.scene, self.fs, self.surf, self.accum,
-                cfg=self.cfg, width=self.width, height=self.height,
-            )
+            pack = self._wavefront_pack()
+            if pack is not None:
+                self.accum, rgba8_dev, _ = render_step_packed(
+                    pack, self.scene, self.fs, self.surf, self.accum,
+                    cfg=self.cfg, width=self.width, height=self.height,
+                )
+            else:
+                self.accum, rgba8_dev, _ = render_step(
+                    self.scene, self.fs, self.surf, self.accum,
+                    cfg=self.cfg, width=self.width, height=self.height,
+                )
             rgba8 = np.asarray(rgba8_dev).reshape(self.height, self.width)
         self.fs = dataclasses.replace(
             self.fs, frame_id=self.fs.frame_id + 1

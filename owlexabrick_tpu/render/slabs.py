@@ -440,14 +440,54 @@ def _pwl_breakpoints(lut: np.ndarray, err_tol: float):
     return None  # unreachable: tol 0 keeps every slope change
 
 
-def compress_pwl(luts_np, err_tol: float = 2e-4):
+def _pwl_fit(lut: np.ndarray, err_tol: float, max_knots: int = 64):
+    """Greedy free-knot interpolatory PWL fit of an (N, 4) LUT.
+
+    Starts from the endpoints and repeatedly inserts the texel with the
+    largest reconstruction error as a knot until every texel is within
+    ``err_tol``.  Needed for LUTs sampled from rasterized palette strips
+    (the reference's embedded PNGs): their 8-bit quantization puts a
+    slope change at nearly every texel, but an interpolatory fit at half
+    the display quantum needs only ~15-30 knots.  Returns breakpoint
+    (positions, slope-deltas) in the same relu-basis form as
+    _pwl_breakpoints, or None if max_knots isn't enough."""
+    n = lut.shape[0]
+    u = np.arange(n, dtype=np.float64)
+    knots = [0, n - 1]
+    while True:
+        ks = np.asarray(sorted(knots))
+        rec = np.empty_like(lut, dtype=np.float64)
+        for comp in range(lut.shape[1]):
+            rec[:, comp] = np.interp(u, ks, lut[ks, comp])
+        err = np.abs(rec - lut).max(axis=1)
+        worst = int(err.argmax())
+        if err[worst] <= err_tol:
+            break
+        if len(knots) >= max_knots:
+            return None
+        knots.append(worst)
+    ks = np.asarray(sorted(set(knots)))
+    vals = lut[ks].astype(np.float64)
+    slopes = np.diff(vals, axis=0) / np.diff(ks)[:, None]
+    sd = np.empty((len(ks) - 1, 4), np.float64)
+    sd[0] = slopes[0]
+    sd[1:] = np.diff(slopes, axis=0)
+    return ks[:-1].astype(np.float32), sd.astype(np.float32)
+
+
+def compress_pwl(luts_np, err_tol: float = 2e-4, fit_tol: float = 1.0 / 255.0):
     """Compress per-channel (N, 4) LUTs to their PWL breakpoints.
 
     A 128-texel LUT resampled from a control-point colormap is piecewise
     linear with only ~10-20 real slope changes; evaluating
     ``f(u) = base + sum_j sd_j * relu(u - p_j)`` over the breakpoints
     reproduces it within ``err_tol`` (default well below the 8-bit
-    display quantum) at ~10x fewer classification knots.
+    display quantum) at ~10x fewer classification knots.  LUTs without a
+    sparse exact breakpoint set (e.g. the embedded palette strips, which
+    carry 8-bit quantization dither) fall back to a greedy free-knot fit
+    within ``fit_tol`` (one display quantum); strips too noisy to fit in
+    64 knots (Jet, Ice Fire, Nic Edge) use the dense range-limited
+    loop.
 
     Returns (pos (C, M), sd (C, M, 4), base (C, 4)) padded to a multiple
     of 8 knots (padding at position N, contributing 0), or None when a
@@ -456,14 +496,17 @@ def compress_pwl(luts_np, err_tol: float = 2e-4):
     ps, sds = [], []
     n = luts_np[0].shape[0]
     for lut in luts_np:
-        r = _pwl_breakpoints(np.asarray(lut, np.float32), err_tol)
+        lut = np.asarray(lut, np.float32)
+        r = _pwl_breakpoints(lut, err_tol)
+        if r is not None and len(r[0]) > 48:
+            r = _pwl_fit(lut, fit_tol)
         if r is None:
             return None
         ps.append(r[0])
         sds.append(r[1])
     m = max(len(p) for p in ps)
     m_pad = -(-m // 8) * 8
-    if m_pad > 48:
+    if m_pad > 64:
         return None  # dense range-limited loop is competitive
     c = len(luts_np)
     pos = np.full((c, m_pad), float(n), np.float32)
@@ -631,12 +674,17 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             and t_start is None)
     if mega:
         # cap the chunk so the megakernel's mid blocks ((1+C) x S x NY x tc
-        # floats) fit VMEM with headroom
+        # floats, double-buffered by the pipeline) fit VMEM with headroom;
+        # use the tile width the kernel will actually pick (the old 512
+        # estimate clamped 256^3 scenes to 4-slab chunks and their fixed
+        # costs dominated the frame)
         ny_total = sum(m.shape[1] for m in grids.masks)
-        tc_est = 512
-        budget = 8 * 1024 * 1024
+        tc_est = cfg.tile_cols or next(
+            (t for t in (512, 256, 128) if width % t == 0), 128
+        )
+        budget = 7 * 1024 * 1024
         cap = max(
-            4, budget // ((1 + cfg.num_channels) * ny_total * tc_est * 4)
+            4, budget // ((1 + cfg.num_channels) * ny_total * tc_est * 4 * 2)
         )
         s_chunk = min(s_chunk, cap)
     n_chunks = -(-cfg.nslabs // s_chunk)
@@ -1454,7 +1502,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
 
 def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
                         camera, width: int, height: int, n_bands: int,
-                        axis: int = 2):
+                        axis: int = 2, mem_stats=None):
     """Out-of-core slab sweep for datasets whose dense level grids exceed
     HBM: the sweep axis is partitioned into ``n_bands`` z-bands, each
     band's grids are built host-side from only the bricks whose basis
@@ -1465,6 +1513,10 @@ def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
     slab planes equals the single-pass plane set — banded output matches
     the unbanded render to float tolerance.  Offline/streaming mode: one
     host->device grid upload per band per frame.
+
+    ``mem_stats``: optional dict populated with the device-grid peak:
+    {'peak_band_bytes', 'full_bytes'} — the out-of-core guarantee is
+    peak_band_bytes << full_bytes.
     """
     import dataclasses as _dc
 
@@ -1521,6 +1573,13 @@ def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
             gb, bounds_lo=jnp.asarray(lo_p), bounds_hi=jnp.asarray(hi_p),
             zranges=jnp.asarray(zr),
         )
+        if mem_stats is not None:
+            band_bytes = sum(
+                int(np.prod(v.shape)) * 4 for v in gb.vals
+            ) + sum(int(np.prod(m.shape)) * 4 for m in gb.masks)
+            mem_stats["peak_band_bytes"] = max(
+                mem_stats.get("peak_band_bytes", 0), band_bytes
+            )
         rgba = np.asarray(
             render_slabs_camera(gb, fs, bcfg, camera, width, height)
         )

@@ -424,13 +424,12 @@ class ViewerState:
             ax = "xyz".index(caxis)
             n = np.zeros(3, np.float32)
             n[ax] = 1.0
-            off = (
-                self.world_lo[ax]
-                + coff * (self.world_hi[ax] - self.world_lo[ax])
-            )
+            # the offset is fractional in the unit cube scaled to the
+            # world bounds (exabrick.cu:1356-1362) — the slider value
+            # passes through directly
             fs.contour_enabled[0] = True
             fs.contour_normal[0] = n
-            fs.contour_offset[0] = off
+            fs.contour_offset[0] = coff
         rcfg = RenderConfig(
             num_channels=1,
             iso_surfaces=iso != 0.0,

@@ -78,3 +78,33 @@ def test_band_sharded_matches_single_device(text, flip_dir):
         n_bands=n_bands, axis=2,
     )
     np.testing.assert_allclose(out, banded, rtol=1e-4, atol=2e-5)
+
+
+def test_banded_peak_memory_bounded():
+    """Out-of-core guarantee: with bricks distributed along z, the banded
+    renderer's device-resident grid peak is a fraction of the full grids
+    (bands only build the bricks whose basis support reaches them)."""
+    # four separate 8^3 level-0 blocks stacked along z
+    text = "".join(
+        f"0 0 {16 * k} 8 8 8 0 {0.1 * (k + 1):.2f}\n" for k in range(4)
+    )
+    lower, level, scal = parse_grids_text(text)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
+    size = 8
+    cam = Camera.look_at([4.0, 4.0, 90.0], [4.0, 4.0, 28.0], [0, 1, 0],
+                         40.0, size, size)
+    fs = make_frame_state(cam, 1, [[0.0, 1.0]], dt=0.5, opacity_scale=0.5)
+    pos, dir00, *_ = permute_camera(cam, 2)
+    cfg = SlabConfig(num_channels=1, nslabs=64, chunk=8,
+                     flip=bool(dir00[0] < 0))
+    mem = {}
+    render_slabs_banded(bricks, scene.scalars, fs, cfg, cam, size, size,
+                        n_bands=8, axis=2, mem_stats=mem)
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
+    full_bytes = sum(
+        int(np.prod(np.asarray(v).shape)) * 4 for v in grids.vals
+    ) + sum(int(np.prod(np.asarray(m).shape)) * 4 for m in grids.masks)
+    # 4 separated blocks -> a band holds at most ~1 block (+ overlap)
+    assert mem["peak_band_bytes"] <= full_bytes * 0.5, (
+        mem["peak_band_bytes"], full_bytes,
+    )
