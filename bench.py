@@ -23,7 +23,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from owlexabrick_tpu.bench_scene import synthetic_volume
+    from owlexabrick_tpu.bench_scene import (
+        exajet_pattern_volume,
+        synthetic_volume,
+    )
     from owlexabrick_tpu.pipeline import scene_from_cells
     from owlexabrick_tpu.render.camera import Camera
     from owlexabrick_tpu.render.frame import make_frame_state
@@ -39,9 +42,13 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", 50))
     n = int(os.environ.get("BENCH_VOLUME", 64))
     nslabs = int(os.environ.get("BENCH_NSLABS", 0)) or None
+    # BENCH_SCENE=exajet: thin-sheet fine-level pattern at scale
+    # (the exajet-class level-population shape, VERDICT round-1 item 5)
+    scene_kind = os.environ.get("BENCH_SCENE", "blobs")
 
     t0 = time.time()
-    vol = synthetic_volume(n)
+    vol = (exajet_pattern_volume(n) if scene_kind == "exajet"
+           else synthetic_volume(n))
     lower, level, scal = volume_to_cells(vol, 0.004, 3)
     scene, bricks, *_ = scene_from_cells(lower, level, [scal])
     grids = build_level_grids(bricks, scene.scalars, axis=2)
@@ -150,8 +157,10 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# screenshot failed: {e}", file=sys.stderr)
 
+    metric = ("dvr_fps_1080p_synthetic64" if scene_kind == "blobs"
+              else f"dvr_fps_1080p_exajet_pattern{n}")
     print(json.dumps({
-        "metric": "dvr_fps_1080p_synthetic64",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),

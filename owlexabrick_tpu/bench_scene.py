@@ -34,10 +34,13 @@ def exajet_pattern_volume(n: int = 256) -> np.ndarray:
     sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x
     d = y - sheet
     w = 6.0 / n  # a few finest cells thick
+    # background amplitudes sized so their per-coarse-cell variation
+    # stays below the raw2cells collapse threshold (0.004): only the
+    # sheet forces refinement, like geometry-fitted AMR
     v = (
-        1.0 / (1.0 + np.exp(-d / w))          # sharp jump across the sheet
-        + 0.35 * np.exp(-2.0 * (x * x + z * z))  # smooth large-scale flow
-        + 0.15 * np.exp(-8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z))
+        1.0 / (1.0 + np.exp(-d / w))           # sharp jump across the sheet
+        + 0.04 * np.exp(-2.0 * (x * x + z * z))   # smooth large-scale flow
+        + 0.02 * np.exp(-8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z))
     )
     return v.astype(np.float32)
 

@@ -248,10 +248,8 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
         all_act = act_all_ref[rt_id, ct_id] > 0.5
         r, g, b, t = jax.lax.cond(
             all_act,
-            lambda c: jax.lax.fori_loop(0, s_count, _slab_dense, c,
-                                        unroll=True),
-            lambda c: jax.lax.fori_loop(0, s_count, _slab_gated, c,
-                                        unroll=True),
+            lambda c: jax.lax.fori_loop(0, s_count, _slab_dense, c),
+            lambda c: jax.lax.fori_loop(0, s_count, _slab_gated, c),
             init,
         )
         r_ref[:] = r

@@ -165,11 +165,19 @@ def test_pwl_compression_exact(amr_fixture):
     assert np.abs(rec - ref).max() < 1e-3
 
     # full-render equivalence: numpy fs triggers compression, device fs
-    # takes the dense path
+    # takes the dense path.  Use a control-point colormap (exact sparse
+    # breakpoints); the embedded palette strips compress via the minimax
+    # fit instead, which is sub-quantum but not bit-exact.
+    from owlexabrick_tpu.viewer.colormaps import ColorMapper
+
+    cmap = ColorMapper(
+        [(float(p), tuple(v)) for p, v in zip(cps, cpv[:, :3])]
+    )
     scene, bricks, grids = _build(amr_fixture, EX2)
     cam = Camera.look_at([4.0, 4.0, 25.0], [4.0, 4.0, 4.0], [0, 1, 0],
                          40.0, 24, 24)
-    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.6)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.6,
+                          colormap=cmap)
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
     cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent / 0.5)))
     from owlexabrick_tpu.render.slabs import render_slabs_camera
