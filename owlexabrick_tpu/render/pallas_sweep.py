@@ -117,6 +117,9 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
         def _slab_dense(s, carry):
             # every slab active in this tile: keep the tent build and
             # matmuls unconditional so Mosaic pipelines them across slabs
+            # (measured: removing the per-slab cond/reductions entirely
+            # changes nothing — the kernel is VPU-work bound, not
+            # serialization bound; see PERFORMANCE.md 256^3 breakdown)
             wy, sw, ok = _interp(s)
             do = ok.any() & (jnp.max(carry[3]) > 0.005)
             return jax.lax.cond(
