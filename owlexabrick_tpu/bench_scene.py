@@ -13,14 +13,15 @@ from .tools.raw2cells import volume_to_cells
 def synthetic_volume(n: int = 64) -> np.ndarray:
     """Smooth multi-scale field: blobs + a shell, gives a real AMR level
     mix under threshold collapse."""
-    z, y, x = np.meshgrid(*([np.linspace(-1, 1, n)] * 3), indexing="ij")
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    z = ax[:, None, None]
+    y = ax[None, :, None]
+    x = ax[None, None, :]
     r = np.sqrt(x * x + y * y + z * z)
-    v = (
-        np.exp(-18 * ((x - 0.3) ** 2 + (y - 0.2) ** 2 + z ** 2))
-        + 0.8 * np.exp(-24 * ((x + 0.4) ** 2 + y ** 2 + (z - 0.3) ** 2))
-        + 0.6 * np.exp(-60 * (r - 0.7) ** 2)
-    )
-    return v.astype(np.float32)
+    v = np.exp(-18 * ((x - 0.3) ** 2 + (y - 0.2) ** 2 + z ** 2))
+    v = v + 0.8 * np.exp(-24 * ((x + 0.4) ** 2 + y ** 2 + (z - 0.3) ** 2))
+    v += 0.6 * np.exp(-60 * (r - 0.7) ** 2)
+    return np.asarray(v, np.float32)
 
 
 def exajet_pattern_volume(n: int = 256) -> np.ndarray:
@@ -30,19 +31,24 @@ def exajet_pattern_volume(n: int = 256) -> np.ndarray:
     level-population pattern of real exajet-class AMR data (fine cells on
     geometry, coarse everywhere else), so the finest level's own bounding
     box stays thin along y."""
-    z, y, x = np.meshgrid(*([np.linspace(-1, 1, n)] * 3), indexing="ij")
-    sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x
-    d = y - sheet
-    w = 6.0 / n  # a few finest cells thick
+    # float32 + open (broadcast) grids: the host here is a slow shared
+    # vCPU, and full 3-D float64 meshgrid temps cost minutes at 512^3
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    z = ax[:, None, None]
+    y = ax[None, :, None]
+    x = ax[None, None, :]
+    sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x  # (n,1,n)
+    d = y - sheet  # broadcasts to (n, n, n)
+    w = np.float32(6.0 / n)  # a few finest cells thick
     # background amplitudes sized so their per-coarse-cell variation
     # stays below the raw2cells collapse threshold (0.004): only the
     # sheet forces refinement, like geometry-fitted AMR
-    v = (
-        1.0 / (1.0 + np.exp(-d / w))           # sharp jump across the sheet
-        + 0.04 * np.exp(-2.0 * (x * x + z * z))   # smooth large-scale flow
-        + 0.02 * np.exp(-8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z))
+    v = 1.0 / (1.0 + np.exp(np.clip(-d / w, -60.0, 60.0)))
+    v += 0.04 * np.exp(-2.0 * (x * x + z * z))
+    v += 0.02 * np.exp(
+        -8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z)
     )
-    return v.astype(np.float32)
+    return np.asarray(v, np.float32)
 
 
 def build_bench_scene(n: int = 64, threshold: float = 0.004,
