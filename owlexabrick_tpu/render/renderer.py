@@ -214,9 +214,14 @@ class Renderer:
             principal_axis,
         )
 
-        if self.cfg.ao_samples > 0:
-            # ambient occlusion needs incoherent secondary rays — the
-            # wavefront path renders it exactly
+        if self.cfg.ao_samples > 0 and (
+            self.surf.num_tris > 0
+            or self.surf.num_segments > 0
+            or bool(np.any(self.fs.contour_enabled))
+        ):
+            # AO against meshes/streamlines/contours needs incoherent
+            # secondary rays — the wavefront path renders it exactly;
+            # iso-only AO uses the sweep shadow volumes (render/ao_sweep)
             self._fast = None
             return False
         # the sweep operates in voxel space (remap transform applied to
@@ -283,6 +288,33 @@ class Renderer:
                 getattr(self, "_scene_host", self.scene), axis=axis
             )
         return cache[axis]
+
+    @staticmethod
+    def _grid_to_voxel_normals(n_grid, axis: int):
+        """(P, 3) grid-frame (z, y, x) normals -> voxel (x, y, z)."""
+        other = [a for a in (2, 1, 0) if a != axis]
+        perm = (axis, *other)
+        cols = [None, None, None]
+        for k, pax in enumerate(perm):
+            cols[pax] = n_grid[:, k]
+        return jnp.stack(cols, axis=1)
+
+    def _ao_lattice_dev(self):
+        """Device copies of the finest-lattice AO field (cached)."""
+        lat = getattr(self, "_ao_lat", None)
+        if lat is None:
+            from .ao_sweep import build_ao_lattice
+            from .slabs import grids_from_scene
+
+            g_np = grids_from_scene(
+                getattr(self, "_scene_host", self.scene), axis=2,
+                device=False,
+            )
+            val, occ, lo, cwf = build_ao_lattice(g_np)
+            lat = (jnp.asarray(val), jnp.asarray(occ),
+                   jnp.asarray(lo), cwf)
+            self._ao_lat = lat
+        return lat
 
     def _camera_from_fs(self) -> Camera:
         return Camera(
@@ -417,8 +449,13 @@ class Renderer:
             or include_contours
         )
         clip = bool(self.fs.clip_enabled)
+        # AO affects only gradient-shaded iso surfaces here (the raygen
+        # 'shade' flag, exabrick.cu:1610-1613; meshes/streamlines are
+        # gated to the wavefront path)
+        ao_fast = (self.cfg.ao_samples > 0 and self.cfg.iso_surfaces
+                   and self.cfg.gradient_shading_iso)
         t_surf = None
-        if need_surf or clip:
+        if need_surf or clip or ao_fast:
             o_w, d_unit, rnorm = self._sweep_rays_world(
                 grids, cam, lattice, rw, rh
             )
@@ -454,22 +491,71 @@ class Renderer:
             (swapped,) = separable_mapping(cam, axis)
             pos, dir00, du, dv = permute_camera(cam, axis)
             icfg = _dc.replace(scfg, flip=bool(dir00[0] < 0))
+            want_n = self.cfg.gradient_shading_iso or ao_fast
             f = jax.jit(
                 render_slabs_iso,
-                static_argnames=("cfg", "width", "height", "return_depth"),
+                static_argnames=("cfg", "width", "height", "return_depth",
+                                 "return_normals"),
             )
+            iso_n = None
+            iso_cos = None
             if not swapped:
-                iso_rgba, t_iso = f(grids, self.fs, icfg, pos, dir00,
-                                    du, dv, rw, rh, return_depth=True,
-                                    lattice=lattice)
+                out = f(grids, self.fs, icfg, pos, dir00,
+                        du, dv, rw, rh, return_depth=True,
+                        lattice=lattice, return_normals=want_n)
+                iso_rgba, t_iso = out[0], out[1]
+                if want_n:
+                    iso_n, iso_cos = out[2], out[3]
             else:
-                iso_rgba, t_iso = f(grids, self.fs, icfg, pos, dir00,
-                                    dv, du, rh, rw, return_depth=True)
+                out = f(grids, self.fs, icfg, pos, dir00,
+                        dv, du, rh, rw, return_depth=True,
+                        return_normals=want_n)
+                iso_rgba, t_iso = out[0], out[1]
                 iso_rgba = iso_rgba.reshape(
                     rw, rh, 4
                 ).transpose(1, 0, 2).reshape(-1, 4)
                 t_iso = t_iso.reshape(rw, rh).T.reshape(-1)
+                if want_n:
+                    iso_n = out[2].reshape(rw, rh, 3).transpose(
+                        1, 0, 2
+                    ).reshape(-1, 3)
+                    iso_cos = out[3].reshape(rw, rh).T.reshape(-1)
             iso_bg = iso_rgba[:, :3] * iso_rgba[:, 3:4]
+
+            if want_n:
+                # raygen surface shading (exabrick.cu:1644-1650): the
+                # iso PRD base color (already .3+.7-shaded) is scaled by
+                # |dir . Ng| * (1 - AO shadow)
+                n_vox = self._grid_to_voxel_normals(iso_n, grids.axis)
+                has_n = jnp.linalg.norm(n_vox, axis=-1) > 0.0
+                cosf = iso_cos
+                shadow = jnp.zeros(rw * rh, jnp.float32)
+                if ao_fast:
+                    from .ao_sweep import ao_shadow_fast
+
+                    lat = self._ao_lattice_dev()
+                    t_w = t_iso * rnorm
+                    hit_w = o_w + t_w[:, None] * d_unit
+                    m = np.asarray(self.scene.voxel_from_world)
+                    hit_v = (
+                        jnp.asarray(hit_w) @ jnp.asarray(m[:, :3].T)
+                        + jnp.asarray(m[:, 3])
+                    )
+                    key_ao = jax.random.fold_in(key, 7)
+                    shadow = ao_shadow_fast(
+                        lat, self.fs, hit_v[:, ::-1], n_vox[:, ::-1],
+                        key_ao, ao_samples=self.cfg.ao_samples,
+                    )
+                    shadow = jnp.where(
+                        jnp.asarray(self.fs.ao_enabled), shadow, 0.0
+                    )
+                if self.cfg.gradient_shading_iso:
+                    iso_bg = jnp.where(
+                        has_n[:, None],
+                        iso_bg * (cosf * (1.0 - shadow))[:, None],
+                        iso_bg,
+                    )
+
             if t_surf is None:
                 bg = iso_bg
                 t_stop = t_iso

@@ -122,9 +122,12 @@ def _compute_zranges(levels, vals, masks, origins, lo_p, hi_p):
 
 
 def build_level_grids(
-    bricks: Bricks, scalars: np.ndarray, axis: int = 2
+    bricks: Bricks, scalars: np.ndarray, axis: int = 2,
+    device: bool = True,
 ) -> LevelGrids:
-    """Scatter bricks into dense per-level grids (host-side, offline)."""
+    """Scatter bricks into dense per-level grids (host-side, offline).
+    ``device=False`` keeps the arrays as numpy (for host-side consumers
+    like the AO lattice — avoids TPU-tunnel round trips)."""
     scalars = np.asarray(scalars, np.float32)
     if scalars.ndim == 1:
         scalars = scalars[None]
@@ -187,14 +190,15 @@ def build_level_grids(
     zr = _compute_zranges(levels, vals, masks, origins, lo_p, hi_p)
     vr_zy = [_vrange_zy(v, m) for v, m in zip(vals, masks)]
 
+    conv = jnp.asarray if device else np.asarray
     return LevelGrids(
-        vals=tuple(jnp.asarray(v) for v in vals),
-        masks=tuple(jnp.asarray(m) for m in masks),
-        origins=tuple(jnp.asarray(o) for o in origins),
-        zranges=jnp.asarray(zr),
-        bounds_lo=jnp.asarray(lo_p),
-        bounds_hi=jnp.asarray(hi_p),
-        vrange_zy=tuple(jnp.asarray(v) for v, _ in vr_zy),
+        vals=tuple(conv(v) for v in vals),
+        masks=tuple(conv(m) for m in masks),
+        origins=tuple(conv(o) for o in origins),
+        zranges=conv(zr),
+        bounds_lo=conv(lo_p),
+        bounds_hi=conv(hi_p),
+        vrange_zy=tuple(conv(v) for v, _ in vr_zy),
         levels=levels,
         num_channels=c,
         axis=axis,
@@ -1077,7 +1081,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                      cam_pos, cam_dir00, cam_du, cam_dv,
                      width: int, height: int, return_depth: bool = False,
-                     lattice=None):
+                     lattice=None, return_normals: bool = False):
     """Slab-sweep implicit iso-surface rendering (fast path).
 
     Mirrors IsoSurfaceIntegrationFunction (exabrick.cu:1018-1114) on the
@@ -1101,7 +1105,13 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
 
     Returns (P, 4) rgba with alpha 1 at hits; with ``return_depth`` also
     the per-pixel sweep parameter t of the first crossing (inf at
-    misses), comparable to render_slabs' ``t_stop``.
+    misses), comparable to render_slabs' ``t_stop``; with
+    ``return_normals`` also the (P, 3) unit crossing normals in the grid
+    (z, y, x) frame (the normalized basis gradient, like traceIsoRay's
+    Ng) and the (P,) |dir . Ng| factor of the raygen surface shading
+    (exabrick.cu:1646-1650; computed with the grid-frame ray direction —
+    the reference mixes the world direction with the voxel-frame normal,
+    identical under the usual uniform remap).
     """
     f32 = jnp.float32
     h, w = height, width
@@ -1168,7 +1178,7 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     dir_y = ry[:, None] / rnorm
     dir_x = rx[None, :] / rnorm
 
-    need_grad = cfg.gradient_shading_iso
+    need_grad = cfg.gradient_shading_iso or return_normals
     ccm = cfg.colormap_channel
     if ccm >= nc:
         raise ValueError("colormap_channel out of range")
@@ -1178,7 +1188,8 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     )
 
     def body(s, carry):
-        prev_vals, prev_ok, prev_t, prev_grads, found, color, t_hit = carry
+        (prev_vals, prev_ok, prev_t, prev_grads, found, color, t_hit,
+         hit_n, hit_cos) = carry
         zv = z_planes[s]
         scale = (zv - oz) / rz
         front = scale > 1e-6
@@ -1186,7 +1197,8 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
         x_pos = ox + scale * rx
 
         def work(carry):
-            prev_vals, prev_ok, prev_t, prev_grads, found, color, t_hit = carry
+            (prev_vals, prev_ok, prev_t, prev_grads, found, color, t_hit,
+             hit_n, hit_cos) = carry
             sw, swv, dsw, dswv = _slab_field_ch(
                 grids, zv, y_pos, x_pos, nc, need_grad
             )
@@ -1216,12 +1228,15 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                     & (((pvk <= iso) & (vk >= iso))
                        | ((pvk >= iso) & (vk <= iso)))
                 )
-                # distance-weighted crossing parameter (exabrick.cu:1047-53)
+                # distance-weighted crossing parameter (exabrick.cu:1047-53);
+                # both samples exactly at iso (a plateau) degenerates the
+                # reference formula to 0/0 — take the midpoint there
                 d1 = jnp.abs(pvk - iso)
                 d2 = jnp.abs(vk - iso)
+                deg = (d1 + d2) <= 0.0
                 den_k = jnp.maximum(d1 + d2, 1e-30)
-                w1 = d2 / den_k
-                w2 = d1 / den_k
+                w1 = jnp.where(deg, 0.5, d2 / den_k)
+                w2 = jnp.where(deg, 0.5, d1 / den_k)
                 tavg = prev_t * w1 + scale * w2
 
                 rgb = jnp.broadcast_to(
@@ -1247,8 +1262,21 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
                     ndl = jnp.abs(
                         dir_z * g[0] + dir_y * g[1] + dir_x * g[2]
                     ) / jnp.maximum(gl, 1e-30)
-                    shade = jnp.where(gl > 0.0, 0.3 + 0.7 * ndl, 1.0)
-                    rgb = rgb * shade[None]
+                    if cfg.gradient_shading_iso:
+                        shade = jnp.where(gl > 0.0, 0.3 + 0.7 * ndl, 1.0)
+                        rgb = rgb * shade[None]
+                    if return_normals:
+                        n_unit = g / jnp.maximum(gl, 1e-30)[None]
+                        # face forward like the reference (the AO
+                        # hemisphere is the visible side,
+                        # exabrick.cu:1068-1070)
+                        fwd = (dir_z * n_unit[0] + dir_y * n_unit[1]
+                               + dir_x * n_unit[2]) > 0.0
+                        n_unit = jnp.where(fwd[None], -n_unit, n_unit)
+                        hit_n = jnp.where(cross[None], n_unit, hit_n)
+                        hit_cos = jnp.where(
+                            cross, jnp.where(gl > 0.0, ndl, 0.0), hit_cos
+                        )
                 color = jnp.where(cross[None], rgb, color)
                 t_hit = jnp.where(cross, tavg, t_hit)
                 found = found | cross
@@ -1262,7 +1290,8 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
             else:
                 new_grads = prev_grads
             new_ok = prev_ok | ok
-            return new_vals, new_ok, new_t, new_grads, found, color, t_hit
+            return (new_vals, new_ok, new_t, new_grads, found, color,
+                    t_hit, hit_n, hit_cos)
 
         return lax.cond(act[s], work, lambda c: c, carry)
 
@@ -1272,17 +1301,23 @@ def render_slabs_iso(grids: LevelGrids, fs, cfg: SlabConfig,
     found0 = jnp.zeros((h, w), bool)
     color0 = jnp.zeros((3, h, w), f32)
     t0 = jnp.full((h, w), jnp.inf, f32)
-    _, _, _, _, found, color, t_hit = lax.fori_loop(
+    hitn0 = jnp.zeros((3, h, w), f32)
+    hitc0 = jnp.zeros((h, w), f32)
+    _, _, _, _, found, color, t_hit, hit_n, hit_cos = lax.fori_loop(
         0, cfg.nslabs, body,
         (prev_vals0, jnp.zeros((h, w), bool), prev_t0, grads0,
-         found0, color0, t0),
+         found0, color0, t0, hitn0, hitc0),
     )
     rgba = jnp.concatenate(
         [color, found[None].astype(f32)], axis=0
     )
+    out = [rgba.reshape(4, h * w).T]
     if return_depth:
-        return rgba.reshape(4, h * w).T, t_hit.reshape(h * w)
-    return rgba.reshape(4, h * w).T
+        out.append(t_hit.reshape(h * w))
+    if return_normals:
+        out.append(hit_n.reshape(3, h * w).T)
+        out.append(hit_cos.reshape(h * w))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def reorient_grids(grids: LevelGrids, camera):
@@ -1463,8 +1498,9 @@ def camera_to_voxel(camera, voxel_from_world) -> "Camera":
     )
 
 
-def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
-    """Build level grids from a device Scene's flattened brick arrays."""
+def grids_from_scene(scene, axis: int = 2, device: bool = True) -> LevelGrids:
+    """Build level grids from a Scene's flattened brick arrays (pass a
+    host-resident scene on TPU — see CLAUDE.md on tunnel readbacks)."""
     cw = np.asarray(scene.brick_cell_width)
     level = np.round(np.log2(cw)).astype(np.int32)
     bricks = Bricks(
@@ -1473,7 +1509,8 @@ def grids_from_scene(scene, axis: int = 2) -> LevelGrids:
         level=level,
         begin=np.asarray(scene.brick_begin, np.int32),
     )
-    return build_level_grids(bricks, np.asarray(scene.scalars), axis=axis)
+    return build_level_grids(bricks, np.asarray(scene.scalars), axis=axis,
+                             device=device)
 
 
 def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,

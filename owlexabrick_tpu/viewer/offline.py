@@ -316,6 +316,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         or grad_dvr
         or any(np.asarray(fs.contour_enabled))
         or ao
+        or bool(isovals)
         or r.surf.num_tris > 0
         or r.surf.num_segments > 0
     ):

@@ -42,7 +42,16 @@ def test_band_sharded_matches_single_device(text, flip_dir):
     zcam = 30.0 * flip_dir + 4.0
     cam = Camera.look_at([4.0, 4.0, zcam], [4.0, 4.0, 4.0], [0, 1, 0],
                          30.0, size, size)
-    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.3, opacity_scale=0.6)
+    # control-point colormap: its PWL compression is exact, so the
+    # compressed (single/banded) and dense (band-sharded) classifications
+    # are bit-identical (the embedded Jet strip compresses only to 1/255)
+    from owlexabrick_tpu.viewer.colormaps import ColorMapper
+
+    cmap = ColorMapper.from_string(
+        "0.0,(0,0,0.6)\n0.35,(0,0.8,0.9)\n0.7,(1,0.9,0)\n1.0,(0.8,0,0)"
+    )
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.3, opacity_scale=0.6,
+                          colormap=cmap)
 
     grids = build_level_grids(bricks, scene.scalars, axis=2)
     pos, dir00, du, dv = permute_camera(cam, 2)
