@@ -81,6 +81,9 @@ def main():
         nslabs=nslabs or int(np.ceil(extent / 1.0)),
         chunk=12,
         extent_z=extent,
+        # coarse-only tiles take wider z steps (the reference's
+        # per-region dt = global_dt * finestLevelCellWidth, in slab form)
+        adaptive_stride=os.environ.get("BENCH_STRIDE", "1") != "0",
     )
 
     # warm-up / compile

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Interleaved A/B tuning harness for the 256^3 sweep megakernel.
+
+Builds the bench scene once, then times SlabConfig variants interleaved
+(contention-robust best-of) with the sustained-throughput protocol.
+Usage: python benchmarks/tune_256.py [volume] [frames] [rounds]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from owlexabrick_tpu.bench_scene import synthetic_volume
+    from owlexabrick_tpu.pipeline import scene_from_cells
+    from owlexabrick_tpu.render.camera import Camera
+    from owlexabrick_tpu.render.frame import make_frame_state
+    from owlexabrick_tpu.render.slabs import (
+        SlabConfig,
+        build_level_grids,
+        render_slabs_camera,
+    )
+    from owlexabrick_tpu.tools.raw2cells import volume_to_cells
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    width, height = 1920, 1080
+
+    t0 = time.time()
+    vol = synthetic_volume(n)
+    lower, level, scal = volume_to_cells(vol, 0.004, 3)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
+    print(f"# build {time.time()-t0:.0f}s, levels {grids.levels}",
+          file=sys.stderr)
+
+    cam = Camera.look_at(
+        from_=[n / 2, n / 2, n * 2.2], at=[n / 2, n / 2, n / 2],
+        up=[0, 1, 0], fovy_degrees=45.0, width=width, height=height,
+    )
+    fs = make_frame_state(
+        cam, 1, [[0.0, float(scal.max())]], dt=1.0, opacity_scale=0.7
+    )
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    base = SlabConfig(
+        num_channels=1, nslabs=int(np.ceil(extent / 1.0)), chunk=12,
+        extent_z=extent,
+    )
+
+    variants = {
+        "base": base,
+        "stride": dataclasses.replace(base, adaptive_stride=True),
+        "stride_tr120": dataclasses.replace(
+            base, adaptive_stride=True, tile_rows=120),
+        "stride_tr72": dataclasses.replace(
+            base, adaptive_stride=True, tile_rows=72),
+        "stride_tr40": dataclasses.replace(
+            base, adaptive_stride=True, tile_rows=40),
+        "tr72": dataclasses.replace(base, tile_rows=72),
+    }
+    if len(sys.argv) > 4:
+        keep = sys.argv[4].split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
+
+    def run(cfg):
+        outs = [
+            render_slabs_camera(grids, fs, cfg, cam, width, height)
+            for _ in range(frames)
+        ]
+        np.asarray(jnp.stack([o[:1, 0] for o in outs]).sum())
+
+    best = {k: np.inf for k in variants}
+    for k, cfg in variants.items():
+        run(cfg)  # compile
+    for r in range(rounds):
+        for k, cfg in variants.items():
+            t0 = time.time()
+            run(cfg)
+            dt = (time.time() - t0) / frames
+            best[k] = min(best[k], dt)
+            print(f"# round {r} {k}: {1.0/dt:.2f} FPS", file=sys.stderr)
+    for k in variants:
+        print(f"{k}: {1.0/best[k]:.2f} FPS ({best[k]*1e3:.1f} ms)")
+
+
+if __name__ == "__main__":
+    import jax.numpy as jnp  # noqa: F401
+    main()

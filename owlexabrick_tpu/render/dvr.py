@@ -71,6 +71,11 @@ class RenderConfig:
     # in CD mode, keep offset samples in the current region instead of
     # relocating (exabrick.cu:850-852)
     fast_central_differences: bool = False
+    # fast path only: coarse-only slab tiles take wider z steps, like
+    # the reference's per-region dt = global_dt * finestLevelCellWidth
+    # (exabrick.cu:1129).  Off by default: unit stride oversamples
+    # coarse regions (higher fidelity than the reference's marcher)
+    adaptive_stride: bool = False
 
 
 # ----------------------------------------------------------------------------

@@ -32,8 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                  n_texels: int = 0, has_stop: bool = False,
-                 dot_precision: str = "highest"):
+                 dot_precision: str = "highest",
+                 tau: Tuple[bool, ...] = ()):
     compressed = n_texels > 0
+    if not tau:
+        tau = (False,) * n_channels
     # near-f32 MXU passes by default (the CUDA reference multiplies in
     # f32; TPU default dot precision is bf16 and shows up as ~1e-1
     # compositing error); bf16_interp opts into the fast bf16 path.
@@ -49,12 +52,13 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                        preferred_element_type=jnp.float32,
                        precision=prec)
 
-    def kernel(params_ref, lut_ref, d_ref, live_ref, act_ref, act_all_ref,
-               orgy_ref, cw_ref, *refs):
+    def kernel(params_ref, lut_ref, d_ref, cum_ref, live_ref, act_ref,
+               act_all_ref, orgy_ref, cw_ref, *refs):
         # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec,
         #        (t_slab, t_stop if has_stop), r, g, b, t]
         # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
-        # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba]
+        # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba],
+        # cum_ref = (C, M+1, 8) prefix sums [sd, sd*pos]
         mv_refs = refs[:n_channels]
         mm_ref = refs[n_channels]
         ypos_ref = refs[n_channels + 1]
@@ -123,28 +127,31 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
             wy, sw, ok = _interp(s)
             do = ok.any() & (jnp.max(carry[3]) > 0.005)
             return jax.lax.cond(
-                do, lambda c: _classify(s, wy, sw, ok, c),
+                do, lambda c: _classify(s, wy, sw, ok, c, 1.0),
                 lambda c: c, carry,
             )
 
         def _slab_gated(s, carry):
-            # lateral space skipping: act_ref marks whether any cell's
-            # basis support can reach this (slab, row-tile, col-tile);
-            # inactive tiles skip the tent build and both matmuls
-            do = (act_ref[s, rt_id, ct_id] > 0.5) & (
-                jnp.max(carry[3]) > 0.005
-            )
+            # lateral space skipping + adaptive stride: act_ref carries a
+            # per-(slab, row-tile, col-tile) step weight — 0 when no
+            # cell's basis support can reach the tile (skip the tent
+            # build and both matmuls), k>1 when this slab stands in for a
+            # group of k coarse-level slabs (the reference's per-region
+            # dt = global_dt * finestLevelCellWidth, exabrick.cu:1129,
+            # in slab form: coarse-only tiles take wider steps)
+            w_s = act_ref[s, rt_id, ct_id]
+            do = (w_s > 0.0) & (jnp.max(carry[3]) > 0.005)
 
             def work(carry):
                 wy, sw, ok = _interp(s)
                 return jax.lax.cond(
-                    ok.any(), lambda c: _classify(s, wy, sw, ok, c),
+                    ok.any(), lambda c: _classify(s, wy, sw, ok, c, w_s),
                     lambda c: c, carry,
                 )
 
             return jax.lax.cond(do, work, lambda c: c, carry)
 
-        def _classify(s, wy, sw, ok, carry):
+        def _classify(s, wy, sw, ok, carry, w_s):
                 # per-slab channel merge in the reference's channel order
                 # (exabrick.cu:1169-1179)
                 slab_a = jnp.zeros((tr, tc), jnp.float32)
@@ -163,23 +170,33 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
 
                     sc = (n - 1) * (value - lo) / ((hi - lo) + 1e-20)
                     sc = jnp.clip(sc + 0.5, 0.0, n - 1.0) / (n - 1.0)
-                    u = jnp.clip(sc * n - 0.5, 0.0, n - 1.0)
-                    u = jnp.where(ok, u, 0.0)
+                    u_raw = jnp.clip(sc * n - 0.5, 0.0, n - 1.0)
+                    u = jnp.where(ok, u_raw, 0.0)
 
                     if compressed:
                         # f(u) = base + sum_j sd_j * relu(u - p_j) over the
                         # LUT's true breakpoints (positions sorted; padding
-                        # sits at n so it never fires).  Knots at or past
-                        # the tile's max coordinate contribute nothing.
+                        # sits at n so it never fires).  Two-sided knot
+                        # window: knots at or past the tile's max texel
+                        # coordinate contribute nothing; knots at or below
+                        # its min act affinely and fold into the prefix
+                        # sums (base + u*cum1 - cum2) — only the knots
+                        # inside the tile's value spread are looped.
+                        u_min = jnp.min(jnp.where(ok, u_raw, n - 1.0))
                         u_max = jnp.max(u)
                         m_all = d_ref.shape[1]
 
                         def count(j, cnt):
-                            return cnt + (
-                                d_ref[ch, j, 0] < u_max
-                            ).astype(jnp.int32)
+                            c_lo, c_hi = cnt
+                            p_ = d_ref[ch, j, 0]
+                            return (
+                                c_lo + (p_ <= u_min).astype(jnp.int32),
+                                c_hi + (p_ < u_max).astype(jnp.int32),
+                            )
 
-                        m_hi = jax.lax.fori_loop(0, m_all, count, 0)
+                        m_lo, m_hi = jax.lax.fori_loop(
+                            0, m_all, count, (0, 0)
+                        )
 
                         def knot(j, accs):
                             r, g, b, a = accs
@@ -193,10 +210,12 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
 
                         base = [
                             jnp.full_like(u, lut_ref[ch, 2 + c])
+                            + u * cum_ref[ch, m_lo, c]
+                            - cum_ref[ch, m_lo, 4 + c]
                             for c in range(4)
                         ]
                         r, g, b, a = jax.lax.fori_loop(
-                            0, m_hi, knot, tuple(base)
+                            m_lo, m_hi, knot, tuple(base)
                         )
                     else:
                         k_lo = jnp.clip(
@@ -226,9 +245,17 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                             k_lo, k_hi + 1, knot, tuple(base)
                         )
 
-                    a = 1.0 - jnp.power(
-                        jnp.maximum(1.0 - a, 0.0), dz * sec
-                    )
+                    if compressed and tau[ch]:
+                        # 4th component is optical depth -log(1-alpha):
+                        # the exact opacity correction 1-(1-a)^dt equals
+                        # 1-exp(-tau*dt) — one transcendental, not two
+                        a = 1.0 - jnp.exp(
+                            -jnp.maximum(a, 0.0) * ((dz * w_s) * sec)
+                        )
+                    else:
+                        a = 1.0 - jnp.power(
+                            jnp.maximum(1.0 - a, 0.0), (dz * w_s) * sec
+                        )
                     a = jnp.where(ok, a, 0.0)
                     contrib = (1.0 - slab_a) * a
                     slab_r = slab_r + contrib * r
@@ -268,6 +295,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 luts, domains, dz, height: int, width: int, *,
                 knots=None, tf_cull=None, t_stop=None, tiles=(0, 0),
                 dot_precision: str = "highest",
+                adaptive_stride: bool = False,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
@@ -283,8 +311,10 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     n = luts[0].shape[0]
     if knots is not None:
         # compressed classification: (C, 6) [domain lo, hi, base rgba] +
-        # (C, M, 5) [breakpoint position, slope-delta rgba]
-        kpos, ksd, kbase = knots
+        # (C, M, 5) [breakpoint position, slope-delta rgba] +
+        # (C, M+1, 8) prefix sums for the two-sided knot window
+        kpos, ksd, kbase = knots.pos, knots.sd, knots.base
+        tau_flags = knots.tau
         lut_pack = jnp.concatenate(
             [jnp.stack([jnp.asarray(d, jnp.float32) for d in domains]),
              jnp.asarray(kbase, jnp.float32)], axis=1,
@@ -293,7 +323,9 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             [jnp.asarray(kpos, jnp.float32)[..., None],
              jnp.asarray(ksd, jnp.float32)], axis=2,
         )  # (C, M, 5)
+        cum_pack = jnp.asarray(knots.cum, jnp.float32)
     else:
+        tau_flags = ()
         # pack per-channel lut + domain into one SMEM array: (C, N, 6) with
         # cols 4:6 = domain at row 0
         lut_pack = jnp.zeros((n_channels, n, 6), jnp.float32)
@@ -309,6 +341,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             d_pack = d_pack.at[ch].set(
                 jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
             )
+        cum_pack = jnp.zeros((n_channels, 1, 8), jnp.float32)
     params = jnp.stack(
         [jnp.asarray(dz, jnp.float32),
          jnp.asarray(height, jnp.float32),
@@ -328,9 +361,13 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     # tc=128 measured fastest at 1080p (wider tiles hurt: 384 -> -27%,
     # 640 -> VMEM OOM).  SlabConfig.tile_rows/tile_cols override.
     # largest multiple-of-8 divisor of height up to 256 (1080 -> 216,
-    # measured ~5% over 120; sublane dim must be a multiple of 8)
+    # measured ~5% over 120; sublane dim must be a multiple of 8).
+    # With the adaptive stride on, finer row tiles expose more
+    # coarse-only groups: cap at 128 (1080 -> 120; 256^3 measured
+    # 14.7 vs 13.9 FPS, while 40-row tiles' fixed costs cost -30%)
+    tr_cap = 128 if adaptive_stride else 256
     tr = tiles[0] or max(
-        (t for t in range(8, 257, 8) if height % t == 0), default=8
+        (t for t in range(8, tr_cap + 1, 8) if height % t == 0), default=8
     )
     tc = tiles[1] or next(
         (t for t in (512, 256, 128) if width % t == 0), 128
@@ -361,6 +398,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         mm_p.reshape(s_, ny_total_, n_ct, tc).astype(jnp.float32) > 0
     ).any(-1)  # (S, NY, Ct)
     act = jnp.zeros((s_, n_rt, n_ct), bool)
+    acts_l = []  # per level (S, R, Ct) — feeds the adaptive stride below
     off = 0
     for li, ny in enumerate(ny_list):
         occ = occ_c[:, off : off + ny]  # (S, ny, Ct)
@@ -378,7 +416,9 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         hi_g = jnp.take_along_axis(
             cs, jnp.broadcast_to(k1[:, :, None], (s_, n_rt, n_ct)), axis=1
         )
-        act = act | (hi_g - lo_g > 0)
+        al = hi_g - lo_g > 0
+        acts_l.append(al)
+        act = act | al
     act = act & live[:, None, None]
 
     if tf_cull is not None:
@@ -417,8 +457,69 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         act = act & act_tf[:, :, None]
 
     act_f = act.astype(jnp.float32)
-    # per-tile "every slab active" flag selects the pipelined dense loop
-    act_all_f = act.all(axis=0).astype(jnp.float32)  # (R, Ct)
+    if adaptive_stride and s_ > 1:
+        # Adaptive z-stride (the slab form of the reference's per-region
+        # dt = global_dt * finestLevelCellWidth, exabrick.cu:1129): where
+        # a tile's finest contributing level is coarse, one
+        # representative slab stands in for a group of up to 8 with its
+        # step weight scaled by the group's active count.  Groups are
+        # formed greedily (8, then 4, then 2 consecutive slabs) and only
+        # where every group member admits the stride — the quadrature
+        # then matches what the reference's marcher does in coarse
+        # regions.
+        cw_act = jnp.full((s_, n_rt, n_ct), jnp.inf)
+        for li, al in enumerate(acts_l):
+            cw_act = jnp.minimum(cw_act, jnp.where(al, cws[li], jnp.inf))
+        # stride limit = local finest cw / global finest cw: slab spacing
+        # scales by the same level ratio the reference's per-region dt
+        # does, preserving the user's dt choice (dz may oversample)
+        lim = jnp.where(act, cw_act / jnp.min(cws), jnp.inf)
+        weight = act.astype(jnp.float32)
+        consumed = jnp.zeros((s_, n_rt, n_ct), bool)
+        for c_val in (8, 4, 2):
+            if c_val > s_:
+                continue
+            gpad = (-s_) % c_val
+
+            def padded(x, fill):
+                if not gpad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((gpad,) + x.shape[1:], fill, x.dtype)]
+                )
+
+            gl = padded(lim, jnp.inf).reshape(-1, c_val, n_rt, n_ct)
+            ga = padded(act, False).reshape(-1, c_val, n_rt, n_ct)
+            gc = padded(consumed, False).reshape(-1, c_val, n_rt, n_ct)
+            feas = (
+                (gl.min(1) >= c_val)
+                & (ga.sum(1) >= 2)
+                & ~gc.any(1)
+            )  # (G, R, Ct)
+            # representative = active slab nearest the active span middle
+            li_ = jnp.arange(c_val, dtype=jnp.float32)[None, :, None, None]
+            first = jnp.where(ga, li_, float(c_val)).min(1)
+            last = jnp.where(ga, li_, -1.0).max(1)
+            mid = 0.5 * (first + last)
+            score = jnp.abs(li_ - mid[:, None]) + jnp.where(ga, 0.0, 1e9)
+            rep = jnp.argmin(score, axis=1)  # (G, R, Ct)
+            is_rep = li_.astype(jnp.int32) == rep[:, None]
+            cnt = ga.sum(1).astype(jnp.float32)[:, None]
+            w_g = jnp.where(is_rep & ga, cnt, 0.0)
+            apply = feas[:, None] & ga
+            gw = padded(weight, jnp.float32(0)).reshape(
+                -1, c_val, n_rt, n_ct
+            )
+            gw = jnp.where(apply, w_g, gw)
+            gcon = jnp.where(feas[:, None], True, gc)
+            weight = gw.reshape(-1, n_rt, n_ct)[:s_]
+            consumed = gcon.reshape(-1, n_rt, n_ct)[:s_]
+        act_f = weight
+    # per-tile "every slab active at unit weight" selects the pipelined
+    # dense loop
+    act_all_f = (
+        act.all(axis=0) & (jnp.abs(act_f - 1.0) < 0.5).all(axis=0)
+    ).astype(jnp.float32)  # (R, Ct)
 
     ny_total = mid_m.shape[1]
     mid_spec = pl.BlockSpec((s_, ny_total, tc), lambda j, i: (0, 0, j),
@@ -437,12 +538,14 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         _make_kernel(n_levels, ny_list, n_channels,
                      n_texels=n if knots is not None else 0,
                      has_stop=t_stop is not None,
-                     dot_precision=dot_precision),
+                     dot_precision=dot_precision,
+                     tau=tau_flags),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lut pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # d pack
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cum prefix
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act-all per tile
@@ -460,6 +563,6 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             for _ in range(4)
         ),
         interpret=interpret,
-    )(params, lut_pack, d_pack, live.astype(jnp.float32), act_f, act_all_f,
-      orgy, cws, *mid_vs, mid_m, y_pos.T, sec, *stop_ins)
+    )(params, lut_pack, d_pack, cum_pack, live.astype(jnp.float32), act_f,
+      act_all_f, orgy, cws, *mid_vs, mid_m, y_pos.T, sec, *stop_ins)
     return jnp.stack([r, g, b]), t

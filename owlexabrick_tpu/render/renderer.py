@@ -270,6 +270,7 @@ class Renderer:
                 gradient_shading_dvr=self.cfg.gradient_shading_dvr,
                 gradient_shading_iso=self.cfg.gradient_shading_iso,
                 colormap_channel=self.cfg.colormap_channel,
+                adaptive_stride=self.cfg.adaptive_stride,
             ),
             cam_r,
         )

@@ -444,7 +444,28 @@ def _pwl_breakpoints(lut: np.ndarray, err_tol: float):
     return None  # unreachable: tol 0 keeps every slope change
 
 
-def _pwl_fit(lut: np.ndarray, err_tol: float, max_knots: int = 64):
+@_pytree_dataclass(meta=("tau",))
+class XFKnots:
+    """Compressed transfer-function classification knots.
+
+    ``f(u) = base + sum_j sd_j * relu(u - pos_j)`` per channel; ``cum``
+    holds prefix sums (cum[:, k, :4] = sum_{j<k} sd, cum[:, k, 4:] =
+    sum_{j<k} sd*pos) so the kernel can fold every knot below a tile's
+    min texel coordinate into one affine term (two-sided knot
+    windowing).  ``tau[c]`` marks channels whose 4th component is
+    optical depth -log(1-alpha) instead of alpha: the kernel's opacity
+    correction becomes ``1 - exp(-tau * dt)`` (one transcendental)
+    instead of ``1 - (1-a)^dt`` (exp + log), exact in form for every
+    step length."""
+
+    pos: Any  # (C, M)
+    sd: Any  # (C, M, 4)
+    base: Any  # (C, 4)
+    cum: Any  # (C, M+1, 8)
+    tau: Tuple[bool, ...] = ()
+
+
+def _pwl_fit(lut: np.ndarray, err_tol, max_knots: int = 64):
     """Greedy longest-segment minimax PWL fit of an (N, 4) LUT.
 
     Needed for LUTs sampled from rasterized palette strips (the
@@ -456,12 +477,14 @@ def _pwl_fit(lut: np.ndarray, err_tol: float, max_knots: int = 64):
     the feasible end-value interval is the intersection of the per-texel
     constraints |v0 + t*(v1-v0) - lut[u]| <= tol; the segment ends when
     it empties.  Typically 2-5x fewer knots than interpolatory insertion
-    on dithered strips (Jet: ~100 -> ~12).  Returns (positions,
+    on dithered strips (Jet: ~100 -> ~12).  ``err_tol`` is a scalar or a
+    per-texel-per-component (N, comp) array.  Returns (positions,
     slope-deltas) in the relu-basis form of _pwl_breakpoints, or None if
     max_knots isn't enough."""
     n = lut.shape[0]
     comp = lut.shape[1]
     lut64 = lut.astype(np.float64)
+    tol = np.broadcast_to(np.asarray(err_tol, np.float64), (n, comp))
     ks = [0]
     # anchor value: clamp to the tube at texel 0
     vals = [lut64[0].copy()]
@@ -480,8 +503,8 @@ def _pwl_fit(lut: np.ndarray, err_tol: float, max_knots: int = 64):
             for u in range(p0 + 1, end + 1):
                 t = (u - p0) / span
                 # v0*(1-t) + v1*t in [lut-tol, lut+tol]
-                lo_u = (lut64[u] - err_tol - v0 * (1 - t)) / t
-                hi_u = (lut64[u] + err_tol - v0 * (1 - t)) / t
+                lo_u = (lut64[u] - tol[u] - v0 * (1 - t)) / t
+                hi_u = (lut64[u] + tol[u] - v0 * (1 - t)) / t
                 lo = np.maximum(lo, lo_u)
                 hi = np.minimum(hi, hi_u)
                 if (lo > hi).any():
@@ -509,43 +532,69 @@ def _pwl_fit(lut: np.ndarray, err_tol: float, max_knots: int = 64):
 _COMPRESS_CACHE: dict = {}
 
 
-def compress_pwl(luts_np, err_tol: float = 2e-4, fit_tol: float = 1.0 / 255.0):
+def compress_pwl(luts_np, err_tol: float = 2e-4, fit_tol: float = 1.0 / 255.0,
+                 allow_tau: bool = True):
     """Compress per-channel (N, 4) LUTs to their PWL breakpoints.
 
     A 128-texel LUT resampled from a control-point colormap is piecewise
     linear with only ~10-20 real slope changes; evaluating
     ``f(u) = base + sum_j sd_j * relu(u - p_j)`` over the breakpoints
     reproduces it within ``err_tol`` (default well below the 8-bit
-    display quantum) at ~10x fewer classification knots.  LUTs without a
-    sparse exact breakpoint set (e.g. the embedded palette strips, which
-    carry 8-bit quantization dither) fall back to a greedy free-knot fit
-    within ``fit_tol`` (one display quantum); strips too noisy to fit in
-    64 knots (Jet, Ice Fire, Nic Edge) use the dense range-limited
-    loop.
+    display quantum) at ~10x fewer classification knots, bit-stable vs
+    the dense loop.  LUTs without a sparse exact breakpoint set (e.g.
+    the embedded palette strips, which carry 8-bit quantization dither)
+    refit with the alpha component in optical-depth space
+    (tau = -log(1-a), a greedy minimax free-knot fit within one display
+    quantum of alpha for any step length): the kernel's opacity
+    correction then costs one exp instead of pow's exp+log.  Strips too
+    noisy to fit in 64 knots use the dense range-limited loop.
 
-    Returns (pos (C, M), sd (C, M, 4), base (C, 4)) padded to a multiple
-    of 8 knots (padding at position N, contributing 0), or None when a
-    channel has too many breakpoints for compression to pay off.
+    Returns an :class:`XFKnots` (positions padded to a multiple of 8
+    knots at position N, contributing 0), or None when a channel has too
+    many breakpoints for compression to pay off.
     """
-    key = (err_tol, fit_tol) + tuple(
+    key = (err_tol, fit_tol, allow_tau) + tuple(
         np.asarray(l, np.float32).tobytes() for l in luts_np
     )
     if key in _COMPRESS_CACHE:
         return _COMPRESS_CACHE[key]
     if len(_COMPRESS_CACHE) > 64:
         _COMPRESS_CACHE.clear()
-    ps, sds = [], []
+    ps, sds, bases, taus = [], [], [], []
     n = luts_np[0].shape[0]
     for lut in luts_np:
         lut = np.asarray(lut, np.float32)
         r = _pwl_breakpoints(lut, err_tol)
+        is_tau = False
         if r is not None and len(r[0]) > 48:
+            r = None
+        base_c = lut[0].astype(np.float32)
+        if r is None and allow_tau:
+            # optical-depth refit: |da'| = d * e^{-d*tau} * dtau, so a
+            # per-texel tau tolerance of fit_tol * max(e*tau, 1/2) keeps
+            # the reconstructed alpha within ~fit_tol of exact for any
+            # step length d <= 2 finest cells (and within e^{-d*tau}
+            # -attenuated error beyond)
+            a = np.clip(lut[:, 3].astype(np.float64), 0.0, 1.0 - 1e-12)
+            tau_col = -np.log1p(-a)
+            tl = np.stack(
+                [lut[:, 0], lut[:, 1], lut[:, 2], tau_col], 1
+            ).astype(np.float32)
+            tol = np.full((n, 4), fit_tol)
+            tol[:, 3] = fit_tol * np.maximum(np.e * tau_col, 0.5)
+            r = _pwl_fit(tl, tol)
+            if r is not None:
+                is_tau = True
+                base_c = tl[0]
+        if r is None:
             r = _pwl_fit(lut, fit_tol)
         if r is None:
             _COMPRESS_CACHE[key] = None
             return None
         ps.append(r[0])
         sds.append(r[1])
+        bases.append(base_c)
+        taus.append(is_tau)
     m = max(len(p) for p in ps)
     m_pad = -(-m // 8) * 8
     if m_pad > 64:
@@ -556,8 +605,14 @@ def compress_pwl(luts_np, err_tol: float = 2e-4, fit_tol: float = 1.0 / 255.0):
     for ci in range(c):
         pos[ci, : len(ps[ci])] = ps[ci]
         sd_a[ci, : len(ps[ci])] = sds[ci]
-    base = np.stack([np.asarray(l[0], np.float32) for l in luts_np])
-    out = (pos, sd_a, base)
+    base = np.stack(bases)
+    # prefix sums for the kernel's two-sided knot window: knots wholly
+    # below a tile's min texel coordinate act affinely and fold into
+    # base + u*cum[..,:4] - cum[..,4:]
+    cum = np.zeros((c, m_pad + 1, 8), np.float32)
+    cum[:, 1:, :4] = np.cumsum(sd_a, axis=1)
+    cum[:, 1:, 4:] = np.cumsum(sd_a * pos[..., None], axis=1)
+    out = XFKnots(pos=pos, sd=sd_a, base=base, cum=cum, tau=tuple(taus))
     _COMPRESS_CACHE[key] = out
     return out
 
@@ -600,6 +655,13 @@ class SlabConfig:
     # secondary channel used to colormap iso surfaces through the channel-0
     # LUT (LaunchParams colormapChannel, exabrick.cu:1079-1085)
     colormap_channel: int = 0
+    # adaptive z-stride: where a tile's finest contributing AMR level is
+    # coarse, one slab stands in for a group of up to 8 with its step
+    # weight scaled accordingly — the slab form of the reference's
+    # per-region dt = global_dt * finestLevelCellWidth
+    # (exabrick.cu:1129).  Quadrature coarsens exactly where the
+    # reference's does; megakernel lane only.
+    adaptive_stride: bool = False
     # static sweep extent along z (bounds_hi[0]-bounds_lo[0]); when set,
     # each chunk's z-interpolation contracts only the ~chunk*dz/cw lattice
     # rows its tent weights can touch (a dynamic slice) instead of the
@@ -981,6 +1043,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     dz, h, w, knots=knots, tf_cull=tf_cull, t_stop=stop,
                     tiles=(cfg.tile_rows, cfg.tile_cols),
                     dot_precision=("default" if cfg.bf16_interp else cfg.dot_precision),
+                    adaptive_stride=cfg.adaptive_stride,
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans

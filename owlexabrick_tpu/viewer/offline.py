@@ -65,6 +65,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = "exa_render.png"
     fast = False
     bands = 1
+    # coarse-only tiles take wider sweep steps, like the reference's
+    # per-region dt (exabrick.cu:1129); off = oversample coarse regions
+    adaptive_stride = False
     display_string = ""
     multi_field = False
     bench = 0
@@ -189,6 +192,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif a == "--fast":
             fast = True
             i += 1
+        elif a == "--adaptive-stride":
+            adaptive_stride = True
+            i += 1
         elif a == "--display-string":
             display_string = argv[i + 1]
             i += 2
@@ -204,7 +210,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             "ux uy uz] [--fov f] [--size w h] [--range lo hi] [--colormap "
             "name] [--xf file] [--xf-scale s] [--isovals v..] [--isochans "
             "c..] [--contourplane a b c d] [--contourchan c] [--clip-box "
-            "x0 y0 z0 x1 y1 z1] [--dt v] [--ao on|off] [--frames n] [-o out.png]"
+            "x0 y0 z0 x1 y1 z1] [--dt v] [--ao on|off] [--frames n] "
+            "[--fast] [--adaptive-stride] [--bands n] [-o out.png]"
         )
 
     cfg = parse_config(config_path)
@@ -275,6 +282,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         colormap_channel=(
             1 if (not multi_field and len(cfg.scalar_fields) > 1) else 0
         ),
+        adaptive_stride=adaptive_stride,
     )
     surf = SurfaceData.from_meshes(cfg.surfaces)
     r = Renderer(scene, size[0], size[1], cfg=rcfg, surfaces=surf,
@@ -361,6 +369,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             scfg = SlabConfig(
                 num_channels=n_channels,
                 nslabs=int(np.ceil(extent / (dt * finest))),
+                adaptive_stride=adaptive_stride,
             )
             print(f"#viewer: banded fast path ({bands} z-bands)")
             t0 = time.time()
@@ -406,6 +415,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 num_channels=n_channels,
                 nslabs=int(np.ceil(extent / (dt * finest))),
                 extent_z=extent,
+                adaptive_stride=adaptive_stride,
             )
             fsd = __import__("jax").tree.map(jnp.asarray, fs)
             if shear is not None:

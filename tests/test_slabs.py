@@ -154,7 +154,8 @@ def test_pwl_compression_exact(amr_fixture):
     ).astype(np.float32)
     kn = compress_pwl([lut])
     assert kn is not None
-    pos, sd, base = kn
+    pos, sd, base = kn.pos, kn.sd, kn.base
+    assert kn.tau == (False,)  # exact breakpoints keep alpha space
     # ~2 texel breakpoints per interior control point, not all 127
     assert (pos[0] < n).sum() <= 20
     u = np.linspace(0, n - 1, 500)
@@ -529,3 +530,58 @@ def test_reoriented_fast_path_tilted_camera(amr_fixture):
     sil_b = fast[:, 3] > 0.05
     assert (sil_a == sil_b).mean() > 0.85
     assert exact[:, 3].max() > 0.3 and fast[:, 3].max() > 0.3
+
+
+def test_tau_knots_strip_palette(amr_fixture):
+    """Embedded palette strips (8-bit dither, no sparse exact breakpoint
+    set) compress with the alpha component in optical-depth space
+    (tau = -log(1-a)); a full render stays within a display quantum of
+    the dense range-limited path."""
+    from owlexabrick_tpu.render.slabs import compress_pwl, render_slabs_camera
+
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    cam = Camera.look_at([4.0, 4.0, 25.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         40.0, 24, 24)
+    # make_frame_state's default "Jet" is the reference's embedded strip
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.6)
+    lut = np.concatenate(
+        [fs.xf_lut[0, :, :3], fs.xf_lut[0, :, 3:4] * 0.6], axis=1
+    )
+    kn = compress_pwl([lut])
+    assert kn is not None and kn.tau == (True,)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent / 0.5)))
+    a = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24))
+    fsd = jax.tree.map(jnp.asarray, fs)  # device fs -> dense path
+    b = np.asarray(render_slabs_camera(grids, fsd, cfg, cam, 24, 24))
+    assert a[:, 3].max() > 0.1
+    np.testing.assert_allclose(a, b, atol=8e-3)
+
+
+def test_adaptive_stride_converges(amr_fixture):
+    """Adaptive z-stride (coarse-only tiles take wider steps, like the
+    reference's per-region dt scaling) stays close to the unit-stride
+    sweep on a scene with a coarse-only z range."""
+    from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    # level-0 block z in [0,4), level-1 block z in [4,12): slabs past
+    # the level-0 tent support are coarse-only and admit stride 2
+    text = "0 0 0 4 4 4 0 0 1 2 3 4 5 6 7\n0 0 4 2 2 4 1 2 3 4 5 2 3 4 5\n"
+    scene, bricks, grids = _build(amr_fixture, text)
+    assert len(grids.levels) == 2
+    cam = Camera.look_at([2.0, 2.0, 34.0], [2.0, 2.0, 4.0], [0, 1, 0],
+                         26.0, 16, 16)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.5)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    cfg = SlabConfig(
+        num_channels=1, nslabs=int(np.ceil(extent / 0.5)), chunk=8
+    )
+    a = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 16, 16))
+    b = np.asarray(render_slabs_camera(
+        grids, fs, dataclasses.replace(cfg, adaptive_stride=True),
+        cam, 16, 16,
+    ))
+    assert a[:, 3].max() > 0.2
+    # quadrature coarsens only where the reference's would; images agree
+    # to a small tolerance and exactly where only the fine level is seen
+    np.testing.assert_allclose(a, b, atol=0.05)
