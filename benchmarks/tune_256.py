@@ -58,15 +58,13 @@ def main():
     )
 
     variants = {
-        "base": base,
         "stride": dataclasses.replace(base, adaptive_stride=True),
-        "stride_tr120": dataclasses.replace(
-            base, adaptive_stride=True, tile_rows=120),
-        "stride_tr72": dataclasses.replace(
-            base, adaptive_stride=True, tile_rows=72),
-        "stride_tr40": dataclasses.replace(
-            base, adaptive_stride=True, tile_rows=40),
-        "tr72": dataclasses.replace(base, tile_rows=72),
+        "stride_prec_default": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="default"),
+        "stride_bf16": dataclasses.replace(
+            base, adaptive_stride=True, bf16_interp=True),
+        "stride_chunk7": dataclasses.replace(
+            base, adaptive_stride=True, chunk=7),
     }
     if len(sys.argv) > 4:
         keep = sys.argv[4].split(",")

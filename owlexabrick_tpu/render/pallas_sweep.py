@@ -4,20 +4,27 @@ compositing of a whole slab chunk in a single VMEM-resident pass.
 Pipeline split (per chunk of S slabs):
   host/XLA side (cheap, small tensors):
     * z-tent resample of each level grid at the chunk's slab planes
-    * x-tent resample to screen columns, then levels CONCATENATED along
-      the row axis: mid (S, NY, W) with NY = sum of level rows (~2x the
-      finest level) — summing level contributions becomes part of one
-      matmul contraction
-  kernel (grid over (col, row) tiles, rows fastest so mids stay resident):
-    * per slab: build the concatenated y-tent weight block (tr, NY) and
-      contract (tr, NY) @ (NY, tc) on the MXU — one matmul per component
-      per slab, K ~ 128
-    * classification (range-limited PWL LUT) + opacity correction,
-      skipped for tiles with no field support or saturated tiles
+    * x-tent resample to screen columns -> per-level mids (S, ny, W)
+    * y-windowing: a row tile of tr pixel rows only reaches
+      ~tr*dy/cw + 3 lattice rows of each level, so per-level mids are
+      sliced into per-row-tile windows (R, S, KY, W) — the kernel's
+      contraction K drops from the level's full ny (hundreds at 256^3+)
+      to the window size (tens), and the VMEM-resident block shrinks
+      with it (deeper chunks fit).  Window sizes are static compile
+      hints (``ky_hints`` from the host camera); without hints the full
+      rows are used (same code path, KY = ny).
+  kernel (grid over (col, row) tiles, rows fastest):
+    * per slab: per-level y-tent weight blocks (tr, KY_l) contracted
+      (tr, KY_l) @ (KY_l, tc) on the MXU and summed over levels
+    * classification (two-sided-windowed PWL knots or the dense
+      range-limited LUT loop) + opacity correction (optical-depth exp
+      for tau-fitted strips, pow otherwise), skipped for tiles with no
+      field support or saturated tiles; adaptive stride weights widen
+      coarse-only steps
     * front-to-back composite across the chunk's slabs
 
-HBM sees only the per-level mids and the four output images — no
-(S, H, W) intermediates.
+HBM sees only the per-level (windowed) mids and the four output images
+— no (S, H, W) intermediates.
 """
 
 from __future__ import annotations
@@ -30,7 +37,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
+def tile_shape(height: int, width: int, tiles=(0, 0),
+               adaptive_stride: bool = False) -> Tuple[int, int]:
+    """The kernel's (rows, cols) tile shape (shared with the host-side
+    ky-hint computation).  Fat row tiles keep the (tr, KY) @ (KY, tc)
+    contraction MXU-shaped; tc=128 measured fastest at 1080p (wider
+    tiles hurt: 384 -> -27%, 640 -> VMEM OOM).  tr = largest
+    multiple-of-8 divisor of height up to 256 (1080 -> 216; with
+    y-windowed mids the contraction K scales with tr, so large tiles
+    stay cheap and their coarser act/stride tables cost little —
+    interleaved 256^3: tr216 14.4 vs tr120 13.7 FPS).
+    SlabConfig.tile_rows/tile_cols override."""
+    tr_cap = 256
+    tr = tiles[0] or max(
+        (t for t in range(8, tr_cap + 1, 8) if height % t == 0), default=8
+    )
+    tc = tiles[1] or next(
+        (t for t in (512, 256, 128) if width % t == 0), 128
+    )
+    return tr, tc
+
+
+def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
+                 windowed: Tuple[bool, ...], n_channels: int,
                  n_texels: int = 0, has_stop: bool = False,
                  dot_precision: str = "highest",
                  tau: Tuple[bool, ...] = ()):
@@ -40,10 +69,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
     # near-f32 MXU passes by default (the CUDA reference multiplies in
     # f32; TPU default dot precision is bf16 and shows up as ~1e-1
     # compositing error); bf16_interp opts into the fast bf16 path.
-    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel;
-    # a manual bf16x3 "high" was measured at 256^3: +9% frame rate for a
-    # 2e-2 composited error vs HIGHEST — not worth it, the kernel's MXU
-    # passes are not the bottleneck (see PERFORMANCE.md)
+    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel
     prec = (None if dot_precision == "default"
             else jax.lax.Precision.HIGHEST)
 
@@ -54,21 +80,27 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
 
     def kernel(params_ref, lut_ref, d_ref, cum_ref, live_ref, act_ref,
                act_all_ref, orgy_ref, cw_ref, *refs):
-        # refs: [mid_v_0 .. mid_v_{C-1}, mid_m, ypos, sec,
-        #        (t_slab, t_stop if has_stop), r, g, b, t]
+        # refs: per level [mid_v_0 .. mid_v_{C-1}, mid_m] (windowed
+        # levels: (1, S, KY, tc) blocks; full levels: (S, ny, tc)),
+        # then ypos, sec, (t_slab, t_stop if has_stop), r, g, b, t.
+        # orgy_ref: (L, R) per-(level, row-tile) effective y origin
+        # (lattice origin + window start).
         # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
         # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba],
         # cum_ref = (C, M+1, 8) prefix sums [sd, sd*pos]
-        mv_refs = refs[:n_channels]
-        mm_ref = refs[n_channels]
-        ypos_ref = refs[n_channels + 1]
-        sec_ref = refs[n_channels + 2]
+        lvl_refs = []
+        k = 0
+        for li in range(n_levels):
+            lvl_refs.append(refs[k : k + n_channels + 1])
+            k += n_channels + 1
+        ypos_ref = refs[k]
+        sec_ref = refs[k + 1]
         if has_stop:
-            t_slab_ref = refs[n_channels + 3]
-            t_stop_ref = refs[n_channels + 4]
-            r_ref, g_ref, b_ref, t_ref = refs[n_channels + 5:]
+            t_slab_ref = refs[k + 2]
+            t_stop_ref = refs[k + 3]
+            r_ref, g_ref, b_ref, t_ref = refs[k + 4:]
         else:
-            r_ref, g_ref, b_ref, t_ref = refs[n_channels + 3:]
+            r_ref, g_ref, b_ref, t_ref = refs[k + 2:]
         n = n_texels if compressed else lut_ref.shape[1]
         dz = params_ref[0]
         n_rows = params_ref[1].astype(jnp.int32)
@@ -77,8 +109,7 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
         s_count = ypos_ref.shape[1]
         tr = ypos_ref.shape[0]
         tc = sec_ref.shape[1]
-        # grid is (col_tiles, row_tiles): rows iterate fastest so the
-        # column-indexed mid blocks stay resident across row steps
+        # grid is (col_tiles, row_tiles): rows iterate fastest
         rt_id = pl.program_id(1)
         ct_id = pl.program_id(0)
         row0 = rt_id * tr
@@ -91,43 +122,42 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
         ypos_all = ypos_ref[:]  # (tr, S)
         slab_ids = jax.lax.broadcasted_iota(jnp.int32, ypos_all.shape, 1)
 
+        def _mid_block(li, comp, s):
+            ref = lvl_refs[li][comp]
+            return ref[0, s] if windowed[li] else ref[s]
+
         def _interp(s):
             # select slab s's column via a masked reduce (Mosaic has no
             # unaligned dynamic lane indexing)
             yp = jnp.sum(jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
 
-            # concatenated y-tent weights over all levels: summing level
-            # contributions IS the contraction over the concatenated axis
+            # per-level y-tent weights over the tile's window; zero-pad
+            # rows in the mids make out-of-range weights harmless
             wys = []
+            sw = jnp.zeros((tr, tc), jnp.float32)
             for li in range(n_levels):
-                ny = ny_list[li]
-                qy = yp / cw_ref[li] - orgy_ref[li] - 0.5  # (tr,)
-                k = jax.lax.broadcasted_iota(
-                    jnp.int32, (tr, ny), 1
+                ky = ky_list[li]
+                qy = yp / cw_ref[li] - orgy_ref[li, rt_id] - 0.5  # (tr,)
+                kk = jax.lax.broadcasted_iota(
+                    jnp.int32, (tr, ky), 1
                 ).astype(jnp.float32)
-                wys.append(
-                    jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - k))
-                )
-            wy = jnp.concatenate(wys, axis=1)  # (tr, NY)
-
-            sw = mxu_dot(wy, mm_ref[s])
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - kk))
+                wys.append(wy)
+                sw = sw + mxu_dot(wy, _mid_block(li, n_channels, s))
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
             if has_stop:
                 # surface hit caps the volume interval per pixel
                 # (integrateVolume t1 = min(t1, surf t))
                 ok = ok & (t_slab_ref[s] < t_stop_ref[:])
-            return wy, sw, ok
+            return wys, sw, ok
 
         def _slab_dense(s, carry):
             # every slab active in this tile: keep the tent build and
             # matmuls unconditional so Mosaic pipelines them across slabs
-            # (measured: removing the per-slab cond/reductions entirely
-            # changes nothing — the kernel is VPU-work bound, not
-            # serialization bound; see PERFORMANCE.md 256^3 breakdown)
-            wy, sw, ok = _interp(s)
+            wys, sw, ok = _interp(s)
             do = ok.any() & (jnp.max(carry[3]) > 0.005)
             return jax.lax.cond(
-                do, lambda c: _classify(s, wy, sw, ok, c, 1.0),
+                do, lambda c: _classify(s, wys, sw, ok, c, 1.0),
                 lambda c: c, carry,
             )
 
@@ -143,15 +173,15 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
             do = (w_s > 0.0) & (jnp.max(carry[3]) > 0.005)
 
             def work(carry):
-                wy, sw, ok = _interp(s)
+                wys, sw, ok = _interp(s)
                 return jax.lax.cond(
-                    ok.any(), lambda c: _classify(s, wy, sw, ok, c, w_s),
+                    ok.any(), lambda c: _classify(s, wys, sw, ok, c, w_s),
                     lambda c: c, carry,
                 )
 
             return jax.lax.cond(do, work, lambda c: c, carry)
 
-        def _classify(s, wy, sw, ok, carry, w_s):
+        def _classify(s, wys, sw, ok, carry, w_s):
                 # per-slab channel merge in the reference's channel order
                 # (exabrick.cu:1169-1179)
                 slab_a = jnp.zeros((tr, tc), jnp.float32)
@@ -159,7 +189,11 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    swv = mxu_dot(wy, mv_refs[ch][s])
+                    swv = jnp.zeros((tr, tc), jnp.float32)
+                    for li in range(n_levels):
+                        swv = swv + mxu_dot(
+                            wys[li], _mid_block(li, ch, s)
+                        )
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
                     if compressed:
                         lo = lut_ref[ch, 0]
@@ -290,12 +324,22 @@ def _make_kernel(n_levels: int, ny_list: Tuple[int, ...], n_channels: int,
     return kernel
 
 
+def _pad8_rows(a: jax.Array) -> jax.Array:
+    """Zero-pad the row (second) axis of (S, ny, W) to a multiple of 8
+    (Mosaic sublane alignment); zero rows contribute nothing to the
+    tent contraction."""
+    ny = a.shape[1]
+    pad = (-ny) % 8
+    return a if pad == 0 else jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+
+
 def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 origins_y, cell_widths, y_pos, sec, live,
                 luts, domains, dz, height: int, width: int, *,
                 knots=None, tf_cull=None, t_stop=None, tiles=(0, 0),
                 dot_precision: str = "highest",
                 adaptive_stride: bool = False,
+                ky_hints: Tuple[int, ...] | None = None,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
@@ -303,7 +347,9 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     x-resampled, z-lerped level slabs; origins_y / cell_widths: per-level
     scalars; y_pos: (S, H) slab-plane y coordinates; sec: (H, W);
     live: (S,); luts: per channel (N, 4) alpha-prescaled; domains: per
-    channel (2,).  Returns (rgb (3,H,W), trans (H,W)).
+    channel (2,).  ky_hints: static per-level y-window row counts
+    (multiples of 8, from the host camera — see ky_hints_for_camera);
+    None = full rows.  Returns (rgb (3,H,W), trans (H,W)).
     """
     n_levels = len(mids)
     n_channels = len(luts)
@@ -350,37 +396,19 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     orgy = jnp.stack([jnp.asarray(o, jnp.float32) for o in origins_y])
     cws = jnp.stack([jnp.asarray(c, jnp.float32) for c in cell_widths])
 
-    ny_list = tuple(mm.shape[1] for _, mm in mids)
-    mid_vs = [
-        jnp.concatenate([mvs[ch] for mvs, _ in mids], axis=1)
-        for ch in range(n_channels)
-    ]  # per channel (S, NY, W)
-    mid_m = jnp.concatenate([mm for _, mm in mids], axis=1)
+    # per-level mids, rows zero-padded to sublane alignment
+    mid_vs_l = [
+        [_pad8_rows(mvs[ch]) for ch in range(n_channels)]
+        for mvs, _ in mids
+    ]
+    mid_m_l = [_pad8_rows(mm) for _, mm in mids]
+    ny_list = tuple(m.shape[1] for m in mid_m_l)
 
-    # fat row tiles keep the (tr, NY) @ (NY, tc) contraction MXU-shaped;
-    # tc=128 measured fastest at 1080p (wider tiles hurt: 384 -> -27%,
-    # 640 -> VMEM OOM).  SlabConfig.tile_rows/tile_cols override.
-    # largest multiple-of-8 divisor of height up to 256 (1080 -> 216,
-    # measured ~5% over 120; sublane dim must be a multiple of 8).
-    # With the adaptive stride on, finer row tiles expose more
-    # coarse-only groups: cap at 128 (1080 -> 120; 256^3 measured
-    # 14.7 vs 13.9 FPS, while 40-row tiles' fixed costs cost -30%)
-    tr_cap = 128 if adaptive_stride else 256
-    tr = tiles[0] or max(
-        (t for t in range(8, tr_cap + 1, 8) if height % t == 0), default=8
-    )
-    tc = tiles[1] or next(
-        (t for t in (512, 256, 128) if width % t == 0), 128
-    )
+    tr, tc = tile_shape(height, width, tiles, adaptive_stride)
     grid = (pl.cdiv(width, tc), pl.cdiv(height, tr))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # lateral space skipping: per-(slab, row-tile, col-tile) activity from
-    # mask support.  A slab's cells can only reach a tile whose y range
-    # overlaps an occupied lattice point's tent support (and whose columns
-    # hold non-zero x-resampled mask) — inactive tiles skip the tent
-    # build and both MXU contractions in the kernel.
     n_rt, n_ct = grid[1], grid[0]
     pad_r = n_rt * tr - height
     ypp = y_pos if pad_r == 0 else jnp.concatenate(
@@ -389,20 +417,69 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     yt = ypp.reshape(s_, n_rt, tr)
     y_lo_t = yt.min(-1)  # (S, R)
     y_hi_t = yt.max(-1)
+
+    # y-windowing: slice each level's mids to the rows each row tile can
+    # reach (over the whole chunk); KY static from ky_hints
+    ky_list = []
+    windowed = []
+    lvl_inputs = []  # flattened [mv_0..mv_{C-1}, mm] per level
+    lvl_specs = []
+    orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
+    for li in range(n_levels):
+        ny = ny_list[li]
+        ky = ny if ky_hints is None else min(int(ky_hints[li]), ny)
+        win = ky < ny
+        ky_list.append(ky)
+        windowed.append(win)
+        if not win:
+            spec = pl.BlockSpec((s_, ny, tc), lambda j, i: (0, 0, j),
+                                memory_space=pltpu.VMEM)
+            for ch in range(n_channels):
+                lvl_inputs.append(mid_vs_l[li][ch])
+                lvl_specs.append(spec)
+            lvl_inputs.append(mid_m_l[li])
+            lvl_specs.append(spec)
+            continue
+        # window start per row tile: the lowest lattice row any of the
+        # chunk's slabs can touch from this tile (tent reach -1)
+        cw_v = cws[li]
+        qlo_t = (y_lo_t / cw_v - orgy[li] - 0.5).min(0) - 1.0  # (R,)
+        k0 = jnp.clip(jnp.floor(qlo_t).astype(jnp.int32), 0, ny - ky)
+        orgy_eff = orgy_eff.at[li].set(
+            orgy[li] + k0.astype(jnp.float32)
+        )
+        spec = pl.BlockSpec((1, s_, ky, tc), lambda j, i: (i, 0, 0, j),
+                            memory_space=pltpu.VMEM)
+
+        def window(a):
+            # (S, ny, W) -> (R, S, ky, W) per-row-tile slices
+            return jnp.stack([
+                jax.lax.dynamic_slice_in_dim(a, k0[r], ky, axis=1)
+                for r in range(n_rt)
+            ])
+
+        for ch in range(n_channels):
+            lvl_inputs.append(window(mid_vs_l[li][ch]))
+            lvl_specs.append(spec)
+        lvl_inputs.append(window(mid_m_l[li]))
+        lvl_specs.append(spec)
+
+    # lateral space skipping: per-(slab, row-tile, col-tile) activity from
+    # mask support.  A slab's cells can only reach a tile whose y range
+    # overlaps an occupied lattice point's tent support (and whose columns
+    # hold non-zero x-resampled mask) — inactive tiles skip the tent
+    # build and both MXU contractions in the kernel.
     pad_c = n_ct * tc - width
-    mm_p = mid_m if pad_c == 0 else jnp.pad(
-        mid_m, ((0, 0), (0, 0), (0, pad_c))
-    )
-    ny_total_ = mm_p.shape[1]
-    occ_c = (
-        mm_p.reshape(s_, ny_total_, n_ct, tc).astype(jnp.float32) > 0
-    ).any(-1)  # (S, NY, Ct)
     act = jnp.zeros((s_, n_rt, n_ct), bool)
     acts_l = []  # per level (S, R, Ct) — feeds the adaptive stride below
-    off = 0
-    for li, ny in enumerate(ny_list):
-        occ = occ_c[:, off : off + ny]  # (S, ny, Ct)
-        off += ny
+    for li in range(n_levels):
+        mm_p = mid_m_l[li] if pad_c == 0 else jnp.pad(
+            mid_m_l[li], ((0, 0), (0, 0), (0, pad_c))
+        )
+        ny = ny_list[li]
+        occ = (
+            mm_p.reshape(s_, ny, n_ct, tc).astype(jnp.float32) > 0
+        ).any(-1)  # (S, ny, Ct)
         cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)
         cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
         cw_v = cws[li]
@@ -432,7 +509,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         vr_rows, y_bins = tf_cull
         vmin_all = jnp.full((n_channels, s_, n_rt), jnp.inf)
         vmax_all = jnp.full((n_channels, s_, n_rt), -jnp.inf)
-        for li, ny in enumerate(ny_list):
+        for li in range(n_levels):
             vr_s = vr_rows[li]  # (C, S, nyb, 2)
             nyb = vr_s.shape[2]
             bin_ = float(y_bins[li])
@@ -521,9 +598,6 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         act.all(axis=0) & (jnp.abs(act_f - 1.0) < 0.5).all(axis=0)
     ).astype(jnp.float32)  # (R, Ct)
 
-    ny_total = mid_m.shape[1]
-    mid_spec = pl.BlockSpec((s_, ny_total, tc), lambda j, i: (0, 0, j),
-                            memory_space=pltpu.VMEM)
     tile2 = pl.BlockSpec((tr, tc), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM)
     stop_ins = []
@@ -535,7 +609,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         stop_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), None]
 
     r, g, b, t = pl.pallas_call(
-        _make_kernel(n_levels, ny_list, n_channels,
+        _make_kernel(n_levels, tuple(ky_list), tuple(windowed), n_channels,
                      n_texels=n if knots is not None else 0,
                      has_stop=t_stop is not None,
                      dot_precision=dot_precision,
@@ -549,9 +623,9 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act-all per tile
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy eff (L, R)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cw
-            *([mid_spec] * n_channels), mid_spec,
+            *lvl_specs,
             pl.BlockSpec((tr, s_), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             tile2,
@@ -564,5 +638,5 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         ),
         interpret=interpret,
     )(params, lut_pack, d_pack, cum_pack, live.astype(jnp.float32), act_f,
-      act_all_f, orgy, cws, *mid_vs, mid_m, y_pos.T, sec, *stop_ins)
+      act_all_f, orgy_eff, cws, *lvl_inputs, y_pos.T, sec, *stop_ins)
     return jnp.stack([r, g, b]), t

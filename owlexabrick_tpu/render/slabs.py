@@ -670,10 +670,81 @@ class SlabConfig:
     extent_z: float = 0.0
 
 
+_BOUNDS_CACHE: dict = {}
+
+
+def _host_z_bounds(grids: LevelGrids):
+    """(z_lo, z_hi) as host floats without a per-frame device readback:
+    tiny scalars are pulled once per grids object and pinned."""
+    key = id(grids.zranges)
+    hit = _BOUNDS_CACHE.get(key)
+    if hit is not None and hit[0] is grids.zranges:
+        return hit[1], hit[2]
+    lo = float(np.asarray(grids.bounds_lo[0]))
+    hi = float(np.asarray(grids.bounds_hi[0]))
+    if len(_BOUNDS_CACHE) > 64:
+        _BOUNDS_CACHE.clear()
+    _BOUNDS_CACHE[key] = (grids.zranges, lo, hi)
+    return lo, hi
+
+
+def ky_hints_for_camera(grids: LevelGrids, cfg: SlabConfig,
+                        cam_pos, cam_dir00, cam_dv, height: int,
+                        width: int, lattice=None):
+    """Static per-level y-window row counts for the megakernel.
+
+    A row tile of tr pixel rows only reaches ~tr*dy/cw + 3 lattice rows
+    of a level; slicing the per-level mids to that window drops the
+    kernel contraction K from the level's full ny to tens
+    (pallas_sweep.py).  Window sizes must be static (compile-time), so
+    they are bounded here from the host camera: the worst row-tile ray
+    span at the farthest slab plus the chunk's depth-scale variation,
+    with margin, rounded to 16-row buckets (bounded recompiles while
+    zooming).  Returns None (no windowing) when the camera components
+    are device arrays."""
+    from .pallas_sweep import tile_shape
+
+    if lattice is not None and not isinstance(lattice[1], np.ndarray):
+        return None
+    for v in (cam_pos, cam_dir00, cam_dv):
+        if not isinstance(v, (np.ndarray, list, tuple)):
+            return None
+    pos = np.asarray(cam_pos, np.float64)
+    d00 = np.asarray(cam_dir00, np.float64)
+    rz = float(d00[0])
+    if rz == 0.0:
+        return None
+    if lattice is not None:
+        ry = np.asarray(lattice[1], np.float64)
+    else:
+        dv1 = float(np.asarray(cam_dv, np.float64)[1])
+        ry = d00[1] + (np.arange(height) + 0.5) * dv1
+    z_lo, z_hi = _host_z_bounds(grids)
+    oz = float(pos[0])
+    scale_max = max(abs(z_lo - oz), abs(z_hi - oz)) / abs(rz)
+    tr, _ = tile_shape(height, width, (cfg.tile_rows, cfg.tile_cols),
+                       cfg.adaptive_stride)
+    n_rt = -(-height // tr)
+    ry_p = np.concatenate([ry, np.repeat(ry[-1:], n_rt * tr - height)])
+    spans = ry_p.reshape(n_rt, tr)
+    ry_span = float((spans.max(1) - spans.min(1)).max())
+    # a fixed pixel row's y moves across the chunk's slabs by the
+    # depth-scale change times its lateral ray component
+    dzs = (z_hi - z_lo) / max(cfg.nslabs, 1)
+    dscale = cfg.chunk * dzs / abs(rz)
+    ry_absmax = float(np.abs(ry).max())
+    hints = []
+    for L in grids.levels:
+        cw = float(1 << L)
+        need = (ry_span * scale_max + dscale * ry_absmax) / cw + 5.0
+        hints.append(int(-(-int(np.ceil(need)) // 16)) * 16)
+    return tuple(hints)
+
+
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
                  width: int, height: int, knots=None, t_stop=None,
-                 lattice=None, t_start=None):
+                 lattice=None, t_start=None, ky_hints=None):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
     t1 = min(t1, surface t), exabrick.cu:1675-1680).  t_start: optional
@@ -779,12 +850,17 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     mega = (cfg.megakernel and not cfg.gradient_shading_dvr
             and t_start is None)
     if mega:
-        # cap the chunk so the megakernel's mid blocks ((1+C) x S x NY x tc
+        # cap the chunk so the megakernel's mid blocks ((1+C) x S x KY x tc
         # floats, double-buffered by the pipeline) fit VMEM with headroom;
         # use the tile width the kernel will actually pick (the old 512
         # estimate clamped 256^3 scenes to 4-slab chunks and their fixed
-        # costs dominated the frame)
-        ny_total = sum(m.shape[1] for m in grids.masks)
+        # costs dominated the frame).  y-windowed mids only keep the
+        # window rows resident, so deep volumes keep deep chunks.
+        ny_total = sum(
+            min(-(-m.shape[1] // 8) * 8,
+                ky_hints[li] if ky_hints is not None else m.shape[1] + 8)
+            for li, m in enumerate(grids.masks)
+        )
         tc_est = cfg.tile_cols or next(
             (t for t in (512, 256, 128) if width % t == 0), 128
         )
@@ -1044,6 +1120,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     tiles=(cfg.tile_rows, cfg.tile_cols),
                     dot_precision=("default" if cfg.bf16_interp else cfg.dot_precision),
                     adaptive_stride=cfg.adaptive_stride,
+                    ky_hints=ky_hints,
                 )
                 color = color + (1.0 - alpha)[None] * chunk_rgb
                 alpha = 1.0 - (1.0 - alpha) * chunk_trans
@@ -1622,27 +1699,34 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         knots = compress_pwl(luts_np)
 
     f = jax.jit(
-        render_slabs, static_argnames=("cfg", "width", "height")
+        render_slabs, static_argnames=("cfg", "width", "height", "ky_hints")
     )
     if not swapped:
+        hints = ky_hints_for_camera(grids, cfg, pos, dir00, dv, height,
+                                    width, lattice=lattice)
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
                  knots=knots, t_stop=t_stop, lattice=lattice,
-                 t_start=t_start)
+                 t_start=t_start, ky_hints=hints)
     if t_stop is not None:
         # the internal render is transposed: internal row = final column
         t_stop = t_stop.reshape(height, width).T.reshape(-1)
     if t_start is not None:
         t_start = t_start.reshape(height, width).T.reshape(-1)
+    # transposed internals: the v axis is du and the row count is width
+    hints = ky_hints_for_camera(grids, cfg, pos, dir00, du, width, height)
     rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots,
-             t_stop=t_stop, t_start=t_start)
+             t_stop=t_stop, t_start=t_start, ky_hints=hints)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )
 
 
+_BAND_GRID_CACHE: dict = {}
+
+
 def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
                         camera, width: int, height: int, n_bands: int,
-                        axis: int = 2, mem_stats=None):
+                        axis: int = 2, mem_stats=None, reuse: bool = True):
     """Out-of-core slab sweep for datasets whose dense level grids exceed
     HBM: the sweep axis is partitioned into ``n_bands`` z-bands, each
     band's grids are built host-side from only the bricks whose basis
@@ -1651,8 +1735,11 @@ def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
 
     Band boundaries lie on the global slab lattice, so the union of band
     slab planes equals the single-pass plane set — banded output matches
-    the unbanded render to float tolerance.  Offline/streaming mode: one
-    host->device grid upload per band per frame.
+    the unbanded render to float tolerance.  Streaming mode: one
+    host->device grid upload per band per frame; with ``reuse`` (the
+    interactive default) the per-band host grids are scattered once and
+    cached, so subsequent frames (camera/TF edits) pay only the upload —
+    no per-frame rebuild.
 
     ``mem_stats``: optional dict populated with the device-grid peak:
     {'peak_band_bytes', 'full_bytes'} — the out-of-core guarantee is
@@ -1688,17 +1775,19 @@ def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
     alpha = np.zeros(p, np.float32)
     bcfg = _dc.replace(cfg, nslabs=ns_band, saturate_collapse=False,
                        extent_z=float(ns_band * dz))
-    for b in order:
+    def build_band(b):
+        """Host-side band grids (numpy; scattered once per scene when
+        ``reuse``), or None for an empty band."""
         zb0 = z_lo + b * ns_band * dz
         zb1 = zb0 + ns_band * dz
         sel = np.nonzero((b_hi > zb0) & (b_lo < zb1))[0]
         if sel.size == 0:
-            continue
+            return None
         sub = Bricks(
             lower=bricks.lower[sel], size=bricks.size[sel],
             level=bricks.level[sel], begin=bricks.begin[sel],
         )
-        gb = build_level_grids(sub, scalars, axis=axis)
+        gb = build_level_grids(sub, scalars, axis=axis, device=False)
         lo_p = np.asarray(gb.bounds_lo).copy()
         hi_p = np.asarray(gb.bounds_hi).copy()
         lo_p[0], hi_p[0] = zb0, zb1
@@ -1709,10 +1798,30 @@ def render_slabs_banded(bricks: Bricks, scalars, fs, cfg: SlabConfig,
             [np.asarray(o) for o in gb.origins],
             lo_p, hi_p,
         )
-        gb = _dc.replace(
-            gb, bounds_lo=jnp.asarray(lo_p), bounds_hi=jnp.asarray(hi_p),
-            zranges=jnp.asarray(zr),
-        )
+        return _dc.replace(gb, bounds_lo=lo_p, bounds_hi=hi_p, zranges=zr)
+
+    cache_key = (
+        id(bricks.lower), id(scalars) if scalars.base is None else
+        id(scalars.base), n_bands, axis, ns_total,
+    )
+    hit = _BAND_GRID_CACHE.get(cache_key) if reuse else None
+    if hit is not None and hit[0] is bricks.lower:
+        bands_host = hit[2]
+    else:
+        bands_host = {}
+        if reuse:
+            if len(_BAND_GRID_CACHE) > 8:
+                _BAND_GRID_CACHE.clear()
+            _BAND_GRID_CACHE[cache_key] = (bricks.lower, scalars, bands_host)
+
+    for b in order:
+        if b not in bands_host:
+            bands_host[b] = build_band(b)
+        gb_host = bands_host[b]
+        if gb_host is None:
+            continue
+        # per-frame cost from here: the host->device upload + render
+        gb = jax.tree.map(jnp.asarray, gb_host)
         if mem_stats is not None:
             band_bytes = sum(
                 int(np.prod(v.shape)) * 4 for v in gb.vals

@@ -585,3 +585,77 @@ def test_adaptive_stride_converges(amr_fixture):
     # quadrature coarsens only where the reference's would; images agree
     # to a small tolerance and exactly where only the fine level is seen
     np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_y_window_hints_exact(amr_fixture):
+    """Per-row-tile y-windowed mids (static ky_hints) are bit-exact vs
+    the full-row kernel: windows cover every lattice row a tile's tent
+    weights can reach, and zero-padded rows contribute nothing."""
+    from owlexabrick_tpu.render.slabs import (
+        compress_pwl,
+        ky_hints_for_camera,
+        render_slabs,
+    )
+
+    text = (
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n"
+    )
+    scene, bricks, grids = _build(amr_fixture, text)
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         10.0, 32, 32)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent / 0.7)),
+                     tile_rows=8, flip=True)
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    hints = ky_hints_for_camera(grids, cfg, pos, dir00, dv, 32, 32)
+    assert hints is not None and all(h % 16 == 0 for h in hints)
+    lut = np.concatenate(
+        [fs.xf_lut[0, :, :3], fs.xf_lut[0, :, 3:4] * 0.8], axis=1
+    )
+    kn = compress_pwl([lut])
+    f = jax.jit(
+        render_slabs, static_argnames=("cfg", "width", "height", "ky_hints")
+    )
+    args = (grids, fs, cfg, jnp.asarray(pos), jnp.asarray(dir00),
+            jnp.asarray(du), jnp.asarray(dv), 32, 32)
+    b = np.asarray(f(*args, knots=kn, ky_hints=None))
+    assert b[:, 3].max() > 0.2
+    # the 8-row window is tighter than level 0's 16 rows -> windowed path
+    a = np.asarray(f(*args, knots=kn, ky_hints=(8, 8)))
+    np.testing.assert_array_equal(a, b)
+    # dense classification through the windowed kernel too
+    a2 = np.asarray(f(*args, knots=None, ky_hints=(8, 8)))
+    b2 = np.asarray(f(*args, knots=None, ky_hints=None))
+    np.testing.assert_array_equal(a2, b2)
+
+
+def test_banded_reuse_cache(amr_fixture):
+    """Interactive banded mode: per-band host grids are scattered once
+    and cached — the second frame pays only upload + render, and the
+    image is unchanged."""
+    from owlexabrick_tpu.render.slabs import (
+        _BAND_GRID_CACHE,
+        render_slabs_banded,
+    )
+
+    scene, bricks, grids = _build(amr_fixture, EX3)
+    cam = Camera.look_at([6.0, 2.0, 30.0], [6.0, 2.0, 2.0], [0, 1, 0],
+                         30.0, 16, 16)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5, opacity_scale=0.7)
+    cfg = SlabConfig(num_channels=1, nslabs=24)
+    _BAND_GRID_CACHE.clear()
+    a = render_slabs_banded(
+        bricks, scene.scalars, fs, cfg, cam, 16, 16, n_bands=3,
+    )
+    assert len(_BAND_GRID_CACHE) == 1
+    (key, (pin, _, bands)) = next(iter(_BAND_GRID_CACHE.items()))
+    built = sum(1 for v in bands.values() if v is not None)
+    assert built >= 2  # bands actually split the volume
+    # second frame: same cache entry, same bands dict, same image
+    b = render_slabs_banded(
+        bricks, scene.scalars, fs, cfg, cam, 16, 16, n_bands=3,
+    )
+    assert _BAND_GRID_CACHE[key][2] is bands
+    np.testing.assert_array_equal(a, b)
