@@ -118,6 +118,8 @@ legend { color:#9ab; }
     gradient shading DVR</label>
   <label><input id="skip" type="checkbox" checked style="width:auto">
     space skipping</label>
+  <label><input id="astride" type="checkbox" style="width:auto">
+    adaptive sampling (per-region dt)</label>
   <div>
     <button id="shot">screenshot</button>
     <button id="xf">save .xf</button>
@@ -136,7 +138,7 @@ let eye = null, yaw = 0, pitch = 0;
 const t0 = [];
 const ids = ['field','cmap','customcm','lo','hi','os','dt','iso','gsiso',
              'caxis','coff','clip','cx0','cx1','cy0','cy1','cz0','cz1',
-             'gsdvr','skip'];
+             'gsdvr','skip','astride'];
 const $ = id => document.getElementById(id);
 function val(id) {
   const e = $(id);
@@ -387,6 +389,7 @@ class ViewerState:
         gs_iso = g1("gsiso", "1") == "1"
         gs_dvr = g1("gsdvr", "0") == "1"
         skip = g1("skip", "1") == "1"
+        astride = g1("astride", "0") == "1"
         caxis = g1("caxis", "off")
         coff = float(g1("coff", "0.5"))
         clip = g1("clip", "0") == "1"
@@ -396,7 +399,8 @@ class ViewerState:
         alpha_hex = g1("alpha", "")
 
         key = (field, cmap, custom, lo, hi, os_, dt, iso != 0.0, gs_iso,
-               gs_dvr, skip, caxis, coff, clip, tuple(cfrac), alpha_hex)
+               gs_dvr, skip, astride, caxis, coff, clip, tuple(cfrac),
+               alpha_hex)
         if self.renderer is not None and key == self.key:
             return self.renderer
 
@@ -436,6 +440,7 @@ class ViewerState:
             gradient_shading_dvr=gs_dvr,
             gradient_shading_iso=gs_iso,
             space_skipping=skip,
+            adaptive_stride=astride,
         )
         self.renderer = Renderer(
             self._scene_for_field(field), self.width, self.height,

@@ -232,3 +232,22 @@ def test_slab_field_gradients_match_basis_sampler():
         np.testing.assert_allclose(
             g_slab_p[sel], grad[sel], rtol=2e-4, atol=5e-5
         )
+
+
+def test_fast_path_iso_composite_with_adaptive_stride():
+    """Adaptive stride composes with the surface-capped sweep (t_stop):
+    iso surface + DVR through the Renderer fast path stays close to the
+    exact wavefront with the stride on."""
+    scene, _ = _scene(EX3)
+    fs = make_frame_state(_cam(), 1, [[0.0, 7.0]], dt=0.2,
+                          opacity_scale=0.4)
+    fs = dataclasses.replace(
+        fs,
+        iso_enabled=np.asarray([True, False]),
+        iso_value=np.asarray([3.5, 0.0], np.float32),
+        iso_channel=np.zeros(2, np.int32),
+    )
+    cfg = RenderConfig(num_channels=1, iso_surfaces=True,
+                       adaptive_stride=True)
+    a, b = _compare(scene, fs, cfg, min_close=0.75)
+    assert a[..., 3].max() > 50  # non-trivial image
