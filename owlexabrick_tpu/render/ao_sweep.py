@@ -166,13 +166,19 @@ def sample_lattice(vol, lo, cwf, pts_zyx):
 
 
 def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
-                   ao_samples: int = 2):
+                   ao_samples: int = 2, geom_occluder=None):
     """Per-pixel AO shadow estimate at surface hits.
 
     lattice: (val, occ, lo, cwf) device arrays from build_ao_lattice.
     hit_zyx: (P, 3) surface points, normals_zyx: (P, 3) unit normals,
     both in the grid (z, y, x) frame.  Returns (P,) shadow in [0, 1] —
-    the frame's term of the progressive average (hits/ao_samples)."""
+    the frame's term of the progressive average (hits/ao_samples).
+
+    ``geom_occluder``: optional callback ``d_pix (P, 3) zyx -> (P,)
+    0/1`` reporting geometric occlusion (meshes/streamlines) along the
+    per-pixel hemisphere direction — OR-ed with the lattice's iso
+    occlusion under the same 2|cos| estimator, so mesh AO with iso
+    occluders shares one sample budget."""
     val, occ, lo, cwf = lattice
     ind = iso_indicator(val, occ, fs)
     max_len = max(val.shape)
@@ -198,6 +204,8 @@ def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
         hit_p = sample_lattice(s_pos, lo, cwf, probe)
         hit_n = sample_lattice(s_neg, lo, cwf, probe)
         hit = jnp.where(cosu >= 0.0, hit_p, hit_n)
+        if geom_occluder is not None:
+            hit = jnp.maximum(hit, geom_occluder(d_pix))
         # 2|cos| importance weight: uniform-hemisphere -> cosine measure
         shadow = shadow + jnp.clip(hit, 0.0, 1.0) * 2.0 * jnp.abs(cosu)
     return jnp.clip(shadow / ao_samples, 0.0, 1.0)

@@ -214,16 +214,11 @@ class Renderer:
             principal_axis,
         )
 
-        if self.cfg.ao_samples > 0 and (
-            self.surf.num_tris > 0
-            or self.surf.num_segments > 0
-            or bool(np.any(self.fs.contour_enabled))
-        ):
-            # AO against meshes/streamlines/contours needs incoherent
-            # secondary rays — the wavefront path renders it exactly;
-            # iso-only AO uses the sweep shadow volumes (render/ao_sweep)
-            self._fast = None
-            return False
+        # Every AO configuration stays on the fast path: iso-only AO
+        # uses the sweep shadow volumes (render/ao_sweep), geometric AO
+        # is dense prim intersections inside the surface pass, and mesh
+        # AO with iso occluders combines the two under one
+        # shared-direction estimator (ao_combined in _render_fast).
         # the sweep operates in voxel space (remap transform applied to
         # the camera, exa/Config.cpp:23-44)
         cam = camera_to_voxel(
@@ -450,17 +445,47 @@ class Renderer:
             or include_contours
         )
         clip = bool(self.fs.clip_enabled)
-        # AO affects only gradient-shaded iso surfaces here (the raygen
-        # 'shade' flag, exabrick.cu:1610-1613; meshes/streamlines are
-        # gated to the wavefront path)
+        # AO configurations on the fast path (raygen AO,
+        # exabrick.cu:1612-1645): iso-only AO uses the sweep shadow
+        # volumes; geometric AO runs as dense prim intersections inside
+        # trace_surface_pass; mesh AO *with* iso occluders combines the
+        # two under one shared-direction estimator (ao_combined)
+        ao_combined = (
+            self.cfg.ao_samples > 0
+            and self.cfg.iso_surfaces
+            and (self.surf.num_tris > 0 or self.surf.num_segments > 0)
+        )
         ao_fast = (self.cfg.ao_samples > 0 and self.cfg.iso_surfaces
-                   and self.cfg.gradient_shading_iso)
+                   and self.cfg.gradient_shading_iso
+                   and not ao_combined)
         t_surf = None
-        if need_surf or clip or ao_fast:
+        geom = None  # (t_sweep, n_world, base, ambient) for ao_combined
+        if need_surf or clip or ao_fast or ao_combined:
             o_w, d_unit, rnorm = self._sweep_rays_world(
                 grids, cam, lattice, rw, rh
             )
-        if need_surf:
+        if need_surf and ao_combined:
+            # shading is deferred until the unified AO shadow is known
+            from .surfaces import _nearest_surface
+
+            fns = jax.jit(
+                _nearest_surface,
+                static_argnames=("cfg", "include_contours", "include_iso"),
+            )
+            p_ = o_w.shape[0]
+            t_g, n_w_g, base_g, amb_g, _kind = fns(
+                self.scene, self.fs, self.surf, self.cfg,
+                o_w, d_unit,
+                jnp.full(p_, 1e-6, jnp.float32),
+                jnp.full(p_, 2e10, jnp.float32),
+                include_contours=include_contours, include_iso=False,
+            )
+            t_w = jnp.where(jnp.isfinite(t_g), t_g, 2e10)
+            geom = (t_w / rnorm, n_w_g, base_g, amb_g)
+            t_surf = geom[0]
+            t_stop = t_surf
+            bg = jnp.zeros((p_, 3), jnp.float32)  # shaded after AO
+        elif need_surf:
             from .surfaces import trace_surface_pass
 
             key_s = jax.random.fold_in(key, 3)
@@ -492,7 +517,8 @@ class Renderer:
             (swapped,) = separable_mapping(cam, axis)
             pos, dir00, du, dv = permute_camera(cam, axis)
             icfg = _dc.replace(scfg, flip=bool(dir00[0] < 0))
-            want_n = self.cfg.gradient_shading_iso or ao_fast
+            want_n = (self.cfg.gradient_shading_iso or ao_fast
+                      or ao_combined)
             f = jax.jit(
                 render_slabs_iso,
                 static_argnames=("cfg", "width", "height", "return_depth",
@@ -550,7 +576,7 @@ class Renderer:
                     shadow = jnp.where(
                         jnp.asarray(self.fs.ao_enabled), shadow, 0.0
                     )
-                if self.cfg.gradient_shading_iso:
+                if self.cfg.gradient_shading_iso and not ao_combined:
                     iso_bg = jnp.where(
                         has_n[:, None],
                         iso_bg * (cosf * (1.0 - shadow))[:, None],
@@ -564,6 +590,91 @@ class Renderer:
                 iso_wins = t_iso < t_surf
                 bg = jnp.where(iso_wins[:, None], iso_bg, bg)
                 t_stop = jnp.minimum(t_iso, t_surf)
+
+            if ao_combined:
+                # unified AO over the visible surface (iso or geometry
+                # winner): lattice shadow volumes give the iso
+                # occlusion, dense prim intersections along the same
+                # shared directions give the geometric occlusion
+                # (raygen AO vs all surfaces but contour planes,
+                # exabrick.cu:1612-1645); shading is applied here with
+                # the combined shadow
+                from .ao_sweep import ao_shadow_fast
+                from .surfaces import _nearest_surface as _ns
+
+                t_sw_g, n_w_g, base_g, amb_g = geom
+                m = np.asarray(self.scene.voxel_from_world)
+                minv = np.linalg.inv(m[:, :3])
+                p_ = rw * rh
+                t_eff = jnp.minimum(t_iso, t_sw_g)
+                pos_w = o_w + (t_eff * rnorm)[:, None] * d_unit
+                # winner normals, world and voxel-zyx frames (row
+                # vectors: n_vox = n_w @ inv(M), n_w = n_vox @ M)
+                n_w_iso = n_vox @ jnp.asarray(m[:, :3])
+                n_w_iso = n_w_iso / jnp.maximum(
+                    jnp.linalg.norm(n_w_iso, axis=-1, keepdims=True),
+                    1e-20,
+                )
+                n_vox_g = n_w_g @ jnp.asarray(minv)
+                n_vox_g = n_vox_g / jnp.maximum(
+                    jnp.linalg.norm(n_vox_g, axis=-1, keepdims=True),
+                    1e-20,
+                )
+                n_w_eff = jnp.where(
+                    iso_wins[:, None], n_w_iso, n_w_g
+                )
+                n_vox_eff = jnp.where(
+                    iso_wins[:, None], n_vox, n_vox_g
+                )
+                pos_v = pos_w @ jnp.asarray(m[:, :3].T) + jnp.asarray(
+                    m[:, 3]
+                )
+
+                def occ_geom(d_pix):
+                    # d_pix: (P, 3) grid zyx -> world direction
+                    d_w = d_pix[:, ::-1] @ jnp.asarray(minv.T)
+                    d_w = d_w / jnp.maximum(
+                        jnp.linalg.norm(d_w, axis=-1, keepdims=True),
+                        1e-20,
+                    )
+                    at, *_ = _ns(
+                        self.scene, self.fs, self.surf, self.cfg,
+                        pos_w + n_w_eff * 1e-3, d_w,
+                        jnp.full(p_, 1e-4, jnp.float32),
+                        jnp.full(p_, 1.0, jnp.float32) * self.fs.ao_length,
+                        include_contours=False, include_iso=False,
+                    )
+                    return jnp.isfinite(at).astype(jnp.float32)
+
+                lat = self._ao_lattice_dev()
+                key_ao = jax.random.fold_in(key, 7)
+                shadow = ao_shadow_fast(
+                    lat, self.fs, pos_v[:, ::-1], n_vox_eff[:, ::-1],
+                    key_ao, ao_samples=self.cfg.ao_samples,
+                    geom_occluder=occ_geom,
+                )
+                shadow = jnp.where(
+                    jnp.asarray(self.fs.ao_enabled), shadow, 0.0
+                )
+                if self.cfg.gradient_shading_iso:
+                    iso_shaded = jnp.where(
+                        has_n[:, None],
+                        iso_bg * (cosf * (1.0 - shadow))[:, None],
+                        iso_bg,
+                    )
+                else:
+                    iso_shaded = iso_bg
+                geom_hit = t_sw_g < 1e9
+                has_n_g = jnp.linalg.norm(n_w_g, axis=-1) > 0.0
+                shade_g = amb_g[:, None] + base_g * (
+                    jnp.abs((d_unit * n_w_g).sum(-1)) * (1.0 - shadow)
+                )[:, None]
+                bg_g = jnp.where(
+                    geom_hit[:, None],
+                    jnp.where(has_n_g[:, None], shade_g, base_g),
+                    0.0,
+                )
+                bg = jnp.where(iso_wins[:, None], iso_shaded, bg_g)
 
         if clip:
             # clip box shrinks the volume interval only (clipRay,

@@ -329,13 +329,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         or r.surf.num_segments > 0
     ):
         # feature-rich configs go through the Renderer's fast path (slab
-        # sweep + surface/clip compositing); only AO still needs the
-        # exact wavefront pass
+        # sweep + surface/clip/AO compositing)
         if r.enable_fast_path():
             print("#viewer: fast path via Renderer (surfaces/clip/shading"
                   " composited)")
         else:
-            print("#viewer: --fast incompatible with AO; exact path")
+            print("#viewer: --fast refused by the Renderer; exact path")
         fast = False
     if fast:
         # slab fast path for axis-aligned cameras, DVR only

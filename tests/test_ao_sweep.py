@@ -119,7 +119,10 @@ def test_ao_sweep_detects_occlusion():
     assert abs(dark_fast - dark_wf) < 0.05, (dark_fast, dark_wf)
 
 
-def test_ao_gate_keeps_wavefront_for_meshes():
+def test_ao_mesh_with_iso_occluders_stays_fast():
+    """Mesh AO with iso occluders runs on the fast path: the lattice
+    shadow volumes supply iso occlusion and dense prim intersections
+    the geometric part, under one shared-direction estimator."""
     from owlexabrick_tpu.render.surfaces import SurfaceData
 
     lower, level, scal = parse_grids_text(EX2)
@@ -138,4 +141,7 @@ def test_ao_gate_keeps_wavefront_for_meshes():
     cfg = RenderConfig(num_channels=1, iso_surfaces=True, ao_samples=2)
     r = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=_fs(cam),
                  surfaces=surf)
-    assert not r.enable_fast_path()
+    assert r.enable_fast_path()
+    img = r.render().view(np.uint8).reshape(SIZE, SIZE, 4)
+    assert np.isfinite(img.astype(np.float32)).all()
+    assert (img[..., :3] > 8).any()

@@ -251,3 +251,44 @@ def test_fast_path_iso_composite_with_adaptive_stride():
                        adaptive_stride=True)
     a, b = _compare(scene, fs, cfg, min_close=0.75)
     assert a[..., 3].max() > 50  # non-trivial image
+
+
+def test_fast_path_mesh_ao():
+    """AO over meshes/streamlines without iso surfaces stays on the fast
+    path: hemisphere occlusion is dense geometric intersection inside the
+    sweep's surface pass (no volume marching), matching the wavefront
+    renderer."""
+    scene, _ = _scene()
+    # two perpendicular triangles so AO has something to occlude
+    v0 = np.asarray([[-2.0, -2.0, 10.0], [-2.0, -2.0, 10.0]], np.float32)
+    e1 = np.asarray([[12.0, 0.0, 0.0], [12.0, 0.0, 0.0]], np.float32)
+    e2 = np.asarray([[0.0, 12.0, 0.0], [0.0, 0.0, 8.0]], np.float32)
+    n = np.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]], np.float32)
+    z = np.zeros((0, 3), np.float32)
+    surf = SurfaceData(tri_v0=v0, tri_e1=e1, tri_e2=e2, tri_n=n,
+                       seg_a=z, seg_b=z, seg_t=np.zeros(0, np.int32),
+                       seg_radius=np.float32(2.0))
+    fs = make_frame_state(_cam(), 1, [[0.0, 7.0]], dt=0.1,
+                          opacity_scale=0.4, ao_enabled=True)
+    cfg = RenderConfig(num_channels=1, ao_samples=2)
+    r = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=fs, surfaces=surf)
+    assert r.enable_fast_path(), "AO+mesh without iso must stay fast"
+    a, b = _compare(scene, fs, cfg, surf=surf, min_close=0.7)
+    assert (a[..., :3] > 8).any()
+
+    # with iso surfaces enabled the lattice shadow volumes join the
+    # geometric occluders under one shared-direction estimator — the
+    # fast path keeps the config (higher-variance frame-coherent AO;
+    # statistics in test_ao_sweep)
+    fs_iso = dataclasses.replace(
+        fs,
+        iso_enabled=np.asarray([True, False]),
+        iso_value=np.asarray([3.5, 0.0], np.float32),
+    )
+    cfg_iso = RenderConfig(num_channels=1, ao_samples=2, iso_surfaces=True)
+    r2 = Renderer(scene, SIZE, SIZE, cfg=cfg_iso, frame_state=fs_iso,
+                  surfaces=surf)
+    assert r2.enable_fast_path()
+    img = r2.render().view(np.uint8).reshape(SIZE, SIZE, 4)
+    assert np.isfinite(img.astype(np.float32)).all()
+    assert (img[..., :3] > 8).any()
