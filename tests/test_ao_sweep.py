@@ -145,3 +145,52 @@ def test_ao_mesh_with_iso_occluders_stays_fast():
     img = r.render().view(np.uint8).reshape(SIZE, SIZE, 4)
     assert np.isfinite(img.astype(np.float32)).all()
     assert (img[..., :3] > 8).any()
+
+
+def test_ao_combined_mesh_iso_statistics():
+    """The combined estimator (lattice iso occlusion + geometric
+    occlusion along shared directions) converges to the same darkening
+    the wavefront's per-pixel AO finds, on a floor mesh under an iso
+    block."""
+    from owlexabrick_tpu.render.surfaces import SurfaceData
+
+    lower, level, scal = parse_grids_text(EX2)
+    scene, *_ = scene_from_cells(lower, level, [scal])
+    cam = Camera.look_at([4.0, 10.0, 26.0], [4.0, 1.0, 4.0], [0, 1, 0],
+                         38.0, SIZE, SIZE)
+    # floor plane just under the volume: its pixels see the iso block
+    # overhead as the only occluder
+    v0 = np.asarray([[-6.0, -0.5, -6.0], [-6.0, -0.5, -6.0]], np.float32)
+    e1 = np.asarray([[20.0, 0.0, 0.0], [0.0, 0.0, 20.0]], np.float32)
+    e2 = np.asarray([[0.0, 0.0, 20.0], [20.0, 0.0, 0.0]], np.float32)
+    n = np.asarray([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+    z = np.zeros((0, 3), np.float32)
+    surf = SurfaceData(tri_v0=v0, tri_e1=e1, tri_e2=e2, tri_n=n,
+                       seg_a=z, seg_b=z, seg_t=np.zeros(0, np.int32),
+                       seg_radius=np.float32(2.0))
+
+    cfg = RenderConfig(num_channels=1, iso_surfaces=True, ao_samples=2,
+                       gradient_shading_iso=True)
+    cfg0 = dataclasses.replace(cfg, ao_samples=0)
+
+    r_fast = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=_fs(cam),
+                      surfaces=surf)
+    assert r_fast.enable_fast_path()
+    a = _mean_image(r_fast, 48)
+
+    r0 = Renderer(scene, SIZE, SIZE, cfg=cfg0, frame_state=_fs(cam),
+                  surfaces=surf)
+    assert r0.enable_fast_path()
+    c = _mean_image(r0, 8)
+
+    r_wf = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=_fs(cam),
+                    surfaces=surf)
+    b = _mean_image(r_wf, 48)
+
+    lit = c[..., :3].max(-1) > 8
+    assert lit.sum() > 8
+    dark_fast = (c[..., :3][lit] - a[..., :3][lit]).mean() / 255.0
+    dark_wf = (c[..., :3][lit] - b[..., :3][lit]).mean() / 255.0
+    assert dark_fast > 0.004, dark_fast
+    assert dark_wf > 0.004, dark_wf
+    assert abs(dark_fast - dark_wf) < 0.06, (dark_fast, dark_wf)
