@@ -856,10 +856,17 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         # estimate clamped 256^3 scenes to 4-slab chunks and their fixed
         # costs dominated the frame).  y-windowed mids only keep the
         # window rows resident, so deep volumes keep deep chunks.
+        def rows_resident(li, m):
+            # mirror the kernel's windowing gate (pallas_sweep: windows
+            # only pay off when they at least halve the rows)
+            ny8 = -(-m.shape[1] // 8) * 8
+            if ky_hints is None:
+                return ny8
+            ky = min(int(ky_hints[li]), ny8)
+            return ky if 2 * ky <= ny8 else ny8
+
         ny_total = sum(
-            min(-(-m.shape[1] // 8) * 8,
-                ky_hints[li] if ky_hints is not None else m.shape[1] + 8)
-            for li, m in enumerate(grids.masks)
+            rows_resident(li, m) for li, m in enumerate(grids.masks)
         )
         tc_est = cfg.tile_cols or next(
             (t for t in (512, 256, 128) if width % t == 0), 128
