@@ -23,8 +23,12 @@ the same Monte-Carlo integral with frame-coherent directions:
 
 The occluders are the iso level sets (marked on the lattice where a
 cell neighborhood's field range crosses an enabled iso).  Scenes with
-meshes or streamlines keep the exact wavefront AO — their occlusion is
-not a lattice property.
+meshes or streamlines stay on the fast path too: geometric occlusion is
+evaluated as dense prim intersections along the same shared directions
+(``geom_occluder`` in :func:`ao_shadow_fast`), combined with the lattice
+shadow under one estimator (``ao_combined`` in
+render/renderer.py:_render_fast).  The packed wavefront path retains the
+reference's per-pixel cosine draws for oracle comparisons.
 """
 
 from __future__ import annotations

@@ -30,11 +30,14 @@ loop is matmuls and dense vector ops only:
     (exabrick.cu:250-331); inactive slabs are skipped with lax.cond.
 
 This path renders cameras aligned to a principal axis (image plane
-perpendicular to x, y or z) directly; arbitrary orientations resample
-the level grids into the camera frame once per orientation
-(reorient_grids — a compile-stable preview; the wavefront path in
-dvr.py remains the exact renderer for tilted views).  Datasets whose
-grids exceed HBM stream through render_slabs_banded.
+perpendicular to x, y or z) directly; arbitrary orientations are
+rendered *exactly* through the shear-warp factorization
+(render/shearwarp.py): an axis-aligned intermediate lattice camera
+sweeps the same ray pencil, then one 2-D projective warp finishes the
+frame.  reorient_grids (below) survives only as the bounded-time
+preview for frustums too oblique for every shear-warp axis; the
+wavefront path in dvr.py remains the gather-based oracle.  Datasets
+whose grids exceed HBM stream through render_slabs_banded.
 """
 
 from __future__ import annotations
