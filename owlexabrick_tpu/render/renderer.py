@@ -237,19 +237,17 @@ class Renderer:
         else:
             # arbitrary orientation: exact shear-warp factorization —
             # sweep an axis-aligned intermediate camera over the same ray
-            # pencil, then one 2-D homography warp (render/shearwarp.py)
-            from .shearwarp import inter_dims, setup_shearwarp
-
-            iw, ih = inter_dims(self.width, self.height)
-            if (
-                setup_shearwarp(cam, axis, self.width, self.height, iw, ih)
-                is not None
-            ):
-                grids = _grids(axis)
+            # pencil, then one 2-D homography warp (render/shearwarp.py).
+            # Axes are tried least-oblique first (_pick_shearwarp).
+            pick = self._pick_shearwarp(cam)
+            if pick is not None:
+                grids = _grids(pick[0])
                 cam_r = "shearwarp"
             else:
-                # frustum too oblique for any shear-warp axis: fall back
-                # to the reorientation preview
+                # frustum too oblique for EVERY shear-warp axis (wide-fov
+                # near-diagonal views): fall back to the reorientation
+                # preview — bounded time, same fallback _render_fast uses
+                # mid-orbit
                 from .slabs import reorient_grids
 
                 grids, cam_r = reorient_grids(_grids(2), cam)
@@ -270,6 +268,46 @@ class Renderer:
             cam_r,
         )
         return True
+
+    def _pick_shearwarp(self, cam_v):
+        """Least-oblique shear-warp factorization of a voxel-frame camera.
+
+        Scores each sweep axis by the worst corner-ray alignment
+        min_corners |r_axis| / |r| (with a sign change scoring -inf) and
+        tries axes best-first, so mid-orbit frames keep the exact fast
+        path as long as *any* axis admits the factorization — the
+        reference renders every camera at full rate
+        (exabrick.cu:1662-1699).  Returns (axis, ShearWarp) or None when
+        every axis fails (caller must use a bounded-time preview, never
+        the minutes-long exact wavefront frame)."""
+        from .shearwarp import inter_dims, setup_shearwarp
+
+        d00 = np.asarray(cam_v.dir00, np.float64)
+        du = np.asarray(cam_v.dir_du, np.float64)
+        dv = np.asarray(cam_v.dir_dv, np.float64)
+        corners = np.stack([
+            d00 + u * du + v * dv
+            for u, v in ((0.0, 0.0), (self.width, 0.0),
+                         (0.0, self.height), (self.width, self.height))
+        ])  # (4, 3) world/voxel (x, y, z)
+        rn = np.linalg.norm(corners, axis=1)
+        scores = np.empty(3)
+        for axis in range(3):
+            ra = corners[:, axis]
+            if np.any(ra > 0) and np.any(ra < 0):
+                scores[axis] = -np.inf
+            else:
+                scores[axis] = float(np.min(np.abs(ra) / rn))
+        iw, ih = inter_dims(self.width, self.height)
+        for axis in np.argsort(-scores):
+            if not np.isfinite(scores[axis]):
+                break
+            sw = setup_shearwarp(
+                cam_v, int(axis), self.width, self.height, iw, ih
+            )
+            if sw is not None:
+                return int(axis), sw
+        return None
 
     def _grids_for(self, axis: int):
         """Level grids for a sweep axis — cached: they depend only on the
@@ -376,47 +414,59 @@ class Renderer:
         shear = None
         if cam_r == "shearwarp":
             # exact tilted camera: factorize per frame (cheap host math —
-            # orbiting re-derives the axis/lattice without grid rebuilds)
-            from .shearwarp import inter_dims, setup_shearwarp
-            from .slabs import principal_axis
-
+            # orbiting re-derives the axis/lattice without grid rebuilds);
+            # axes are tried least-oblique first so mid-orbit frames stay
+            # on the exact path whenever any axis admits it
             cam_v = camera_to_voxel(
                 self._camera_from_fs(),
                 np.asarray(self.scene.voxel_from_world),
             )
-            view = np.asarray(cam_v.dir00) + 0.5 * (
-                self.width * np.asarray(cam_v.dir_du)
-                + self.height * np.asarray(cam_v.dir_dv)
-            )
-            axis = int(np.argmax(np.abs(view)))
-            grids = self._grids_for(axis)
-            extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
-            finest = float(min(1 << l for l in grids.levels))
-            scfg = _dc.replace(
-                scfg,
-                nslabs=int(np.ceil(extent / (float(self.fs.dt) * finest))),
-                extent_z=extent,
-            )
-            iw, ih = inter_dims(self.width, self.height)
-            shear = setup_shearwarp(
-                cam_v, axis, self.width, self.height, iw, ih
-            )
-            if shear is None:
-                # frustum went too oblique mid-orbit: exact wavefront frame
-                self.accum, rgba8_dev, _ = render_step(
-                    self.scene, self.fs, self.surf, self.accum,
-                    cfg=self.cfg, width=self.width, height=self.height,
+            pick = self._pick_shearwarp(cam_v)
+            if pick is None:
+                # frustum too oblique for every axis mid-orbit: render
+                # this frame through the bounded-time reorientation
+                # preview (the same fallback enable_fast_path takes —
+                # NEVER the minutes-long exact wavefront frame)
+                from .slabs import reorient_grids
+
+                grids, cam_r = reorient_grids(self._grids_for(2), cam_v)
+                extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+                finest = float(min(1 << l for l in grids.levels))
+                scfg = _dc.replace(
+                    scfg,
+                    nslabs=int(np.ceil(
+                        extent / (float(self.fs.dt) * finest)
+                    )),
+                    extent_z=extent,
                 )
-                return np.asarray(rgba8_dev).reshape(
-                    self.height, self.width
+                cam = Camera(
+                    pos=cam_r.pos,
+                    dir00=cam_r.dir00 + jx * cam_r.dir_du
+                    + jy * cam_r.dir_dv,
+                    dir_du=cam_r.dir_du,
+                    dir_dv=cam_r.dir_dv,
                 )
-            # lattice-phase jitter (the intermediate rays move each frame;
-            # the warp compensates so screen positions stay put)
-            kx = jx
-            ky = jy
-            lattice = shear.lattice(kx, ky)
-            cam = shear.camera
-            rw, rh = iw, ih
+                lattice = None
+                rw, rh = self.width, self.height
+            else:
+                axis, shear = pick
+                grids = self._grids_for(axis)
+                extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+                finest = float(min(1 << l for l in grids.levels))
+                scfg = _dc.replace(
+                    scfg,
+                    nslabs=int(np.ceil(
+                        extent / (float(self.fs.dt) * finest)
+                    )),
+                    extent_z=extent,
+                )
+                # lattice-phase jitter (the intermediate rays move each
+                # frame; the warp compensates so screen positions stay put)
+                kx = jx
+                ky = jy
+                lattice = shear.lattice(kx, ky)
+                cam = shear.camera
+                rw, rh = shear.width, shear.height
         else:
             cam = cam_r if cam_r is not None else camera_to_voxel(
                 self._camera_from_fs(),

@@ -139,15 +139,29 @@ def _solve_axis(coef, lo, hi, n):
     return q_lo, step
 
 
+def _solve_axis_uniform(lo, hi, n):
+    """Uniform-xi lattice covering [lo, hi]: the identity map
+    xi(u) = u with coef (0, 1, 1, 0).  Always valid when the frustum's
+    xi range is finite (no rz sign change) — the fallback when the
+    screen-density-adaptive map's pole lands inside the corner range
+    (strong tilt).  Density mismatch vs the screen is absorbed by the
+    bicubic warp (bounded by the frustum anisotropy); quadrature stays
+    exact."""
+    step = max(hi - lo, 1e-12) / (n - 1 - 2 * _PAD)
+    return lo - _PAD * step, step, (0.0, 1.0, 1.0, 0.0)
+
+
 def setup_shearwarp(
     camera: Camera, axis: int, width: int, height: int,
-    iw: int, ih: int, min_rz: float = 0.12,
+    iw: int, ih: int, min_rz: float = 0.05,
 ):
     """Factorize ``camera`` (voxel frame) for a sweep along ``axis``.
 
     Returns a ShearWarp, or None when the frustum is too oblique for the
     factorization (a corner ray nearly parallel to the slab planes —
-    rz sign change or |rz|/|r| below ``min_rz``)."""
+    rz sign change or |rz|/|r| below ``min_rz``).  When the adaptive
+    lattice map's pole falls inside the corner range (strong tilt), the
+    affected axis drops to a uniform-xi lattice instead of failing."""
     pos_p, d00_p, du_p, dv_p = (
         np.asarray(v, np.float64) for v in permute_camera(camera, axis)
     )
@@ -169,10 +183,18 @@ def setup_shearwarp(
     coef_v = _center_map(d00_p, dv_p, du_p, width / 2.0, 1)
     su = _solve_axis(coef_u, float(xi.min()), float(xi.max()), iw)
     sv = _solve_axis(coef_v, float(eta.min()), float(eta.max()), ih)
-    if su is None or sv is None:
-        return None
-    u_lo, u_step = su
-    v_lo, v_step = sv
+    if su is None:
+        u_lo, u_step, coef_u = _solve_axis_uniform(
+            float(xi.min()), float(xi.max()), iw
+        )
+    else:
+        u_lo, u_step = su
+    if sv is None:
+        v_lo, v_step, coef_v = _solve_axis_uniform(
+            float(eta.min()), float(eta.max()), ih
+        )
+    else:
+        v_lo, v_step = sv
 
     # un-permute the sweep direction to the voxel frame: grid slot g
     # holds world axis perm[g] (permute_camera)

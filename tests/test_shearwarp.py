@@ -129,11 +129,13 @@ def test_shearwarp_multilevel_scene():
 
 
 def test_setup_rejects_oblique_frustum():
-    """A frustum whose corner rays run nearly parallel to the slab
-    planes cannot be factorized; setup returns None and the Renderer
-    keeps a working fallback."""
+    """A frustum whose corner rays cross the slab-plane direction
+    (here a 178-degree fov: corners pass 90 degrees off-axis) cannot be
+    factorized; setup returns None and the Renderer keeps a working
+    bounded-time fallback.  (Strong-but-finite tilt, e.g. 160-degree
+    fov, now factorizes via the uniform-lattice fallback.)"""
     cam = Camera.look_at([30.0, 4.0, 4.0], [4.0, 4.0, 4.0], [0, 1, 0],
-                         160.0, SIZE, SIZE)
+                         178.0, SIZE, SIZE)
     iw, ih = inter_dims(SIZE, SIZE)
     assert setup_shearwarp(cam, 0, SIZE, SIZE, iw, ih) is None
 
