@@ -1,7 +1,12 @@
 """Fast-path feature coverage (VERDICT round-1 item 4): clip box, meshes,
 contour planes, multi-channel iso with per-iso channels, DVR gradient
 shading, and analytic slab gradients — each must agree with the exact
-wavefront renderer up to slab-lattice discretization."""
+wavefront renderer within a measured per-feature error budget at 64^2
+over 4 accumulated frames (VERDICT round-2 weak #4 replaced the old
+atol=40 / 70%-of-pixels gate).  The residual disagreement is silhouette
+discretization (slab lattice vs per-ray marching) plus, for AO, the
+estimator's sampling pattern; golden-image regression hashes live in
+test_golden_images.py."""
 
 import dataclasses
 
@@ -22,7 +27,7 @@ from owlexabrick_tpu.tools.artificial import parse_grids_text
 
 from conftest import EX2, EX3
 
-SIZE = 24
+SIZE = 64
 
 
 def _scene(text=EX2, channels=1):
@@ -38,19 +43,31 @@ def _cam():
                           30.0, SIZE, SIZE)
 
 
-def _compare(scene, fs, cfg, surf=None, min_close=0.8, atol=40):
-    """Render fast vs wavefront, assert most pixels agree within atol."""
+def _compare(scene, fs, cfg, surf=None, frac8=0.90, frac40=0.985):
+    """Render fast vs wavefront (4 accumulated frames at 64^2) and
+    assert the measured per-feature error budget: ``frac8`` of pixels
+    within 8/255 per channel (the BASELINE "within TF quantization"
+    norm) and ``frac40`` within 40/255 (the silhouette tail: slab
+    lattice vs per-ray marching discretize volume and surface edges
+    differently, so a thin rim of pixels can disagree by design).
+    Budgets are measured values (2026-08, CPU) minus ~3% margin; a
+    regression below them means the paths genuinely diverged."""
     r_fast = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=fs,
                       surfaces=surf)
     assert r_fast.enable_fast_path(), "fast path refused this config"
-    a = r_fast.render().view(np.uint8).reshape(SIZE, SIZE, 4).astype(int)
+    a = r_fast.render_frames(4).view(np.uint8).reshape(
+        SIZE, SIZE, 4).astype(int)
 
     r_exact = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=fs,
                        surfaces=surf)
-    b = r_exact.render().view(np.uint8).reshape(SIZE, SIZE, 4).astype(int)
+    b = r_exact.render_frames(4).view(np.uint8).reshape(
+        SIZE, SIZE, 4).astype(int)
 
-    frac_close = (np.abs(a - b).max(-1) < atol).mean()
-    assert frac_close > min_close, frac_close
+    d = np.abs(a - b).max(-1)
+    got8 = (d < 8).mean()
+    got40 = (d < 40).mean()
+    assert got8 >= frac8, (got8, frac8)
+    assert got40 >= frac40, (got40, frac40)
     return a, b
 
 
@@ -64,7 +81,7 @@ def test_fast_path_clip_box():
         clip_hi=np.asarray([6.5, 6.5, 6.5], np.float32),
     )
     cfg = RenderConfig(num_channels=1)
-    a, b = _compare(scene, fs, cfg)
+    a, b = _compare(scene, fs, cfg, frac8=0.93, frac40=0.99)
     # the clip must actually remove something: corners darker than center
     assert a[0, 0, :3].max() < 8
     assert a[SIZE // 2, SIZE // 2, :3].max() > 8
@@ -83,7 +100,8 @@ def test_fast_path_mesh_composite():
                        seg_radius=np.float32(2.0))
     fs = make_frame_state(_cam(), 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
     cfg = RenderConfig(num_channels=1)
-    a, b = _compare(scene, fs, cfg, surf=surf, min_close=0.85)
+    a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.91,
+                    frac40=0.985)
     assert (a[..., :3] > 8).any()
 
 
@@ -99,7 +117,7 @@ def test_fast_path_streamlines_composite():
     )
     fs = make_frame_state(_cam(), 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
     cfg = RenderConfig(num_channels=1)
-    _compare(scene, fs, cfg, surf=surf, min_close=0.85)
+    _compare(scene, fs, cfg, surf=surf, frac8=0.86, frac40=0.985)
 
 
 def test_fast_path_contour_plane():
@@ -115,7 +133,7 @@ def test_fast_path_contour_plane():
         contour_channel=np.zeros(3, np.int32),
     )
     cfg = RenderConfig(num_channels=1)
-    _compare(scene, fs, cfg, min_close=0.8)
+    _compare(scene, fs, cfg, frac8=0.87, frac40=0.985)
 
 
 def test_fast_path_multichannel_iso_channel():
@@ -129,7 +147,7 @@ def test_fast_path_multichannel_iso_channel():
         iso_channel=np.array([1, 0], np.int32),
     )
     cfg = RenderConfig(num_channels=2, iso_surfaces=True)
-    a, _ = _compare(scene, fs, cfg, min_close=0.75)
+    a, _ = _compare(scene, fs, cfg, frac8=0.87, frac40=0.975)
     assert (a[..., :3] > 8).any()
 
 
@@ -140,7 +158,7 @@ def test_fast_path_dvr_gradient_shading():
         gradient_shading_dvr=True,
     )
     cfg = RenderConfig(num_channels=1, gradient_shading_dvr=True)
-    _compare(scene, fs, cfg, min_close=0.75)
+    _compare(scene, fs, cfg, frac8=0.89, frac40=0.99)
 
 
 def test_fast_path_iso_gradient_shading_matches_wavefront():
@@ -156,7 +174,10 @@ def test_fast_path_iso_gradient_shading_matches_wavefront():
     )
     cfg = RenderConfig(num_channels=1, iso_surfaces=True,
                        gradient_shading_iso=True)
-    _compare(scene, fs, cfg, min_close=0.8)
+    # iso silhouettes are binary hit/miss per discretization: ~4-6% of
+    # pixels sit on the rim where the slab lattice and the wavefront
+    # march land on different sides of the crossing
+    _compare(scene, fs, cfg, frac8=0.90, frac40=0.94)
 
 
 def test_z_window_matches_dense():
@@ -249,7 +270,9 @@ def test_fast_path_iso_composite_with_adaptive_stride():
     )
     cfg = RenderConfig(num_channels=1, iso_surfaces=True,
                        adaptive_stride=True)
-    a, b = _compare(scene, fs, cfg, min_close=0.75)
+    # the stride intentionally coarsens quadrature in coarse-level
+    # regions (the reference's per-region dt does the same)
+    a, b = _compare(scene, fs, cfg, frac8=0.80, frac40=0.96)
     assert a[..., 3].max() > 50  # non-trivial image
 
 
@@ -273,7 +296,11 @@ def test_fast_path_mesh_ao():
     cfg = RenderConfig(num_channels=1, ao_samples=2)
     r = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=fs, surfaces=surf)
     assert r.enable_fast_path(), "AO+mesh without iso must stay fast"
-    a, b = _compare(scene, fs, cfg, surf=surf, min_close=0.7)
+    # AO estimators differ by design (shared-direction vs per-pixel
+    # cosine draws): after 4 frames the sample sets have not converged,
+    # so only the coarse budget binds here; convergence of the
+    # estimator itself is bounded statistically in test_ao_sweep.py
+    a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.58, frac40=0.95)
     assert (a[..., :3] > 8).any()
 
     # with iso surfaces enabled the lattice shadow volumes join the
