@@ -51,6 +51,48 @@ def exajet_pattern_volume(n: int = 256) -> np.ndarray:
     return np.asarray(v, np.float32)
 
 
+def exajet_pattern_cells(n: int, threshold: float = 0.004,
+                         max_level: int = 3):
+    """Streaming cells for an exajet-pattern volume of ``n``^3 finest
+    lattice WITHOUT materializing the dense volume (4 GB at 1024^3).
+
+    The raw2cells octree collapse (tools/raw2cells.py) is local to
+    2^max_level-aligned root blocks, so the volume streams in z-chunks
+    of 2^max_level planes: each chunk is generated analytically,
+    collapsed independently, and its cell z-coordinates offset — the
+    result is bit-identical to volume_to_cells(exajet_pattern_volume(n))
+    (tests/test_scale_scene.py).  Returns (lower (N,3) int32, level,
+    scalars) like volume_to_cells."""
+    w = 1 << max_level
+    assert n % w == 0, "finest lattice must be a multiple of 2^max_level"
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    y = ax[None, :, None]
+    x = ax[None, None, :]
+    ws = np.float32(6.0 / n)
+    lowers, levels, scals = [], [], []
+    for z0 in range(0, n, w):
+        z = ax[z0 : z0 + w][:, None, None]
+        sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x
+        d = y - sheet
+        v = 1.0 / (1.0 + np.exp(np.clip(-d / ws, -60.0, 60.0)))
+        v += 0.04 * np.exp(-2.0 * (x * x + z * z))
+        v += 0.02 * np.exp(
+            -8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z)
+        )
+        lo, lv, sc = volume_to_cells(
+            np.asarray(v, np.float32), threshold, max_level
+        )
+        lo[:, 2] += z0
+        lowers.append(lo)
+        levels.append(lv)
+        scals.append(sc)
+    return (
+        np.concatenate(lowers),
+        np.concatenate(levels),
+        np.concatenate(scals),
+    )
+
+
 def build_bench_scene(n: int = 64, threshold: float = 0.004,
                       max_level: int = 3):
     vol = synthetic_volume(n)

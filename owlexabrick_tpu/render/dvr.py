@@ -75,7 +75,12 @@ class RenderConfig:
     # the reference's per-region dt = global_dt * finestLevelCellWidth
     # (exabrick.cu:1129).  Off by default: unit stride oversamples
     # coarse regions (higher fidelity than the reference's marcher)
-    adaptive_stride: bool = False
+    # adaptive z-stride in the slab fast path: coarse-only tiles take
+    # wider sweep steps, the slab form of the reference's per-region
+    # dt = global_dt * finestLevelCellWidth (exabrick.cu:1129 — always
+    # on there).  Default ON since the round-3 fidelity survey
+    # (benchmarks/stride_survey.py)
+    adaptive_stride: bool = True
 
 
 # ----------------------------------------------------------------------------

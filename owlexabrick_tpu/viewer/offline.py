@@ -66,8 +66,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     fast = False
     bands = 1
     # coarse-only tiles take wider sweep steps, like the reference's
-    # per-region dt (exabrick.cu:1129); off = oversample coarse regions
-    adaptive_stride = False
+    # per-region dt (exabrick.cu:1129, always on there).  Default ON
+    # since the round-3 fidelity survey (benchmarks/stride_survey.py:
+    # production-pattern scenes >=99.5% of pixels within 1/255);
+    # --no-adaptive-stride restores uniform (oversampled) slabs
+    adaptive_stride = True
     display_string = ""
     multi_field = False
     bench = 0
@@ -194,6 +197,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             i += 1
         elif a == "--adaptive-stride":
             adaptive_stride = True
+            i += 1
+        elif a == "--no-adaptive-stride":
+            adaptive_stride = False
             i += 1
         elif a == "--display-string":
             display_string = argv[i + 1]

@@ -118,7 +118,7 @@ legend { color:#9ab; }
     gradient shading DVR</label>
   <label><input id="skip" type="checkbox" checked style="width:auto">
     space skipping</label>
-  <label><input id="astride" type="checkbox" style="width:auto">
+  <label><input id="astride" type="checkbox" checked style="width:auto">
     adaptive sampling (per-region dt)</label>
   <div>
     <button id="shot">screenshot</button>
@@ -389,7 +389,7 @@ class ViewerState:
         gs_iso = g1("gsiso", "1") == "1"
         gs_dvr = g1("gsdvr", "0") == "1"
         skip = g1("skip", "1") == "1"
-        astride = g1("astride", "0") == "1"
+        astride = g1("astride", "1") == "1"
         caxis = g1("caxis", "off")
         coff = float(g1("coff", "0.5"))
         clip = g1("clip", "0") == "1"
