@@ -24,26 +24,24 @@ def synthetic_volume(n: int = 64) -> np.ndarray:
     return np.asarray(v, np.float32)
 
 
-def exajet_pattern_volume(n: int = 256) -> np.ndarray:
-    """Exajet-*pattern* field: a thin wavy sheet (the 'wing surface') with
-    a sharp gradient across it embedded in a smooth background.  Under
-    raw2cells threshold collapse the finest level hugs the sheet — the
-    level-population pattern of real exajet-class AMR data (fine cells on
-    geometry, coarse everywhere else), so the finest level's own bounding
-    box stays thin along y."""
-    # float32 + open (broadcast) grids: the host here is a slow shared
-    # vCPU, and full 3-D float64 meshgrid temps cost minutes at 512^3
-    ax = np.linspace(-1, 1, n, dtype=np.float32)
-    z = ax[:, None, None]
-    y = ax[None, :, None]
-    x = ax[None, None, :]
-    sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x  # (n,1,n)
-    d = y - sheet  # broadcasts to (n, n, n)
+def _exajet_field(z, y, x, n: int, wings: int = 1) -> np.ndarray:
+    """The exajet-pattern analytic field on broadcastable (z, y, x)
+    grids in [-1, 1] units.  ``wings`` thin wavy sheets ('wing
+    surfaces') with a sharp gradient across each, embedded in a smooth
+    background whose per-coarse-cell variation stays below the
+    raw2cells collapse threshold (0.004) — only the sheets force
+    refinement, like geometry-fitted AMR."""
     w = np.float32(6.0 / n)  # a few finest cells thick
-    # background amplitudes sized so their per-coarse-cell variation
-    # stays below the raw2cells collapse threshold (0.004): only the
-    # sheet forces refinement, like geometry-fitted AMR
+    sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x
+    d = y - sheet
     v = 1.0 / (1.0 + np.exp(np.clip(-d / w, -60.0, 60.0)))
+    if wings >= 2:
+        # a second, offset wing (real exajet carries multiple surfaces);
+        # phase-shifted so the sheets stay separated in y
+        sheet2 = (0.2 * np.sin(2.4 * x + 2.0) * np.cos(1.7 * z + 1.1)
+                  + 0.45 - 0.1 * x)
+        d2 = y - sheet2
+        v += 1.0 / (1.0 + np.exp(np.clip(-d2 / w, -60.0, 60.0)))
     v += 0.04 * np.exp(-2.0 * (x * x + z * z))
     v += 0.02 * np.exp(
         -8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z)
@@ -51,8 +49,23 @@ def exajet_pattern_volume(n: int = 256) -> np.ndarray:
     return np.asarray(v, np.float32)
 
 
+def exajet_pattern_volume(n: int = 256, wings: int = 1) -> np.ndarray:
+    """Exajet-*pattern* field as a dense volume: the finest level hugs
+    the wing sheets under threshold collapse — the level-population
+    pattern of real exajet-class AMR data (fine cells on geometry,
+    coarse everywhere else), so the finest level's own bounding box
+    stays thin along y."""
+    # float32 + open (broadcast) grids: the host here is a slow shared
+    # vCPU, and full 3-D float64 meshgrid temps cost minutes at 512^3
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    z = ax[:, None, None]
+    y = ax[None, :, None]
+    x = ax[None, None, :]
+    return _exajet_field(z, y, x, n, wings)
+
+
 def exajet_pattern_cells(n: int, threshold: float = 0.004,
-                         max_level: int = 3):
+                         max_level: int = 3, wings: int = 1):
     """Streaming cells for an exajet-pattern volume of ``n``^3 finest
     lattice WITHOUT materializing the dense volume (4 GB at 1024^3).
 
@@ -68,20 +81,11 @@ def exajet_pattern_cells(n: int, threshold: float = 0.004,
     ax = np.linspace(-1, 1, n, dtype=np.float32)
     y = ax[None, :, None]
     x = ax[None, None, :]
-    ws = np.float32(6.0 / n)
     lowers, levels, scals = [], [], []
     for z0 in range(0, n, w):
         z = ax[z0 : z0 + w][:, None, None]
-        sheet = 0.25 * np.sin(2.4 * x) * np.cos(1.7 * z) - 0.15 * x
-        d = y - sheet
-        v = 1.0 / (1.0 + np.exp(np.clip(-d / ws, -60.0, 60.0)))
-        v += 0.04 * np.exp(-2.0 * (x * x + z * z))
-        v += 0.02 * np.exp(
-            -8.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2 + z * z)
-        )
-        lo, lv, sc = volume_to_cells(
-            np.asarray(v, np.float32), threshold, max_level
-        )
+        v = _exajet_field(z, y, x, n, wings)
+        lo, lv, sc = volume_to_cells(v, threshold, max_level)
         lo[:, 2] += z0
         lowers.append(lo)
         levels.append(lv)
@@ -91,6 +95,74 @@ def exajet_pattern_cells(n: int, threshold: float = 0.004,
         np.concatenate(levels),
         np.concatenate(scals),
     )
+
+
+def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
+                              cache_dir: str = ".bench_cache",
+                              verbose: bool = True):
+    """The reference-scale bench scene (>=1024^3 finest lattice,
+    >=5e7 cells): streaming cell generation -> native builder -> region
+    scene -> host-side level grids, cached on disk because the full
+    build costs ~10 min on this 1-vCPU host (the reference's exajet
+    preprocessing is likewise a one-time offline step,
+    /root/reference/README.md:120-175).
+
+    Returns (bricks, scalars (C, cells) float32, grids_host LevelGrids
+    numpy, meta dict).  meta carries n_cells / n_bricks / build times.
+    """
+    import os
+    import pickle
+    import time
+
+    from .pipeline import scene_from_cells
+    from .render.slabs import build_level_grids
+
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"scale_{n}_{wings}"
+    path = os.path.join(cache_dir, tag + ".pkl")
+    if os.path.exists(path):
+        t0 = time.time()
+        with open(path, "rb") as f:
+            bricks, scalars, grids, meta = pickle.load(f)
+        meta = dict(meta, cache_load_s=round(time.time() - t0, 1))
+        return bricks, scalars, grids, meta
+
+    t0 = time.time()
+    lower, level, scal = exajet_pattern_cells(n, wings=wings)
+    t_gen = time.time() - t0
+    if verbose:
+        print(f"# scale scene: {lower.shape[0]/1e6:.1f}M cells "
+              f"generated in {t_gen:.0f}s", flush=True)
+    t0 = time.time()
+    scene, bricks, cell_ids, regions, tree = scene_from_cells(
+        lower, level, [scal]
+    )
+    t_build = time.time() - t0
+    if verbose:
+        print(f"# scale scene: {bricks.num_bricks} bricks / "
+              f"{regions.num_regions} regions built in {t_build:.0f}s",
+              flush=True)
+    scalars = np.asarray(scene.scalars, np.float32)
+    t0 = time.time()
+    grids = build_level_grids(bricks, scalars, axis=2, device=False)
+    t_grids = time.time() - t0
+    meta = dict(
+        n_cells=int(lower.shape[0]),
+        n_bricks=int(bricks.num_bricks),
+        n_regions=int(regions.num_regions),
+        finest_lattice=n,
+        gen_s=round(t_gen, 1),
+        build_s=round(t_build, 1),
+        grids_s=round(t_grids, 1),
+        grid_bytes=int(
+            sum(v.size * 4 for v in grids.vals)
+            + sum(m.size * 4 for m in grids.masks)
+        ),
+        value_max=float(scal.max()),
+    )
+    with open(path, "wb") as f:
+        pickle.dump((bricks, scalars, grids, meta), f, protocol=4)
+    return bricks, scalars, grids, meta
 
 
 def build_bench_scene(n: int = 64, threshold: float = 0.004,

@@ -67,6 +67,13 @@ class FrameState:
     gradient_shading_dvr: Array  # () bool
     gradient_shading_iso: Array  # () bool
 
+    # particle-tracer display timestep: streamline segments whose head
+    # timestep is >= this are hidden (the streamline bounds program's
+    # cull, exabrick.cu:536-570).  A huge default shows everything, so
+    # static trace tables behave as before; the interactive viewer sets
+    # it to the tracer's current step for the live-advect display.
+    tracer_timestep: Array = np.int32(1 << 30)  # () int32
+
 
 def make_frame_state(
     camera: Camera,

@@ -529,6 +529,7 @@ class Renderer:
                 jnp.full(p_, 1e-6, jnp.float32),
                 jnp.full(p_, 2e10, jnp.float32),
                 include_contours=include_contours, include_iso=False,
+                current_timestep=self.fs.tracer_timestep,
             )
             t_w = jnp.where(jnp.isfinite(t_g), t_g, 2e10)
             geom = (t_w / rnorm, n_w_g, base_g, amb_g)
@@ -693,6 +694,7 @@ class Renderer:
                         jnp.full(p_, 1e-4, jnp.float32),
                         jnp.full(p_, 1.0, jnp.float32) * self.fs.ao_length,
                         include_contours=False, include_iso=False,
+                        current_timestep=self.fs.tracer_timestep,
                     )
                     return jnp.isfinite(at).astype(jnp.float32)
 

@@ -170,22 +170,62 @@ def _ray_rounded_cones(o, d, pa, pb, r):
     return t, n
 
 
-def trace_streamlines(surf: SurfaceData, current_timestep, o, d, tmin, tmax):
-    """Nearest visible streamline segment (segments at/after the current
-    timestep are hidden, exabrick.cu:536-570)."""
-    p = o.shape[0]
-    if surf.num_segments == 0:
-        return jnp.full(p, jnp.inf, o.dtype), jnp.zeros((p, 3), o.dtype)
-    t, n = _ray_rounded_cones(o, d, surf.seg_a, surf.seg_b, surf.seg_radius)
-    visible = (surf.seg_t < current_timestep)[None, :]
-    dead = (jnp.abs(surf.seg_a) >= 2e10).any(-1) | (
-        jnp.abs(surf.seg_b) >= 2e10
+def _streamline_chunk(surf_chunk, current_timestep, o, d, tmin, tmax):
+    seg_a, seg_b, seg_t, radius = surf_chunk
+    t, n = _ray_rounded_cones(o, d, seg_a, seg_b, radius)
+    visible = (seg_t < current_timestep)[None, :]
+    dead = (jnp.abs(seg_a) >= 2e10).any(-1) | (
+        jnp.abs(seg_b) >= 2e10
     ).any(-1)
     t = jnp.where(visible & ~dead[None, :], t, jnp.inf)
     t = jnp.where((t >= tmin[:, None]) & (t <= tmax[:, None]), t, jnp.inf)
     k = jnp.argmin(t, axis=1)
     rows = jnp.arange(t.shape[0])
     return t[rows, k], n[rows, k]
+
+
+def trace_streamlines(surf: SurfaceData, current_timestep, o, d, tmin, tmax,
+                      chunk: int = 2048):
+    """Nearest visible streamline segment (segments at/after the current
+    timestep are hidden, exabrick.cu:536-570).
+
+    Large trace tables (the live tracer holds seeds x timesteps
+    segments) are processed in ``chunk``-segment slices under lax.scan
+    with a running nearest-hit carry, so peak memory is P x chunk
+    instead of P x S."""
+    p = o.shape[0]
+    s = surf.num_segments
+    if s == 0:
+        return jnp.full(p, jnp.inf, o.dtype), jnp.zeros((p, 3), o.dtype)
+    if s <= chunk:
+        return _streamline_chunk(
+            (surf.seg_a, surf.seg_b, surf.seg_t, surf.seg_radius),
+            current_timestep, o, d, tmin, tmax,
+        )
+    pad = (-s) % chunk
+    seg_a = jnp.concatenate(
+        [surf.seg_a, jnp.full((pad, 3), 3e10, surf.seg_a.dtype)]
+    ).reshape(-1, chunk, 3)
+    seg_b = jnp.concatenate(
+        [surf.seg_b, jnp.full((pad, 3), 3e10, surf.seg_b.dtype)]
+    ).reshape(-1, chunk, 3)
+    seg_t = jnp.concatenate(
+        [surf.seg_t, jnp.zeros(pad, surf.seg_t.dtype)]
+    ).reshape(-1, chunk)
+
+    def step(carry, xs):
+        bt, bn = carry
+        a, b, st = xs
+        ct, cn = _streamline_chunk(
+            (a, b, st, surf.seg_radius), current_timestep, o, d, tmin, tmax
+        )
+        win = ct < bt
+        return (jnp.where(win, ct, bt),
+                jnp.where(win[:, None], cn, bn)), None
+
+    init = (jnp.full(p, jnp.inf, o.dtype), jnp.zeros((p, 3), o.dtype))
+    (t_best, n_best), _ = jax.lax.scan(step, init, (seg_a, seg_b, seg_t))
+    return t_best, n_best
 
 
 # ----------------------------------------------------------------------------

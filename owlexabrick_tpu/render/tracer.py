@@ -183,3 +183,25 @@ class Tracer:
             seg_t=seg_t,
             seg_radius=np.float32(self.radius),
         )
+
+    def surface_data_full(self) -> SurfaceData:
+        """ALL timesteps as a fixed-shape segment table for the live
+        viewer: not-yet-advanced segments carry TRACE_DEAD endpoints
+        (discarded by trace_streamlines' dead mask) and display is
+        culled by FrameState.tracer_timestep — the shape never changes
+        across timesteps, so the jitted render never recompiles while
+        particles advect (the reference instead rebuilds the streamline
+        BVH per frame, exa/OptixRenderer.cpp:476-487)."""
+        nt = self.num_timesteps
+        a = self.traces[:, : nt - 1].reshape(-1, 3)
+        b = self.traces[:, 1:nt].reshape(-1, 3)
+        seg_t = np.tile(np.arange(1, nt, dtype=np.int32),
+                        (self.num_traces, 1)).reshape(-1)
+        z = np.zeros((0, 3), np.float32)
+        return SurfaceData(
+            tri_v0=z, tri_e1=z, tri_e2=z, tri_n=z,
+            seg_a=a.astype(np.float32),
+            seg_b=b.astype(np.float32),
+            seg_t=seg_t,
+            seg_radius=np.float32(self.radius),
+        )

@@ -96,6 +96,42 @@ legend { color:#9ab; }
         step="0.01" value="0.5"></label>
     </div>
   </fieldset>
+  <fieldset><legend>ambient occlusion</legend>
+    <label><input id="ao" type="checkbox" style="width:auto"> enable</label>
+    <label>AO length <input id="aolen" type="number" step="any"
+      value="__AOLEN__"></label>
+  </fieldset>
+  <fieldset><legend>tracer</legend>
+    <label><input id="tron" type="checkbox" style="width:auto">
+      enable (advances one RK4 step per frame)</label>
+    <div class="row">
+      <label># seeds <input id="trseeds" type="number" value="1000"></label>
+      <label># steps <input id="trsteps" type="number" value="100"></label>
+    </div>
+    <label>step length <input id="trlen" type="number" step="any"
+      value="1"></label>
+    <div class="row">
+      <label>ch x <select id="trcx">__FIELDS__</select></label>
+      <label>ch y <select id="trcy">__FIELDS__</select></label>
+      <label>ch z <select id="trcz">__FIELDS__</select></label>
+    </div>
+    seed region (fractions lo/hi)
+    <div class="row">
+      <label>x <input id="tr0x" type="range" min="0" max="1" step="0.01"
+        value="0"><input id="tr1x" type="range" min="0" max="1" step="0.01"
+        value="1"></label>
+    </div>
+    <div class="row">
+      <label>y <input id="tr0y" type="range" min="0" max="1" step="0.01"
+        value="0"><input id="tr1y" type="range" min="0" max="1" step="0.01"
+        value="1"></label>
+    </div>
+    <div class="row">
+      <label>z <input id="tr0z" type="range" min="0" max="1" step="0.01"
+        value="0"><input id="tr1z" type="range" min="0" max="1" step="0.01"
+        value="1"></label>
+    </div>
+  </fieldset>
   <fieldset><legend>clip box (fractions)</legend>
     <label><input id="clip" type="checkbox" style="width:auto"> enable</label>
     <div class="row">
@@ -120,6 +156,10 @@ legend { color:#9ab; }
     space skipping</label>
   <label><input id="astride" type="checkbox" checked style="width:auto">
     adaptive sampling (per-region dt)</label>
+  <label><input id="prog" type="checkbox" checked style="width:auto">
+    progressive refinement</label>
+  <label>clock heat map scale (0=off)
+    <input id="clock" type="number" step="any" min="0" value="0"></label>
   <div>
     <button id="shot">screenshot</button>
     <button id="xf">save .xf</button>
@@ -138,7 +178,9 @@ let eye = null, yaw = 0, pitch = 0;
 const t0 = [];
 const ids = ['field','cmap','customcm','lo','hi','os','dt','iso','gsiso',
              'caxis','coff','clip','cx0','cx1','cy0','cy1','cz0','cz1',
-             'gsdvr','skip','astride'];
+             'gsdvr','skip','astride','ao','aolen','prog','clock',
+             'tron','trseeds','trsteps','trlen','trcx','trcy','trcz',
+             'tr0x','tr0y','tr0z','tr1x','tr1y','tr1z'];
 const $ = id => document.getElementById(id);
 function val(id) {
   const e = $(id);
@@ -341,6 +383,9 @@ class ViewerState:
         self.renderer = None
         self.key = None
         self._field_scenes = {}
+        self.tracer = None
+        self.tracer_key = None
+        self._heat = None  # (key, red overlay) cache
 
     def camera(self, theta, phi, dist):
         eye = self.center + dist * self.diag * np.asarray([
@@ -397,10 +442,13 @@ class ViewerState:
                  (("cx0", "0"), ("cy0", "0"), ("cz0", "0"),
                   ("cx1", "1"), ("cy1", "1"), ("cz1", "1"))]
         alpha_hex = g1("alpha", "")
+        ao = g1("ao", "0") == "1"
+        ao_len = float(g1("aolen", "1e20") or "1e20")
+        tron = g1("tron", "0") == "1"
 
         key = (field, cmap, custom, lo, hi, os_, dt, iso != 0.0, gs_iso,
                gs_dvr, skip, astride, caxis, coff, clip, tuple(cfrac),
-               alpha_hex)
+               alpha_hex, ao, ao_len, tron)
         if self.renderer is not None and key == self.key:
             return self.renderer
 
@@ -420,6 +468,8 @@ class ViewerState:
         fs = make_frame_state(
             cam, 1, [[lo, hi]], colormap=colormap,
             opacity_scale=os_, dt=dt, opacities=opacities,
+            # AO checkbox + length spinner (exa/viewer.cpp:618-624)
+            ao_enabled=ao, ao_length=ao_len,
         )
         if iso != 0.0:
             fs.iso_enabled[0] = True
@@ -441,10 +491,14 @@ class ViewerState:
             gradient_shading_iso=gs_iso,
             space_skipping=skip,
             adaptive_stride=astride,
+            ao_samples=2 if ao else 0,
         )
+        surf = None
+        if tron and self.tracer is not None:
+            surf = self.tracer.surface_data_full()
         self.renderer = Renderer(
             self._scene_for_field(field), self.width, self.height,
-            cfg=rcfg, frame_state=fs,
+            cfg=rcfg, frame_state=fs, surfaces=surf,
         )
         if clip:
             lo3 = self.world_lo + np.asarray(cfrac[:3]) * (
@@ -457,20 +511,119 @@ class ViewerState:
         self.key = key
         return self.renderer
 
+    def _ensure_tracer(self, q, r):
+        """(Re)seed the tracer when its panel settings change
+        (tracerSettingsChangedCB -> resetTracer, exa/viewer.cpp:961) and
+        advance one RK4 step per displayed frame (viewer.cpp:283-284)."""
+        g1 = lambda k, d: q.get(k, [d])[0]
+        tron = g1("tron", "0") == "1"
+        if not tron:
+            if self.tracer is not None:
+                self.tracer = None
+                self.tracer_key = None
+            return False
+        nseeds = max(1, int(float(g1("trseeds", "1000"))))
+        nsteps = max(2, int(float(g1("trsteps", "100"))))
+        slen = float(g1("trlen", "1"))
+        ch = tuple(
+            min(int(float(g1(k, "0"))), len(self.field_names) - 1)
+            for k in ("trcx", "trcy", "trcz")
+        )
+        lo = tuple(float(g1(k, "0")) for k in ("tr0x", "tr0y", "tr0z"))
+        hi = tuple(float(g1(k, "1")) for k in ("tr1x", "tr1y", "tr1z"))
+        key = (nseeds, nsteps, slen, ch, lo, hi)
+        if key != self.tracer_key:
+            from ..render.tracer import Tracer
+
+            self.tracer = Tracer(
+                r.scene, num_traces=nseeds, num_timesteps=nsteps,
+                steplen=slen, channels=ch,
+                seed_region_lo=lo, seed_region_hi=hi,
+            )
+            self.tracer_key = key
+            r.reset_accumulation()
+        # one RK4 step per displayed frame; the display culls segments
+        # beyond the current timestep (exabrick.cu:536-570)
+        self.tracer.advance()
+        r.surf = self.tracer.surface_data_full()
+        r.fs = dataclasses.replace(
+            r.fs, tracer_timestep=np.int32(self.tracer.timestep)
+        )
+        return True
+
+    def _clock_overlay(self, q, r, cam):
+        """Per-pixel traversal-cost heat map (the clockScale spinner,
+        exa/viewer.cpp:630-631 / exabrick.cu:1703-1707): wavefront
+        iteration counts at 1/8 resolution, cached per pose/settings."""
+        g1 = lambda k, d: q.get(k, [d])[0]
+        scale = float(g1("clock", "0") or "0")
+        if scale <= 0.0:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from ..render.dvr import trace_dvr
+        from ..utils.profiling import cost_heatmap
+
+        w8, h8 = max(self.width // 8, 8), max(self.height // 8, 8)
+        pose = tuple(np.round(np.asarray(r.fs.cam_pos), 4)) + tuple(
+            np.round(np.asarray(r.fs.cam_dir00), 4)
+        )
+        key = (pose, self.key, scale, w8, h8)
+        if self._heat is not None and self._heat[0] == key:
+            return self._heat[1]
+        eye = [float(q[k][0]) for k in ("ex", "ey", "ez")] if "ex" in q \
+            else None
+        at = [float(q[k][0]) for k in ("ax", "ay", "az")] if "ax" in q \
+            else None
+        if eye is None:
+            return None
+        lowcam = Camera.look_at(eye, at, [0, 1, 0], 55.0, w8, h8)
+        o, d = lowcam.rays(w8, h8)
+        _, iters = jax.jit(
+            trace_dvr, static_argnames=("cfg", "return_stats")
+        )(r.scene, jax.tree.map(jnp.asarray, r.fs), r.cfg,
+          jnp.asarray(o), jnp.asarray(d), jnp.zeros(o.shape[0]),
+          return_stats=True)
+        red = cost_heatmap(
+            np.asarray(iters).reshape(h8, w8), scale
+        )[::-1]
+        red = np.repeat(np.repeat(red, 8, 0), 8, 1)
+        red = red[: self.height, : self.width]
+        pad_r = self.height - red.shape[0]
+        pad_c = self.width - red.shape[1]
+        if pad_r > 0 or pad_c > 0:
+            red = np.pad(red, ((0, max(pad_r, 0)), (0, max(pad_c, 0))),
+                         mode="edge")
+        overlay = (red * 255).astype(np.uint8)
+        self._heat = (key, overlay)
+        return overlay
+
     def render(self, q) -> bytes:
         frame = int(q.get("frame", ["0"])[0])
+        progressive = q.get("prog", ["1"])[0] == "1"
 
         with self.lock:
             cam = self.camera_from_query(q)
             r = self._ensure_renderer(q, cam)
+            tracing = self._ensure_tracer(q, r)
             from ..render.frame import with_camera
 
             if frame == 0:
                 r.fs = with_camera(r.fs, cam)
                 r.reset_accumulation()
                 r.enable_fast_path()
+            elif not progressive:
+                # progressive-refinement toggle (exa/viewer.cpp:807):
+                # off = every frame stands alone (accumID stays 0)
+                r.reset_accumulation()
             img = r.render()
             rgba = r.image_uint8(img)
+            heat = self._clock_overlay(q, r, cam)
+            if heat is not None:
+                rgba = rgba.copy()
+                rgba[..., 0] = heat
+            _ = tracing
 
         from ..utils.png import write_png
 
@@ -525,6 +678,7 @@ class _Handler(BaseHTTPRequestHandler):
                 .replace("__FIELDS__", fields)
                 .replace("__LO__", f"{vr[0]:g}")
                 .replace("__HI__", f"{vr[1]:g}")
+                .replace("__AOLEN__", f"{st.diag:g}")
                 .replace("__DT__", "0.5")
                 .replace("__THETA__", "0.5")
                 .replace("__PHI__", "0.3")
