@@ -44,8 +44,22 @@ def scene_from_cells(
     num_range_channels: Optional[int] = None,
 ):
     """cells + per-cell scalar arrays -> (scene, bricks, cell_ids, regions, tree)."""
-    result = build_bricks(lower, level, strategy, max_leaf_width)
-    bricks, cell_ids = bricks_from_build(result)
+    bricks = None
+    try:
+        from .native import available, native_build_bricks_flat
+
+        if available():
+            # flat SoA marshaling: identical output to
+            # build_bricks + bricks_from_build (tests/test_native.py),
+            # minus the per-brick Python object round trip
+            bricks, cell_ids = native_build_bricks_flat(
+                lower, level, strategy, max_leaf_width
+            )
+    except Exception:
+        bricks = None
+    if bricks is None:
+        result = build_bricks(lower, level, strategy, max_leaf_width)
+        bricks, cell_ids = bricks_from_build(result)
     if field_names is None:
         field_names = [f"field{i}" for i in range(len(scalars))]
     fields = [

@@ -744,10 +744,60 @@ def ky_hints_for_camera(grids: LevelGrids, cfg: SlabConfig,
     return tuple(hints)
 
 
+def kx_hints_for_camera(grids: LevelGrids, cfg: SlabConfig,
+                        cam_pos, cam_dir00, cam_du, height: int,
+                        width: int, lattice=None):
+    """Static per-level x-window cell counts for the column-tiled
+    x-resample (the megakernel's XLA-side stage).
+
+    The x tent matrix has <= 2 nonzero entries per pixel column, so a
+    column tile of tc pixels only reaches ~tc*dx/cw + margin lattice
+    cells of a level; windowing the resample einsum to that range cuts
+    its FLOPs and the (S, W, nx) tent-build cost by ~nx/KX (8-11x at
+    256^3-1024^3).  Exact: tent weights outside the window are zero.
+    Same static-bucket contract as ky_hints_for_camera."""
+    from .pallas_sweep import tile_shape
+
+    if lattice is not None and not isinstance(lattice[0], np.ndarray):
+        return None
+    for v in (cam_pos, cam_dir00, cam_du):
+        if not isinstance(v, (np.ndarray, list, tuple)):
+            return None
+    pos = np.asarray(cam_pos, np.float64)
+    d00 = np.asarray(cam_dir00, np.float64)
+    rz = float(d00[0])
+    if rz == 0.0:
+        return None
+    if lattice is not None:
+        rx = np.asarray(lattice[0], np.float64)
+    else:
+        du2 = float(np.asarray(cam_du, np.float64)[2])
+        rx = d00[2] + (np.arange(width) + 0.5) * du2
+    z_lo, z_hi = _host_z_bounds(grids)
+    oz = float(pos[0])
+    scale_max = max(abs(z_lo - oz), abs(z_hi - oz)) / abs(rz)
+    _, tc = tile_shape(height, width, (cfg.tile_rows, cfg.tile_cols),
+                       cfg.adaptive_stride)
+    n_ct = -(-width // tc)
+    rx_p = np.concatenate([rx, np.repeat(rx[-1:], n_ct * tc - width)])
+    spans = rx_p.reshape(n_ct, tc)
+    rx_span = float((spans.max(1) - spans.min(1)).max())
+    dzs = (z_hi - z_lo) / max(cfg.nslabs, 1)
+    dscale = cfg.chunk * dzs / abs(rz)
+    rx_absmax = float(np.abs(rx).max())
+    hints = []
+    for L in grids.levels:
+        cw = float(1 << L)
+        need = (rx_span * scale_max + dscale * rx_absmax) / cw + 5.0
+        hints.append(int(-(-int(np.ceil(need)) // 16)) * 16)
+    return tuple(hints)
+
+
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
                  width: int, height: int, knots=None, t_stop=None,
-                 lattice=None, t_start=None, ky_hints=None):
+                 lattice=None, t_start=None, ky_hints=None,
+                 kx_hints=None):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
     t1 = min(t1, surface t), exabrick.cu:1675-1680).  t_start: optional
@@ -1050,6 +1100,13 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 mids = []
                 orgs_y = []
                 cws_l = []
+                from .pallas_sweep import tile_shape as _tile_shape
+
+                _, tc_x = _tile_shape(
+                    h, w, (cfg.tile_rows, cfg.tile_cols),
+                    cfg.adaptive_stride,
+                )
+                n_ct_x = -(-w // tc_x)
                 for li, L in enumerate(grids.levels):
                     cw = float(1 << L)
                     m = grids.masks[li]
@@ -1059,10 +1116,6 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     wz_fn, vol_z, _kz = z_weights_slice(qz, li)
                     wz = wz_fn()  # (S, nz or KZ)
                     qx = x_pos / cw - org[2] - 0.5  # (S, W)
-                    k = jnp.arange(nx, dtype=f32)
-                    wx = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(qx[..., None] - k)
-                    )  # (S, W, nx)
 
                     prec = (None if cfg.bf16_interp else {
                         "high": jax.lax.Precision.HIGH,
@@ -1070,13 +1123,66 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         "default": None,
                     }[cfg.dot_precision])
 
-                    def mid(vol):
+                    # column-tiled x-resample: the x tent matrix has
+                    # <= 2 nonzero entries per column, so a tc-column
+                    # tile only reaches KX << nx lattice cells; the
+                    # windowed einsum + tent build cost ~nx/KX less
+                    # (exact — weights outside the window are zero)
+                    # engage when the window saves >= 25% of the
+                    # contraction (unlike y-windows there are no
+                    # per-tile HBM copies to amortize, only the slice)
+                    kx = (None if kx_hints is None
+                          else min(int(kx_hints[li]), nx))
+                    if kx is not None and 4 * kx > 3 * nx:
+                        kx = None
+                    if kx is None:
+                        k = jnp.arange(nx, dtype=f32)
+                        wx = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(qx[..., None] - k)
+                        )  # (S, W, nx)
+
+                        def xres(sv, wx=wx):
+                            return jnp.einsum(
+                                "syx,swx->syw", sv, wx,
+                                preferred_element_type=f32,
+                                precision=prec,
+                            )
+                    else:
+                        xwin = []
+                        for ct in range(n_ct_x):
+                            i0 = ct * tc_x
+                            i1 = min(w, i0 + tc_x)
+                            qx_t = qx[:, i0:i1]  # (S, tcw)
+                            k0 = jnp.clip(
+                                jnp.floor(qx_t.min()).astype(jnp.int32)
+                                - 1, 0, nx - kx,
+                            )
+                            kk = (jnp.arange(kx, dtype=f32)
+                                  + k0.astype(f32))
+                            wx_t = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(qx_t[..., None] - kk)
+                            )  # (S, tcw, kx)
+                            xwin.append((k0, wx_t))
+
+                        def xres(sv, xwin=xwin, kx=kx):
+                            pieces = [
+                                jnp.einsum(
+                                    "syk,swk->syw",
+                                    lax.dynamic_slice_in_dim(
+                                        sv, k0, kx, axis=2),
+                                    wx_t,
+                                    preferred_element_type=f32,
+                                    precision=prec,
+                                )
+                                for k0, wx_t in xwin
+                            ]
+                            return jnp.concatenate(pieces, axis=2)
+
+                    def mid(vol, xres=xres):
                         sv = jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
                                         preferred_element_type=f32,
                                         precision=prec)
-                        return jnp.einsum("syx,swx->syw", sv, wx,
-                                          preferred_element_type=f32,
-                                          precision=prec)
+                        return xres(sv)
 
                     gate = occ_s[li].any().astype(f32)
                     mdt = jnp.bfloat16 if cfg.bf16_interp else f32
@@ -1709,14 +1815,17 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         knots = compress_pwl(luts_np)
 
     f = jax.jit(
-        render_slabs, static_argnames=("cfg", "width", "height", "ky_hints")
+        render_slabs,
+        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints"),
     )
     if not swapped:
         hints = ky_hints_for_camera(grids, cfg, pos, dir00, dv, height,
                                     width, lattice=lattice)
+        xhints = kx_hints_for_camera(grids, cfg, pos, dir00, du, height,
+                                     width, lattice=lattice)
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
                  knots=knots, t_stop=t_stop, lattice=lattice,
-                 t_start=t_start, ky_hints=hints)
+                 t_start=t_start, ky_hints=hints, kx_hints=xhints)
     if t_stop is not None:
         # the internal render is transposed: internal row = final column
         t_stop = t_stop.reshape(height, width).T.reshape(-1)
@@ -1724,8 +1833,10 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         t_start = t_start.reshape(height, width).T.reshape(-1)
     # transposed internals: the v axis is du and the row count is width
     hints = ky_hints_for_camera(grids, cfg, pos, dir00, du, width, height)
+    xhints = kx_hints_for_camera(grids, cfg, pos, dir00, dv, width, height)
     rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots,
-             t_stop=t_stop, t_start=t_start, ky_hints=hints)
+             t_stop=t_stop, t_start=t_start, ky_hints=hints,
+             kx_hints=xhints)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )

@@ -100,3 +100,28 @@ def test_native_regions_speed_parity_medium():
     np.testing.assert_allclose(r_nt.value_range, r_py.value_range, rtol=1e-5)
     assert dt_native < dt_py, (dt_native, dt_py)
     print(f"native {dt_native:.2f}s vs python {dt_py:.2f}s")
+
+
+def test_native_flat_bricks_match_object_path():
+    """native_build_bricks_flat must produce exactly the Bricks/cell_ids
+    that build_bricks + bricks_from_build produce (it skips the
+    per-brick Python object round trip for scale builds)."""
+    import numpy as np
+    import pytest
+
+    from owlexabrick_tpu.native import available, native_build_bricks_flat
+    from owlexabrick_tpu.builder.bricker import build_bricks
+    from owlexabrick_tpu.pipeline import bricks_from_build
+    from owlexabrick_tpu.bench_scene import exajet_pattern_cells
+
+    if not available():
+        pytest.skip("native core unavailable")
+    lower, level, _ = exajet_pattern_cells(32)
+    res = build_bricks(lower, level)
+    b_ref, ids_ref = bricks_from_build(res)
+    b_flat, ids_flat = native_build_bricks_flat(lower, level)
+    np.testing.assert_array_equal(b_ref.lower, b_flat.lower)
+    np.testing.assert_array_equal(b_ref.size, b_flat.size)
+    np.testing.assert_array_equal(b_ref.level, b_flat.level)
+    np.testing.assert_array_equal(b_ref.begin, b_flat.begin)
+    np.testing.assert_array_equal(ids_ref, ids_flat)

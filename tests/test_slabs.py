@@ -659,3 +659,50 @@ def test_banded_reuse_cache(amr_fixture):
     )
     assert _BAND_GRID_CACHE[key][2] is bands
     np.testing.assert_array_equal(a, b)
+
+
+def test_x_window_hints_exact():
+    """The column-tiled x-resample (kx_hints) is bit-identical to the
+    full einsum: the x tent matrix has <= 2 nonzero entries per column,
+    so weights outside the window are exactly zero and the two nonzero
+    contributions accumulate in the same order."""
+    import dataclasses
+
+    from owlexabrick_tpu.bench_scene import synthetic_volume
+    from owlexabrick_tpu.render.slabs import (
+        kx_hints_for_camera,
+        ky_hints_for_camera,
+        render_slabs,
+    )
+    from owlexabrick_tpu.tools.raw2cells import volume_to_cells
+
+    n = 96
+    lower, level, scal = volume_to_cells(synthetic_volume(n), 0.004, 3)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
+    w, h = 768, 432
+    cam = Camera.look_at([n / 2, n / 2, n * 2.2], [n / 2, n / 2, n / 2],
+                         [0, 1, 0], 20.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, float(scal.max())]], dt=1.0,
+                          opacity_scale=0.7)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent)), chunk=12,
+                     extent_z=extent, tile_cols=128)
+    pos, d00, du, dv = permute_camera(cam, 2)
+    ky = ky_hints_for_camera(grids, cfg, pos, d00, dv, h, w)
+    kx = kx_hints_for_camera(grids, cfg, pos, d00, du, h, w)
+    nxs = [m.shape[2] for m in grids.masks]
+    assert any(
+        k is not None and 4 * min(k, nx) <= 3 * nx
+        for k, nx in zip(kx, nxs)
+    ), "windows did not engage; change the test geometry"
+    f = jax.jit(render_slabs,
+                static_argnames=("cfg", "width", "height", "ky_hints",
+                                 "kx_hints"))
+    for c in (cfg, dataclasses.replace(cfg, adaptive_stride=True)):
+        a = np.asarray(f(grids, fs, c, pos, d00, du, dv, w, h,
+                         ky_hints=ky, kx_hints=None))
+        b = np.asarray(f(grids, fs, c, pos, d00, du, dv, w, h,
+                         ky_hints=ky, kx_hints=kx))
+        assert a[:, 3].max() > 0.5
+        np.testing.assert_array_equal(a, b)
