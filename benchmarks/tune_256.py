@@ -59,6 +59,8 @@ def main():
 
     variants = {
         "stride": dataclasses.replace(base, adaptive_stride=True),
+        "stride_hi_lo": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo"),
         "stride_prec_default": dataclasses.replace(
             base, adaptive_stride=True, dot_precision="default"),
         "stride_bf16": dataclasses.replace(

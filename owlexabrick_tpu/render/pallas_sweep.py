@@ -69,11 +69,23 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
     # near-f32 MXU passes by default (the CUDA reference multiplies in
     # f32; TPU default dot precision is bf16 and shows up as ~1e-1
     # compositing error); bf16_interp opts into the fast bf16 path.
-    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel
-    prec = (None if dot_precision == "default"
+    # Mosaic only lowers DEFAULT and HIGHEST dot precisions in-kernel;
+    # "hi_lo" splits each mid into a bf16 (hi, lo) pair and runs TWO
+    # single-bf16 passes (mid reconstruction exact to ~2^-16; the tent
+    # weights run single-bf16, whose error largely cancels in the
+    # swv/sw ratio) — ~display-quantum fidelity at a third of HIGHEST's
+    # six passes (PERFORMANCE.md inefficiency #2)
+    hi_lo = dot_precision == "hi_lo"
+    prec = (None if dot_precision in ("default", "hi_lo")
             else jax.lax.Precision.HIGHEST)
 
     def mxu_dot(a, b):
+        if hi_lo:
+            a16 = a.astype(jnp.bfloat16)
+            return (
+                jnp.dot(a16, b[0], preferred_element_type=jnp.float32)
+                + jnp.dot(a16, b[1], preferred_element_type=jnp.float32)
+            )
         return jnp.dot(a.astype(b.dtype), b,
                        preferred_element_type=jnp.float32,
                        precision=prec)
@@ -88,11 +100,12 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
         # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba],
         # cum_ref = (C, M+1, 8) prefix sums [sd, sd*pos]
+        per_lvl = (n_channels + 1) * (2 if hi_lo else 1)
         lvl_refs = []
         k = 0
         for li in range(n_levels):
-            lvl_refs.append(refs[k : k + n_channels + 1])
-            k += n_channels + 1
+            lvl_refs.append(refs[k : k + per_lvl])
+            k += per_lvl
         ypos_ref = refs[k]
         sec_ref = refs[k + 1]
         if has_stop:
@@ -123,6 +136,12 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         slab_ids = jax.lax.broadcasted_iota(jnp.int32, ypos_all.shape, 1)
 
         def _mid_block(li, comp, s):
+            if hi_lo:
+                rh = lvl_refs[li][2 * comp]
+                rl = lvl_refs[li][2 * comp + 1]
+                if windowed[li]:
+                    return rh[0, s], rl[0, s]
+                return rh[s], rl[s]
             ref = lvl_refs[li][comp]
             return ref[0, s] if windowed[li] else ref[s]
 
@@ -353,6 +372,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     """
     n_levels = len(mids)
     n_channels = len(luts)
+    hi_lo = dot_precision == "hi_lo"
     s_ = y_pos.shape[0]
     n = luts[0].shape[0]
     if knots is not None:
@@ -437,14 +457,27 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             ky = ny
         ky_list.append(ky)
         windowed.append(win)
+
+        def emit(a, spec, win_fn=None):
+            # hi_lo: split each mid into a bf16 (hi, lo) pair (exact
+            # reconstruction to ~2^-16) feeding the two-pass kernel dot
+            if hi_lo:
+                ahi = a.astype(jnp.bfloat16)
+                alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
+                for part in (ahi, alo):
+                    lvl_inputs.append(
+                        part if win_fn is None else win_fn(part))
+                    lvl_specs.append(spec)
+            else:
+                lvl_inputs.append(a if win_fn is None else win_fn(a))
+                lvl_specs.append(spec)
+
         if not win:
             spec = pl.BlockSpec((s_, ny, tc), lambda j, i: (0, 0, j),
                                 memory_space=pltpu.VMEM)
             for ch in range(n_channels):
-                lvl_inputs.append(mid_vs_l[li][ch])
-                lvl_specs.append(spec)
-            lvl_inputs.append(mid_m_l[li])
-            lvl_specs.append(spec)
+                emit(mid_vs_l[li][ch], spec)
+            emit(mid_m_l[li], spec)
             continue
         # window start per row tile: the lowest lattice row any of the
         # chunk's slabs can touch from this tile (tent reach -1)
@@ -465,10 +498,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             ])
 
         for ch in range(n_channels):
-            lvl_inputs.append(window(mid_vs_l[li][ch]))
-            lvl_specs.append(spec)
-        lvl_inputs.append(window(mid_m_l[li]))
-        lvl_specs.append(spec)
+            emit(mid_vs_l[li][ch], spec, win_fn=window)
+        emit(mid_m_l[li], spec, win_fn=window)
 
     # lateral space skipping: per-(slab, row-tile, col-tile) activity from
     # mask support.  A slab's cells can only reach a tile whose y range

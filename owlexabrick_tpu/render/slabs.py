@@ -647,6 +647,9 @@ class SlabConfig:
     tile_cols: int = 0
     # MXU pass precision for the interpolation contractions:
     # "high" (bf16x3, ~f32 accurate) default; "highest" (full f32);
+    # "hi_lo" (kernel dots as two single-bf16 passes over a bf16
+    # (hi, lo) mid split — ~display-quantum fidelity at a third of
+    # HIGHEST's passes; mid einsums keep bf16x3);
     # bf16_interp=True overrides to "default" (single bf16 pass)
     dot_precision: str = "high"
     # iso shading: analytic basis gradients (gradientShadingISO,
@@ -1121,6 +1124,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         "high": jax.lax.Precision.HIGH,
                         "highest": jax.lax.Precision.HIGHEST,
                         "default": None,
+                        # hi_lo applies to the kernel dots; the mid
+                        # einsums keep bf16x3 (~f32) accuracy
+                        "hi_lo": jax.lax.Precision.HIGH,
                     }[cfg.dot_precision])
 
                     # column-tiled x-resample: the x tent matrix has

@@ -706,3 +706,32 @@ def test_x_window_hints_exact():
                          ky_hints=ky, kx_hints=kx))
         assert a[:, 3].max() > 0.5
         np.testing.assert_array_equal(a, b)
+
+
+def test_hi_lo_dot_precision_display_exact():
+    """dot_precision="hi_lo" (two single-bf16 kernel passes over a bf16
+    hi/lo mid split) must stay far inside one display quantum of the
+    HIGHEST reference on single- and multi-channel scenes."""
+    import dataclasses
+
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    ex3 = "0 0 0 4 4 4 1 0 1 2 3 4 5 6 7\n8 0 0 4 4 4 0 1\n"
+    lower, level, scal = parse_grids_text(ex3)
+    scene, bricks, *_ = scene_from_cells(lower, level, [scal, scal * 2.0])
+    grids = build_level_grids(bricks, scene.scalars, axis=2)
+    w = h = 64
+    cam = Camera.look_at([4, 4, 30], [4, 4, 4], [0, 1, 0], 30.0, w, h)
+    fs = make_frame_state(cam, 2, [[0.0, 7.0], [0.0, 14.0]], dt=0.2,
+                          opacity_scale=0.5)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    base = SlabConfig(num_channels=2, nslabs=int(np.ceil(extent / 0.2)),
+                      chunk=12, extent_z=extent)
+    ref = np.asarray(render_slabs_camera(
+        grids, fs, dataclasses.replace(base, dot_precision="highest"),
+        cam, w, h))
+    got = np.asarray(render_slabs_camera(
+        grids, fs, dataclasses.replace(base, dot_precision="hi_lo"),
+        cam, w, h))
+    assert ref[:, 3].max() > 0.5
+    assert np.abs(got - ref).max() < 1.0 / 255.0
