@@ -24,6 +24,7 @@ from owlexabrick_tpu.render.slabs import (
     permute_camera,
     principal_axis,
     render_slabs,
+    render_slabs_camera,
     xf_texel_coord,
 )
 from owlexabrick_tpu.render.xf import lookup_xf
