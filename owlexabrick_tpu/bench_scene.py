@@ -114,7 +114,6 @@ def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
     import pickle
     import time
 
-    from .pipeline import scene_from_cells
     from .render.slabs import build_level_grids
 
     os.makedirs(cache_dir, exist_ok=True)
@@ -130,26 +129,37 @@ def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
     t0 = time.time()
     lower, level, scal = exajet_pattern_cells(n, wings=wings)
     t_gen = time.time() - t0
+    n_cells = int(lower.shape[0])
     if verbose:
-        print(f"# scale scene: {lower.shape[0]/1e6:.1f}M cells "
+        print(f"# scale scene: {n_cells/1e6:.1f}M cells "
               f"generated in {t_gen:.0f}s", flush=True)
+    # bricks only — the slab fast path consumes dense level grids, not
+    # the wavefront path's region BSP (25M regions at this scale; its
+    # native build is exercised at smaller sizes by tests/benchmarks)
     t0 = time.time()
-    scene, bricks, cell_ids, regions, tree = scene_from_cells(
-        lower, level, [scal]
-    )
+    try:
+        from .native import available, native_build_bricks_flat
+
+        assert available()
+        bricks, cell_ids = native_build_bricks_flat(lower, level)
+    except Exception:
+        from .builder.bricker import build_bricks
+        from .pipeline import bricks_from_build
+
+        bricks, cell_ids = bricks_from_build(build_bricks(lower, level))
     t_build = time.time() - t0
     if verbose:
-        print(f"# scale scene: {bricks.num_bricks} bricks / "
-              f"{regions.num_regions} regions built in {t_build:.0f}s",
-              flush=True)
-    scalars = np.asarray(scene.scalars, np.float32)
+        print(f"# scale scene: {bricks.num_bricks} bricks built in "
+              f"{t_build:.0f}s", flush=True)
+    del lower, level
+    scalars = scal[np.asarray(cell_ids, np.int64)][None].astype(np.float32)
+    del cell_ids
     t0 = time.time()
     grids = build_level_grids(bricks, scalars, axis=2, device=False)
     t_grids = time.time() - t0
     meta = dict(
-        n_cells=int(lower.shape[0]),
+        n_cells=n_cells,
         n_bricks=int(bricks.num_bricks),
-        n_regions=int(regions.num_regions),
         finest_lattice=n,
         gen_s=round(t_gen, 1),
         build_s=round(t_build, 1),

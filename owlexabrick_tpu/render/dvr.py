@@ -81,6 +81,11 @@ class RenderConfig:
     # on there).  Default ON since the round-3 fidelity survey
     # (benchmarks/stride_survey.py)
     adaptive_stride: bool = True
+    # wavefront frames: compact the ray queue to half size whenever at
+    # least half the rays finished (bit-identical output; the lockstep
+    # tail runs on geometrically shrinking batches — see
+    # trace_dvr_packed_compacted)
+    wavefront_compaction: bool = True
 
 
 # ----------------------------------------------------------------------------

@@ -782,6 +782,51 @@ class Renderer:
             self._pack = pack
         return pack or None
 
+    def _render_packed_compacted(self, pack) -> np.ndarray:
+        """Wavefront frame through the binned/compacted integrator:
+        same math as render_step_packed (bit-identical rgba), but the
+        region-iteration tail runs on geometrically shrinking ray
+        queues (trace_dvr_packed_compacted)."""
+        from .dvr import ray_box
+        from .wavefront import trace_dvr_packed_compacted
+
+        w, h = self.width, self.height
+        p = w * h
+        fs = self.fs
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0x9E3779B9), fs.frame_id
+        )
+        jitter = jax.random.uniform(jax.random.fold_in(key, 1), (p, 2))
+        offset = jax.random.uniform(jax.random.fold_in(key, 2), (p,))
+        o, d = jax.jit(generate_rays, static_argnames=("width", "height"))(
+            fs, w, h, jitter
+        )
+        fsurf = jax.jit(trace_surface_pass, static_argnames=("cfg",))
+        t_hit, bg = fsurf(
+            self.scene, fs, self.surf, self.cfg, o, d,
+            jax.random.fold_in(key, 3),
+        )
+        chit, c0, c1 = ray_box(
+            o, d, fs.clip_lo, fs.clip_hi, jnp.zeros(p), t_hit
+        )
+        t_start = jnp.where(
+            fs.clip_enabled, jnp.where(chit, c0, jnp.inf), 0.0
+        )
+        t_end = jnp.where(fs.clip_enabled, jnp.where(chit, c1, 0.0), t_hit)
+        rgba = trace_dvr_packed_compacted(
+            pack, self.scene, fs, self.cfg, o, d, offset,
+            t_end_world=t_end, t_start_world=t_start,
+        )
+
+        @jax.jit
+        def finalize(rgba, bg, accum, frame_id):
+            color = composite_background(rgba, bg)
+            new_accum, shown = accumulate(color, accum, frame_id)
+            return new_accum, pack_rgba8(shown)
+
+        self.accum, rgba8_dev = finalize(rgba, bg, self.accum, fs.frame_id)
+        return np.asarray(rgba8_dev).reshape(h, w)
+
     # -- frame ----------------------------------------------------------
     def render(self) -> np.ndarray:
         """Render one progressive frame; returns (H, W) uint32 RGBA8."""
@@ -789,6 +834,12 @@ class Renderer:
             rgba8 = self._render_fast()
         else:
             pack = self._wavefront_pack()
+            if pack is not None and self.cfg.wavefront_compaction:
+                rgba8 = self._render_packed_compacted(pack)
+                self.fs = dataclasses.replace(
+                    self.fs, frame_id=self.fs.frame_id + 1
+                )
+                return rgba8
             if pack is not None:
                 self.accum, rgba8_dev, _ = render_step_packed(
                     pack, self.scene, self.fs, self.surf, self.accum,

@@ -128,3 +128,32 @@ def test_trace_dvr_packed_matches_trace_dvr(text, frm):
         pack, dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), offset
     ))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_compacted_matches_packed_bitwise():
+    """The binned/compacted orchestrator runs the same per-ray op
+    sequence as the one-shot packed integrator; outputs agree to float
+    reassociation noise (XLA codegen varies with the static batch
+    size), far below display precision."""
+    from owlexabrick_tpu.render.wavefront import trace_dvr_packed_compacted
+
+    scene, dscene, pack = _setup(EX3)
+    size = 24
+    cam = Camera.look_at([14.0, 11.0, 17.0], [4.0, 2.0, 2.0], [0, 1, 0],
+                         45.0, size, size)
+    fs = jax.tree.map(
+        jnp.asarray,
+        make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.3, opacity_scale=0.6),
+    )
+    cfg = RenderConfig(num_channels=1)
+    o, d = cam.rays(size, size)
+    offset = jnp.full(size * size, 0.5, jnp.float32)
+    a = np.asarray(jax.jit(
+        trace_dvr_packed, static_argnames="cfg"
+    )(pack, dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), offset))
+    b = np.asarray(trace_dvr_packed_compacted(
+        pack, dscene, fs, cfg, jnp.asarray(o), jnp.asarray(d), offset,
+        round_iters=2, min_size=16,
+    ))
+    assert a[:, 3].max() > 0.3
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
