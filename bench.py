@@ -1,14 +1,28 @@
 #!/usr/bin/env python
-"""Headline benchmark: 1080p DVR of a synthetic multi-level AMR volume,
-50-frame average (the reference viewer's protocol, exa/viewer.cpp:297-339).
+"""Headline benchmark: 1080p DVR, 50-frame sustained averages over the
+reference viewer's protocol (exa/viewer.cpp:297-339), reported as
+median + IQR over interleaved repetitions (the shared dev chip swings
++-15-20% between sessions; dispersion makes rounds comparable).
 
-Uses the TPU-native slab-sweep fast path (owlexabrick_tpu/render/slabs.py):
-dense per-level grids, separable MXU interpolation, fused Pallas
-classification — zero per-pixel gathers.
+Rows (all in the single JSON line's "rows" field):
+  headline   64^3 blobs, 1080p (the round-1/2 metric, medianized)
+  blobs256   256^3 blobs
+  exajet256  256^3 exajet-pattern (thin-sheet AMR population)
+  scale1024  1024^3-finest-lattice two-wing exajet-class scene
+             (>=5e7 cells) rendered resident + banded-streaming proof
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-North star (BASELINE.md): >= 30 FPS at 1080p DVR on a v5p slice; this
-runs on however many chips are visible (pixel-sharded when >1).
+Uses the TPU-native slab-sweep fast path (owlexabrick_tpu/render/
+slabs.py): dense per-level grids, separable MXU interpolation, fused
+Pallas classification — zero per-pixel gathers.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"rows", ...}.  North star (BASELINE.md): >= 30 FPS at 1080p DVR on a
+v5p slice; this runs on one chip.
+
+Env knobs: BENCH_ROWS=headline,blobs256,... (default all),
+BENCH_WIDTH/HEIGHT/FRAMES/REPS, BENCH_VOLUME/BENCH_SCENE/BENCH_NSLABS
+(legacy: override the headline scene; restricts rows to headline),
+BENCH_STRIDE=0 (disable adaptive stride), BENCH_SCALE_N (default 1024).
 """
 
 import json
@@ -19,60 +33,58 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _sustained(render_fn, frames: int, reps: int):
+    """Median/IQR FPS over ``reps`` sustained batches of ``frames``."""
     import jax.numpy as jnp
 
+    def once():
+        t0 = time.time()
+        outs = [render_fn() for _ in range(frames)]
+        np.asarray(jnp.stack([o[:1, 0] for o in outs]).sum())
+        return frames / (time.time() - t0)
+
+    once()  # warm pipelined batch
+    vals = [once() for _ in range(reps)]
+    q1, med, q3 = np.percentile(vals, [25, 50, 75])
+    return float(med), float(q3 - q1), [round(v, 2) for v in vals]
+
+
+def _scene_grids(kind: str, n: int):
     from owlexabrick_tpu.bench_scene import (
         exajet_pattern_volume,
         synthetic_volume,
     )
     from owlexabrick_tpu.pipeline import scene_from_cells
-    from owlexabrick_tpu.render.camera import Camera
-    from owlexabrick_tpu.render.frame import make_frame_state
-    from owlexabrick_tpu.render.slabs import (
-        SlabConfig,
-        build_level_grids,
-        render_slabs_camera,
-    )
+    from owlexabrick_tpu.render.slabs import build_level_grids
     from owlexabrick_tpu.tools.raw2cells import volume_to_cells
 
-    width = int(os.environ.get("BENCH_WIDTH", 1920))
-    height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    frames = int(os.environ.get("BENCH_FRAMES", 50))
-    n = int(os.environ.get("BENCH_VOLUME", 64))
-    nslabs = int(os.environ.get("BENCH_NSLABS", 0)) or None
-    # BENCH_SCENE=exajet: thin-sheet fine-level pattern at scale
-    # (the exajet-class level-population shape, VERDICT round-1 item 5)
-    scene_kind = os.environ.get("BENCH_SCENE", "blobs")
-
     t0 = time.time()
-    vol = (exajet_pattern_volume(n) if scene_kind == "exajet"
+    vol = (exajet_pattern_volume(n) if kind == "exajet"
            else synthetic_volume(n))
     lower, level, scal = volume_to_cells(vol, 0.004, 3)
     scene, bricks, *_ = scene_from_cells(lower, level, [scal])
     grids = build_level_grids(bricks, scene.scalars, axis=2)
-    build_s = time.time() - t0
-    print(
-        f"# scene: {lower.shape[0]} cells, {bricks.num_bricks} bricks, "
-        f"levels {grids.levels} ({build_s:.1f}s build)",
-        file=sys.stderr,
+    meta = dict(
+        n_cells=int(lower.shape[0]),
+        n_bricks=int(bricks.num_bricks),
+        build_s=round(time.time() - t0, 1),
+        value_max=float(scal.max()),
     )
+    return grids, meta
+
+
+def _cam_fs_cfg(grids, n, width, height, value_max, stride, nslabs=None):
+    from owlexabrick_tpu.render.camera import Camera
+    from owlexabrick_tpu.render.frame import make_frame_state
+    from owlexabrick_tpu.render.slabs import SlabConfig
 
     cam = Camera.look_at(
-        from_=[n / 2, n / 2, n * 2.2],
-        at=[n / 2, n / 2, n / 2],
-        up=[0, 1, 0],
-        fovy_degrees=45.0,
-        width=width,
-        height=height,
+        from_=[n / 2, n / 2, n * 2.2], at=[n / 2, n / 2, n / 2],
+        up=[0, 1, 0], fovy_degrees=45.0, width=width, height=height,
     )
     fs = make_frame_state(
-        cam, 1, [[0.0, float(scal.max())]], dt=1.0, opacity_scale=0.7
+        cam, 1, [[0.0, value_max]], dt=1.0, opacity_scale=0.7
     )
-    # keep fs host-resident: render_slabs_camera compresses the transfer
-    # function to its PWL breakpoints on the host (exact, ~10x fewer
-    # classification knots); jit transfers the small arrays per call
     # slab spacing = dt * finest cell width, like integrateBrick's
     # dt = global_dt * finestLevelCellWidth (exabrick.cu:1129)
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
@@ -81,93 +93,241 @@ def main():
         nslabs=nslabs or int(np.ceil(extent / 1.0)),
         chunk=12,
         extent_z=extent,
-        # coarse-only tiles take wider z steps (the reference's
-        # per-region dt = global_dt * finestLevelCellWidth, in slab form)
-        adaptive_stride=os.environ.get("BENCH_STRIDE", "1") != "0",
+        adaptive_stride=stride,
     )
+    return cam, fs, cfg
 
-    # warm-up / compile
-    t0 = time.time()
-    r = render_slabs_camera(grids, fs, cfg, cam, width, height)
-    np.asarray(r[:4])
-    print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # sustained throughput: dispatch the frame batch, sync once (display
-    # pipelining; the per-frame host sync would only measure the dev
-    # tunnel's ~25 ms RTT).  One warm pipelined batch first.
-    for _ in range(2):
-        t0 = time.time()
-        outs = [
-            render_slabs_camera(grids, fs, cfg, cam, width, height)
-            for _ in range(frames)
-        ]
-        np.asarray(jnp.stack([o[:1, 0] for o in outs]).sum())
-        dt_total = time.time() - t0
+def _hbm_peak_mb():
+    import jax
 
-    fps = frames / dt_total
-    mray_s = frames * width * height / dt_total / 1e6
-
-    # blocking single-frame latency: dispatch one frame, read it back
-    # (includes the dev tunnel's ~25-30 ms RTT)
-    t0 = time.time()
-    np.asarray(render_slabs_camera(grids, fs, cfg, cam, width, height)[:4])
-    latency_ms = (time.time() - t0) * 1e3
-
-    # pipelined interactive latency: double-buffered dispatch (depth 2,
-    # like the reference viewer's display loop).  The device-to-host copy
-    # is started asynchronously right after each dispatch so the ~25-30 ms
-    # tunnel RTT overlaps the next frame's compute; steady-state per-frame
-    # arrival interval is what an interactive user sees (one frame of lag)
-    def dispatch():
-        fr = render_slabs_camera(grids, fs, cfg, cam, width, height)
-        marker = fr[:4]
-        try:
-            marker.copy_to_host_async()
-        except AttributeError:  # pragma: no cover
-            pass
-        return marker
-
-    inflight = [dispatch() for _ in range(2)]
-    arrivals = []
-    for _ in range(min(frames, 16)):
-        nxt = dispatch()
-        np.asarray(inflight[0])
-        arrivals.append(time.time())
-        inflight = [inflight[1], nxt]
-    for m in inflight:
-        np.asarray(m)
-    iv = np.diff(np.asarray(arrivals)) * 1e3
-    pipelined_ms = float(np.median(iv)) if iv.size else latency_ms
-
-    print(
-        f"# {fps:.2f} FPS ({1000/fps:.1f} ms/frame) sustained, "
-        f"{mray_s:.1f} Mray/s at {width}x{height}, {cfg.nslabs} slabs; "
-        f"latency incl. host readback: blocking {latency_ms:.0f} ms, "
-        f"double-buffered {pipelined_ms:.0f} ms/frame, "
-        f"platform {jax.devices()[0].platform}",
-        file=sys.stderr,
-    )
-
-    # dump the final frame (bench_screenshot, viewer.cpp:297-339)
     try:
-        from owlexabrick_tpu.render.dvr import linear_to_srgb
-        from owlexabrick_tpu.utils.png import write_png
+        stats = jax.local_devices()[0].memory_stats()
+        return round(stats.get("peak_bytes_in_use", 0) / 1e6)
+    except Exception:
+        return None
 
-        rgba = np.asarray(r).reshape(height, width, 4)
-        srgb = np.asarray(linear_to_srgb(jnp.asarray(rgba[..., :3])))
-        img = np.clip(srgb * 255, 0, 255).astype(np.uint8)[::-1]
-        write_png("bench_screenshot.png", img)
-    except Exception as e:  # pragma: no cover
-        print(f"# screenshot failed: {e}", file=sys.stderr)
 
-    metric = ("dvr_fps_1080p_synthetic64" if scene_kind == "blobs"
-              else f"dvr_fps_1080p_exajet_pattern{n}")
-    print(json.dumps({
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    frames = int(os.environ.get("BENCH_FRAMES", 50))
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    stride = os.environ.get("BENCH_STRIDE", "1") != "0"
+    nslabs_env = int(os.environ.get("BENCH_NSLABS", 0)) or None
+
+    legacy_n = os.environ.get("BENCH_VOLUME")
+    legacy_scene = os.environ.get("BENCH_SCENE")
+    if legacy_n or legacy_scene:
+        rows_wanted = ["headline"]
+    else:
+        rows_wanted = os.environ.get(
+            "BENCH_ROWS", "headline,blobs256,exajet256,scale1024"
+        ).split(",")
+
+    rows = []
+    headline = None
+    screenshot_frame = None
+
+    # ---- small/medium rows -------------------------------------------
+    specs = {
+        "headline": (legacy_scene or "blobs", int(legacy_n or 64)),
+        "blobs256": ("blobs", 256),
+        "exajet256": ("exajet", 256),
+    }
+    for name in rows_wanted:
+        if name not in specs:
+            continue
+        kind, n = specs[name]
+        try:
+            grids, meta = _scene_grids(kind, n)
+            cam, fs, cfg = _cam_fs_cfg(
+                grids, n, width, height, meta["value_max"], stride,
+                nslabs=(nslabs_env if name == "headline" else None),
+            )
+            t0 = time.time()
+            r = render_slabs_camera(grids, fs, cfg, cam, width, height)
+            np.asarray(r[:4])
+            compile_s = time.time() - t0
+            med, iqr, vals = _sustained(
+                lambda: render_slabs_camera(
+                    grids, fs, cfg, cam, width, height),
+                frames, reps,
+            )
+            row = dict(
+                name=name, scene=f"{kind}{n}", fps=round(med, 2),
+                fps_iqr=round(iqr, 2), reps=vals,
+                mray_s=round(med * width * height / 1e6, 1),
+                nslabs=cfg.nslabs, compile_s=round(compile_s, 1), **meta,
+            )
+            print(f"# {name}: {med:.2f} FPS (IQR {iqr:.2f}, "
+                  f"reps {vals}), {row['mray_s']} Mray/s, "
+                  f"{meta['n_cells']} cells, build {meta['build_s']}s",
+                  file=sys.stderr, flush=True)
+            if name == "headline":
+                headline = row
+                screenshot_frame = r
+
+                # latency: blocking single frame incl. readback, then
+                # the double-buffered interactive interval
+                t0 = time.time()
+                np.asarray(render_slabs_camera(
+                    grids, fs, cfg, cam, width, height)[:4])
+                row["latency_blocking_ms"] = round(
+                    (time.time() - t0) * 1e3)
+
+                def dispatch():
+                    fr = render_slabs_camera(
+                        grids, fs, cfg, cam, width, height)
+                    marker = fr[:4]
+                    try:
+                        marker.copy_to_host_async()
+                    except AttributeError:  # pragma: no cover
+                        pass
+                    return marker
+
+                inflight = [dispatch() for _ in range(2)]
+                arrivals = []
+                for _ in range(16):
+                    nxt = dispatch()
+                    np.asarray(inflight[0])
+                    arrivals.append(time.time())
+                    inflight = [inflight[1], nxt]
+                for m in inflight:
+                    np.asarray(m)
+                iv = np.diff(np.asarray(arrivals)) * 1e3
+                row["latency_pipelined_ms"] = round(
+                    float(np.median(iv))) if iv.size else None
+                print(f"# headline latency: blocking "
+                      f"{row['latency_blocking_ms']} ms, double-buffered "
+                      f"{row['latency_pipelined_ms']} ms/frame",
+                      file=sys.stderr, flush=True)
+            rows.append(row)
+        except Exception as e:  # pragma: no cover
+            print(f"# row {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            rows.append(dict(name=name, error=str(e)[:200]))
+
+    # ---- reference-scale row -----------------------------------------
+    if "scale1024" in rows_wanted:
+        try:
+            from owlexabrick_tpu.bench_scene import (
+                load_or_build_scale_scene,
+            )
+            from owlexabrick_tpu.render.slabs import render_slabs_banded
+
+            n = int(os.environ.get("BENCH_SCALE_N", 1024))
+            bricks, scalars, grids_host, meta = load_or_build_scale_scene(
+                n, 2)
+            print(f"# scale1024: {meta['n_cells']/1e6:.1f}M cells, "
+                  f"{meta['n_bricks']} bricks, grids "
+                  f"{meta['grid_bytes']/1e9:.2f} GB "
+                  f"({meta.get('cache_load_s', 'cold build')}s load)",
+                  file=sys.stderr, flush=True)
+            t0 = time.time()
+            grids = jax.tree.map(jnp.asarray, grids_host)
+            np.asarray(grids.zranges[:1])
+            upload_s = time.time() - t0
+            cam, fs, cfg = _cam_fs_cfg(
+                grids, n, width, height, meta["value_max"], stride)
+            t0 = time.time()
+            r = render_slabs_camera(grids, fs, cfg, cam, width, height)
+            np.asarray(r[:4])
+            compile_s = time.time() - t0
+            sframes = min(frames, 10)
+            med, iqr, vals = _sustained(
+                lambda: render_slabs_camera(
+                    grids, fs, cfg, cam, width, height),
+                sframes, max(2, reps - 2),
+            )
+            row = dict(
+                name="scale1024", scene=f"exajet2w{n}",
+                fps=round(med, 2), fps_iqr=round(iqr, 2), reps=vals,
+                mray_s=round(med * width * height / 1e6, 1),
+                nslabs=cfg.nslabs, compile_s=round(compile_s, 1),
+                upload_s=round(upload_s, 1),
+                hbm_peak_mb=_hbm_peak_mb(), **meta,
+            )
+            print(f"# scale1024 resident: {med:.2f} FPS (IQR {iqr:.2f}, "
+                  f"reps {vals}), {row['nslabs']} slabs, peak HBM "
+                  f"{row['hbm_peak_mb']} MB, upload {upload_s:.1f}s",
+                  file=sys.stderr, flush=True)
+
+            # banded-streaming proof: the same frame via out-of-core
+            # z-bands (peak band grids << full grids); first frame pays
+            # the one-time band scatter, the second only upload + render
+            if os.environ.get("BENCH_SCALE_BANDED", "1") != "0":
+                mem = {}
+                t0 = time.time()
+                render_slabs_banded(
+                    bricks, scalars, fs, cfg, cam, width, height,
+                    n_bands=4, mem_stats=mem,
+                )
+                first_s = time.time() - t0
+                t0 = time.time()
+                render_slabs_banded(
+                    bricks, scalars, fs, cfg, cam, width, height,
+                    n_bands=4, mem_stats=mem,
+                )
+                steady_s = time.time() - t0
+                row.update(
+                    banded_first_s=round(first_s, 1),
+                    banded_steady_s=round(steady_s, 1),
+                    banded_peak_band_mb=round(
+                        mem.get("peak_band_bytes", 0) / 1e6),
+                    full_grid_mb=round(meta["grid_bytes"] / 1e6),
+                )
+                print(f"# scale1024 banded: first {first_s:.1f}s "
+                      f"(scatter+upload+render), steady {steady_s:.1f}s; "
+                      f"peak band {row['banded_peak_band_mb']} MB vs "
+                      f"full {row['full_grid_mb']} MB",
+                      file=sys.stderr, flush=True)
+            rows.append(row)
+        except Exception as e:  # pragma: no cover
+            import traceback
+
+            traceback.print_exc()
+            print(f"# row scale1024 failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            rows.append(dict(name="scale1024", error=str(e)[:200]))
+
+    # ---- screenshot (bench_screenshot, viewer.cpp:297-339) ------------
+    if screenshot_frame is not None:
+        try:
+            from owlexabrick_tpu.render.dvr import linear_to_srgb
+            from owlexabrick_tpu.utils.png import write_png
+
+            rgba = np.asarray(screenshot_frame).reshape(height, width, 4)
+            srgb = np.asarray(linear_to_srgb(jnp.asarray(rgba[..., :3])))
+            img = np.clip(srgb * 255, 0, 255).astype(np.uint8)[::-1]
+            write_png("bench_screenshot.png", img)
+        except Exception as e:  # pragma: no cover
+            print(f"# screenshot failed: {e}", file=sys.stderr)
+
+    head = headline or (rows[0] if rows else {})
+    fps = head.get("fps", 0.0)
+    metric = "dvr_fps_1080p_synthetic64"
+    if legacy_n or legacy_scene:
+        kind, n = specs["headline"]
+        if (kind, n) != ("blobs", 64):
+            metric = f"dvr_fps_1080p_{kind}{n}"
+    out = {
         "metric": metric,
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+        "rows": rows,
+    }
+    try:
+        out["platform"] = jax.devices()[0].platform
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -126,9 +126,20 @@ def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
         meta = dict(meta, cache_load_s=round(time.time() - t0, 1))
         return bricks, scalars, grids, meta
 
-    t0 = time.time()
-    lower, level, scal = exajet_pattern_cells(n, wings=wings)
-    t_gen = time.time() - t0
+    from .core.types import Bricks
+
+    # staged cache: cells and bricks are each ~10 min on this 1-vCPU
+    # host; keep them if a later stage is interrupted
+    cpath = os.path.join(cache_dir, tag + "_cells.npz")
+    if os.path.exists(cpath):
+        z = np.load(cpath)
+        lower, level, scal = z["lower"], z["level"], z["scal"]
+        t_gen = float(z["t_gen"])
+    else:
+        t0 = time.time()
+        lower, level, scal = exajet_pattern_cells(n, wings=wings)
+        t_gen = time.time() - t0
+        np.savez(cpath, lower=lower, level=level, scal=scal, t_gen=t_gen)
     n_cells = int(lower.shape[0])
     if verbose:
         print(f"# scale scene: {n_cells/1e6:.1f}M cells "
@@ -136,18 +147,30 @@ def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
     # bricks only — the slab fast path consumes dense level grids, not
     # the wavefront path's region BSP (25M regions at this scale; its
     # native build is exercised at smaller sizes by tests/benchmarks)
-    t0 = time.time()
-    try:
-        from .native import available, native_build_bricks_flat
+    bpath = os.path.join(cache_dir, tag + "_bricks.npz")
+    if os.path.exists(bpath):
+        z = np.load(bpath)
+        bricks = Bricks(lower=z["b_lower"], size=z["b_size"],
+                        level=z["b_level"], begin=z["b_begin"])
+        cell_ids = z["cell_ids"]
+        t_build = float(z["t_build"])
+    else:
+        t0 = time.time()
+        try:
+            from .native import available, native_build_bricks_flat
 
-        assert available()
-        bricks, cell_ids = native_build_bricks_flat(lower, level)
-    except Exception:
-        from .builder.bricker import build_bricks
-        from .pipeline import bricks_from_build
+            assert available()
+            bricks, cell_ids = native_build_bricks_flat(lower, level)
+        except Exception:
+            from .builder.bricker import build_bricks
+            from .pipeline import bricks_from_build
 
-        bricks, cell_ids = bricks_from_build(build_bricks(lower, level))
-    t_build = time.time() - t0
+            bricks, cell_ids = bricks_from_build(
+                build_bricks(lower, level))
+        t_build = time.time() - t0
+        np.savez(bpath, b_lower=bricks.lower, b_size=bricks.size,
+                 b_level=bricks.level, b_begin=bricks.begin,
+                 cell_ids=cell_ids, t_build=t_build)
     if verbose:
         print(f"# scale scene: {bricks.num_bricks} bricks built in "
               f"{t_build:.0f}s", flush=True)
