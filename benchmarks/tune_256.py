@@ -3,7 +3,9 @@
 
 Builds the bench scene once, then times SlabConfig variants interleaved
 (contention-robust best-of) with the sustained-throughput protocol.
-Usage: python benchmarks/tune_256.py [volume] [frames] [rounds]
+Usage: python benchmarks/tune_256.py [volume] [frames] [rounds] \
+           [variant,variant,...] [scene]
+scene: blobs (default) | exajet
 """
 
 import dataclasses
@@ -20,7 +22,10 @@ def main():
     import jax
     import jax.numpy as jnp  # noqa: F401
 
-    from owlexabrick_tpu.bench_scene import synthetic_volume
+    from owlexabrick_tpu.bench_scene import (
+        exajet_pattern_volume,
+        synthetic_volume,
+    )
     from owlexabrick_tpu.pipeline import scene_from_cells
     from owlexabrick_tpu.render.camera import Camera
     from owlexabrick_tpu.render.frame import make_frame_state
@@ -34,10 +39,12 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    scene_kind = sys.argv[5] if len(sys.argv) > 5 else "blobs"
     width, height = 1920, 1080
 
     t0 = time.time()
-    vol = synthetic_volume(n)
+    vol = (exajet_pattern_volume(n) if scene_kind == "exajet"
+           else synthetic_volume(n))
     lower, level, scal = volume_to_cells(vol, 0.004, 3)
     scene, bricks, *_ = scene_from_cells(lower, level, [scal])
     grids = build_level_grids(bricks, scene.scalars, axis=2)
@@ -67,6 +74,11 @@ def main():
             base, adaptive_stride=True, bf16_interp=True),
         "stride_chunk7": dataclasses.replace(
             base, adaptive_stride=True, chunk=7),
+        "stride_nocarry": dataclasses.replace(
+            base, adaptive_stride=True, carry_termination=False),
+        "stride_hi_lo_nocarry": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            carry_termination=False),
     }
     if len(sys.argv) > 4:
         keep = sys.argv[4].split(",")

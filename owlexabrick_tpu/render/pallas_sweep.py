@@ -62,7 +62,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  windowed: Tuple[bool, ...], n_channels: int,
                  n_texels: int = 0, has_stop: bool = False,
                  dot_precision: str = "highest",
-                 tau: Tuple[bool, ...] = ()):
+                 tau: Tuple[bool, ...] = (), has_pt: bool = False):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -108,12 +108,20 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             k += per_lvl
         ypos_ref = refs[k]
         sec_ref = refs[k + 1]
+        k += 2
+        pt_ref = None
+        if has_pt:
+            # previous chunks' per-pixel transmittance: the compositing
+            # carry runs *absolute* (premultiplied outputs), so tiles the
+            # earlier chunks saturated skip all slab work — the per-tile
+            # form of the reference's terminateRay (exabrick.cu:1694-97)
+            pt_ref = refs[k]
+            k += 1
         if has_stop:
-            t_slab_ref = refs[k + 2]
-            t_stop_ref = refs[k + 3]
-            r_ref, g_ref, b_ref, t_ref = refs[k + 4:]
-        else:
-            r_ref, g_ref, b_ref, t_ref = refs[k + 2:]
+            t_slab_ref = refs[k]
+            t_stop_ref = refs[k + 1]
+            k += 2
+        r_ref, g_ref, b_ref, t_ref = refs[k:]
         n = n_texels if compressed else lut_ref.shape[1]
         dz = params_ref[0]
         n_rows = params_ref[1].astype(jnp.int32)
@@ -325,16 +333,32 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 )
 
         z = jnp.zeros((tr, tc), jnp.float32)
-        init = (z, z, z, jnp.ones((tr, tc), jnp.float32))
+        if has_pt:
+            # absolute-transmittance carry (out-of-bounds lanes zeroed so
+            # they never keep a saturated tile alive)
+            pt0 = jnp.where(inb, pt_ref[:], 0.0)
+        else:
+            pt0 = jnp.ones((tr, tc), jnp.float32)
+        init = (z, z, z, pt0)
         # one branch per tile: fully-active tiles take the pipelined
         # dense loop; partially-active tiles gate per slab
         all_act = act_all_ref[rt_id, ct_id] > 0.5
-        r, g, b, t = jax.lax.cond(
-            all_act,
-            lambda c: jax.lax.fori_loop(0, s_count, _slab_dense, c),
-            lambda c: jax.lax.fori_loop(0, s_count, _slab_gated, c),
-            init,
-        )
+
+        def _run_tile(c):
+            return jax.lax.cond(
+                all_act,
+                lambda c: jax.lax.fori_loop(0, s_count, _slab_dense, c),
+                lambda c: jax.lax.fori_loop(0, s_count, _slab_gated, c),
+                c,
+            )
+
+        if has_pt:
+            # tiles every earlier chunk saturated do nothing at all
+            r, g, b, t = jax.lax.cond(
+                jnp.max(pt0) > 0.005, _run_tile, lambda c: c, init
+            )
+        else:
+            r, g, b, t = _run_tile(init)
         r_ref[:] = r
         g_ref[:] = g
         b_ref[:] = b
@@ -359,6 +383,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 dot_precision: str = "highest",
                 adaptive_stride: bool = False,
                 ky_hints: Tuple[int, ...] | None = None,
+                prev_trans=None,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
@@ -369,6 +394,15 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     channel (2,).  ky_hints: static per-level y-window row counts
     (multiples of 8, from the host camera — see ky_hints_for_camera);
     None = full rows.  Returns (rgb (3,H,W), trans (H,W)).
+
+    prev_trans: optional (H, W) transmittance accumulated by earlier
+    chunks.  When given, the kernel carries *absolute* transmittance:
+    outputs are premultiplied (caller composites ``color += rgb;
+    alpha = 1 - trans``) and tiles/pixels the earlier chunks saturated
+    skip their slab work entirely — the per-tile form of the
+    reference's terminateRay (exabrick.cu:1694-97; identical up to the
+    <=0.005-transmittance tail, which the saturated-pixel collapse
+    absorbs).
     """
     n_levels = len(mids)
     n_channels = len(luts)
@@ -637,6 +671,11 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
 
     tile2 = pl.BlockSpec((tr, tc), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM)
+    pt_ins = []
+    pt_specs = []
+    if prev_trans is not None:
+        pt_ins = [jnp.asarray(prev_trans, jnp.float32)]
+        pt_specs = [tile2]
     stop_ins = []
     stop_specs = []
     if t_stop is not None:
@@ -650,7 +689,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                      n_texels=n if knots is not None else 0,
                      has_stop=t_stop is not None,
                      dot_precision=dot_precision,
-                     tau=tau_flags),
+                     tau=tau_flags, has_pt=prev_trans is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -666,6 +705,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             pl.BlockSpec((tr, s_), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             tile2,
+            *pt_specs,
             *([stop_specs[0], tile2] if stop_ins else []),
         ],
         out_specs=(tile2, tile2, tile2, tile2),
@@ -675,5 +715,6 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         ),
         interpret=interpret,
     )(params, lut_pack, d_pack, cum_pack, live.astype(jnp.float32), act_f,
-      act_all_f, orgy_eff, cws, *lvl_inputs, y_pos.T, sec, *stop_ins)
+      act_all_f, orgy_eff, cws, *lvl_inputs, y_pos.T, sec, *pt_ins,
+      *stop_ins)
     return jnp.stack([r, g, b]), t

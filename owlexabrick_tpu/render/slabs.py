@@ -661,6 +661,12 @@ class SlabConfig:
     # secondary channel used to colormap iso surfaces through the channel-0
     # LUT (LaunchParams colormapChannel, exabrick.cu:1079-1085)
     colormap_channel: int = 0
+    # carry the accumulated per-pixel transmittance INTO the megakernel
+    # (premultiplied outputs): tiles earlier chunks saturated skip all
+    # slab work — the per-tile form of the reference's terminateRay
+    # (exabrick.cu:1694-97; differs only by a <=0.005-transmittance tail
+    # the saturated-pixel collapse absorbs)
+    carry_termination: bool = True
     # adaptive z-stride: where a tile's finest contributing AMR level is
     # coarse, one slab stands in for a group of up to 8 with its step
     # weight scaled accordingly — the slab form of the reference's
@@ -1243,9 +1249,17 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     dot_precision=("default" if cfg.bf16_interp else cfg.dot_precision),
                     adaptive_stride=cfg.adaptive_stride,
                     ky_hints=ky_hints,
+                    prev_trans=((1.0 - alpha).reshape(h, w)
+                                if cfg.carry_termination else None),
                 )
-                color = color + (1.0 - alpha)[None] * chunk_rgb
-                alpha = 1.0 - (1.0 - alpha) * chunk_trans
+                if cfg.carry_termination:
+                    # absolute-transmittance carry: outputs arrive
+                    # premultiplied, trans is absolute
+                    color = color + chunk_rgb
+                    alpha = 1.0 - chunk_trans
+                else:
+                    color = color + (1.0 - alpha)[None] * chunk_rgb
+                    alpha = 1.0 - (1.0 - alpha) * chunk_trans
                 return color, alpha
 
             sw, swv, dsw, dswv = chunk_fields(z_s, live, occ_s)
