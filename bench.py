@@ -22,7 +22,10 @@ v5p slice; this runs on one chip.
 Env knobs: BENCH_ROWS=headline,blobs256,... (default all),
 BENCH_WIDTH/HEIGHT/FRAMES/REPS, BENCH_VOLUME/BENCH_SCENE/BENCH_NSLABS
 (legacy: override the headline scene; restricts rows to headline),
-BENCH_STRIDE=0 (disable adaptive stride), BENCH_SCALE_N (default 1024).
+BENCH_STRIDE=0 (disable adaptive stride), BENCH_SCALE_N (default 1024),
+BENCH_SCALE_BANDED=1|2 (out-of-core banded proof: first frame | +steady;
+default off — each banded frame re-uploads ~the full grids, ~20 min
+through the dev tunnel vs sub-second on production PCIe).
 """
 
 import json
@@ -50,26 +53,13 @@ def _sustained(render_fn, frames: int, reps: int):
 
 
 def _scene_grids(kind: str, n: int):
-    from owlexabrick_tpu.bench_scene import (
-        exajet_pattern_volume,
-        synthetic_volume,
-    )
-    from owlexabrick_tpu.pipeline import scene_from_cells
-    from owlexabrick_tpu.render.slabs import build_level_grids
-    from owlexabrick_tpu.tools.raw2cells import volume_to_cells
+    import jax
+    import jax.numpy as jnp
 
-    t0 = time.time()
-    vol = (exajet_pattern_volume(n) if kind == "exajet"
-           else synthetic_volume(n))
-    lower, level, scal = volume_to_cells(vol, 0.004, 3)
-    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
-    grids = build_level_grids(bricks, scene.scalars, axis=2)
-    meta = dict(
-        n_cells=int(lower.shape[0]),
-        n_bricks=int(bricks.num_bricks),
-        build_s=round(time.time() - t0, 1),
-        value_max=float(scal.max()),
-    )
+    from owlexabrick_tpu.bench_scene import slab_scene_grids
+
+    grids_host, meta = slab_scene_grids(kind, n)
+    grids = jax.tree.map(jnp.asarray, grids_host)
     return grids, meta
 
 
@@ -259,9 +249,16 @@ def main():
                   file=sys.stderr, flush=True)
 
             # banded-streaming proof: the same frame via out-of-core
-            # z-bands (peak band grids << full grids); first frame pays
-            # the one-time band scatter, the second only upload + render
-            if os.environ.get("BENCH_SCALE_BANDED", "1") != "0":
+            # z-bands (peak band grids << full grids).  Every frame
+            # re-uploads ~the full grid set band by band, which the dev
+            # tunnel serves at ~4 MB/s (~20 min) vs sub-second on
+            # production PCIe — so this is OFF by default for the
+            # driver; BENCH_SCALE_BANDED=1 runs the first frame
+            # (scatter+upload+render + peak-band memory proof), =2 adds
+            # a steady-state frame (upload+render only).  The round-3
+            # session evidence lives in SCALE_RUN_r03.md.
+            banded_lvl = os.environ.get("BENCH_SCALE_BANDED", "0")
+            if banded_lvl != "0":
                 mem = {}
                 t0 = time.time()
                 render_slabs_banded(
@@ -269,24 +266,27 @@ def main():
                     n_bands=4, mem_stats=mem,
                 )
                 first_s = time.time() - t0
-                t0 = time.time()
-                render_slabs_banded(
-                    bricks, scalars, fs, cfg, cam, width, height,
-                    n_bands=4, mem_stats=mem,
-                )
-                steady_s = time.time() - t0
                 row.update(
                     banded_first_s=round(first_s, 1),
-                    banded_steady_s=round(steady_s, 1),
                     banded_peak_band_mb=round(
                         mem.get("peak_band_bytes", 0) / 1e6),
                     full_grid_mb=round(meta["grid_bytes"] / 1e6),
                 )
                 print(f"# scale1024 banded: first {first_s:.1f}s "
-                      f"(scatter+upload+render), steady {steady_s:.1f}s; "
-                      f"peak band {row['banded_peak_band_mb']} MB vs "
-                      f"full {row['full_grid_mb']} MB",
+                      f"(scatter+upload+render); peak band "
+                      f"{row['banded_peak_band_mb']} MB vs full "
+                      f"{row['full_grid_mb']} MB",
                       file=sys.stderr, flush=True)
+                if banded_lvl == "2":
+                    t0 = time.time()
+                    render_slabs_banded(
+                        bricks, scalars, fs, cfg, cam, width, height,
+                        n_bands=4, mem_stats=mem,
+                    )
+                    steady_s = time.time() - t0
+                    row["banded_steady_s"] = round(steady_s, 1)
+                    print(f"# scale1024 banded steady: {steady_s:.1f}s "
+                          f"(upload+render)", file=sys.stderr, flush=True)
             rows.append(row)
         except Exception as e:  # pragma: no cover
             import traceback

@@ -22,19 +22,13 @@ def main():
     import jax
     import jax.numpy as jnp  # noqa: F401
 
-    from owlexabrick_tpu.bench_scene import (
-        exajet_pattern_volume,
-        synthetic_volume,
-    )
-    from owlexabrick_tpu.pipeline import scene_from_cells
+    from owlexabrick_tpu.bench_scene import slab_scene_grids
     from owlexabrick_tpu.render.camera import Camera
     from owlexabrick_tpu.render.frame import make_frame_state
     from owlexabrick_tpu.render.slabs import (
         SlabConfig,
-        build_level_grids,
         render_slabs_camera,
     )
-    from owlexabrick_tpu.tools.raw2cells import volume_to_cells
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -43,12 +37,10 @@ def main():
     width, height = 1920, 1080
 
     t0 = time.time()
-    vol = (exajet_pattern_volume(n) if scene_kind == "exajet"
-           else synthetic_volume(n))
-    lower, level, scal = volume_to_cells(vol, 0.004, 3)
-    scene, bricks, *_ = scene_from_cells(lower, level, [scal])
-    grids = build_level_grids(bricks, scene.scalars, axis=2)
-    print(f"# build {time.time()-t0:.0f}s, levels {grids.levels}",
+    grids_host, meta = slab_scene_grids(scene_kind, n)
+    grids = jax.tree.map(jnp.asarray, grids_host)
+    scal_max = meta["value_max"]
+    print(f"# build/load {time.time()-t0:.0f}s, levels {grids.levels}",
           file=sys.stderr)
 
     cam = Camera.look_at(
@@ -56,7 +48,7 @@ def main():
         up=[0, 1, 0], fovy_degrees=45.0, width=width, height=height,
     )
     fs = make_frame_state(
-        cam, 1, [[0.0, float(scal.max())]], dt=1.0, opacity_scale=0.7
+        cam, 1, [[0.0, float(scal_max)]], dt=1.0, opacity_scale=0.7
     )
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
     base = SlabConfig(
@@ -79,6 +71,8 @@ def main():
         "stride_hi_lo_nocarry": dataclasses.replace(
             base, adaptive_stride=True, dot_precision="hi_lo",
             carry_termination=False),
+        "stride_hi_lo_chunk8": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo", chunk=8),
     }
     if len(sys.argv) > 4:
         keep = sys.argv[4].split(",")

@@ -198,6 +198,56 @@ def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
     return bricks, scalars, grids, meta
 
 
+def slab_scene_grids(kind: str, n: int, cache_dir: str = ".bench_cache",
+                     threshold: float = 0.004, max_level: int = 3):
+    """Bricks + host-side level grids for the slab fast path only (no
+    region BSP — the sweep consumes dense level grids), disk-cached so
+    bench/tune iterations skip the multi-minute 256^3+ scene builds.
+
+    Returns (grids_host LevelGrids numpy, meta dict with n_cells /
+    n_bricks / build_s or cache_load_s / value_max)."""
+    import os
+    import pickle
+    import time
+
+    from .render.slabs import build_level_grids
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"slab_{kind}_{n}.pkl")
+    if os.path.exists(path):
+        t0 = time.time()
+        with open(path, "rb") as f:
+            grids, meta = pickle.load(f)
+        meta = dict(meta, cache_load_s=round(time.time() - t0, 1))
+        return grids, meta
+
+    t0 = time.time()
+    vol = (exajet_pattern_volume(n) if kind == "exajet"
+           else synthetic_volume(n))
+    lower, level, scal = volume_to_cells(vol, threshold, max_level)
+    try:
+        from .native import available, native_build_bricks_flat
+
+        assert available()
+        bricks, cell_ids = native_build_bricks_flat(lower, level)
+    except Exception:
+        from .builder.bricker import build_bricks
+        from .pipeline import bricks_from_build
+
+        bricks, cell_ids = bricks_from_build(build_bricks(lower, level))
+    scalars = scal[np.asarray(cell_ids, np.int64)][None].astype(np.float32)
+    grids = build_level_grids(bricks, scalars, axis=2, device=False)
+    meta = dict(
+        n_cells=int(lower.shape[0]),
+        n_bricks=int(bricks.num_bricks),
+        build_s=round(time.time() - t0, 1),
+        value_max=float(scal.max()),
+    )
+    with open(path, "wb") as f:
+        pickle.dump((grids, meta), f, protocol=4)
+    return grids, meta
+
+
 def build_bench_scene(n: int = 64, threshold: float = 0.004,
                       max_level: int = 3):
     vol = synthetic_volume(n)
