@@ -51,9 +51,11 @@ def main():
         cam, 1, [[0.0, float(scal_max)]], dt=1.0, opacity_scale=0.7
     )
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    # pin the pre-round-3 default precision so variant names keep their
+    # historical meaning (the SlabConfig default moved to hi_lo)
     base = SlabConfig(
         num_channels=1, nslabs=int(np.ceil(extent / 1.0)), chunk=12,
-        extent_z=extent,
+        extent_z=extent, dot_precision="high",
     )
 
     variants = {
@@ -73,6 +75,19 @@ def main():
             carry_termination=False),
         "stride_hi_lo_chunk8": dataclasses.replace(
             base, adaptive_stride=True, dot_precision="hi_lo", chunk=8),
+        "stride_hi_lo_fit15": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            xf_fit_quantum=1.5),
+        "stride_hi_lo_fit20": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            xf_fit_quantum=2.0),
+        "stride_fit20": dataclasses.replace(
+            base, adaptive_stride=True, xf_fit_quantum=2.0),
+        "stride_nofuse": dataclasses.replace(
+            base, adaptive_stride=True, fuse_mids=False),
+        "stride_hi_lo_nofuse": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            fuse_mids=False),
     }
     if len(sys.argv) > 4:
         keep = sys.argv[4].split(",")

@@ -15,7 +15,9 @@ Pipeline split (per chunk of S slabs):
       rows are used (same code path, KY = ny).
   kernel (grid over (col, row) tiles, rows fastest):
     * per slab: per-level y-tent weight blocks (tr, KY_l) contracted
-      (tr, KY_l) @ (KY_l, tc) on the MXU and summed over levels
+      (tr, KY_l) @ (KY_l, (C+1)*tc) on the MXU against lane-fused
+      [channels | mask] mids and summed over levels — one dot per
+      level per slab yields every channel's swv and the mask sw
     * classification (two-sided-windowed PWL knots or the dense
       range-limited LUT loop) + opacity correction (optical-depth exp
       for tau-fitted strips, pow otherwise), skipped for tiles with no
@@ -62,7 +64,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  windowed: Tuple[bool, ...], n_channels: int,
                  n_texels: int = 0, has_stop: bool = False,
                  dot_precision: str = "highest",
-                 tau: Tuple[bool, ...] = (), has_pt: bool = False):
+                 tau: Tuple[bool, ...] = (), has_pt: bool = False,
+                 fused: bool = True):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -92,15 +95,21 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
 
     def kernel(params_ref, lut_ref, d_ref, cum_ref, live_ref, act_ref,
                act_all_ref, orgy_ref, cw_ref, *refs):
-        # refs: per level [mid_v_0 .. mid_v_{C-1}, mid_m] (windowed
-        # levels: (1, S, KY, tc) blocks; full levels: (S, ny, tc)),
-        # then ypos, sec, (t_slab, t_stop if has_stop), r, g, b, t.
+        # refs: per level ONE fused mid (hi_lo: a (hi, lo) pair) whose
+        # lane axis interleaves [v_0 | .. | v_{C-1} | m] per column tile
+        # (windowed levels: (1, S, KY, (C+1)*tc) blocks; full levels:
+        # (S, ny, (C+1)*tc)), then ypos, sec, (t_slab, t_stop if
+        # has_stop), r, g, b, t.
         # orgy_ref: (L, R) per-(level, row-tile) effective y origin
         # (lattice origin + window start).
         # compressed mode: lut_ref = (C, 6) [lo, hi, base rgba],
         # d_ref = (C, M, 5) [breakpoint pos, slope-delta rgba],
         # cum_ref = (C, M+1, 8) prefix sums [sd, sd*pos]
-        per_lvl = (n_channels + 1) * (2 if hi_lo else 1)
+        # (fused=False: per level [mid_v_0 .. mid_v_{C-1}, mid_m]
+        # separate refs and one dot per component)
+        n_comp_k = (n_channels + 1) if fused else 1
+        per_lvl = ((n_channels + 1) if not fused else 1) * (
+            2 if hi_lo else 1)
         lvl_refs = []
         k = 0
         for li in range(n_levels):
@@ -144,6 +153,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         slab_ids = jax.lax.broadcasted_iota(jnp.int32, ypos_all.shape, 1)
 
         def _mid_block(li, comp, s):
+            # fused: one ref per level (comp ignored); else per component
             if hi_lo:
                 rh = lvl_refs[li][2 * comp]
                 rl = lvl_refs[li][2 * comp + 1]
@@ -153,38 +163,49 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             ref = lvl_refs[li][comp]
             return ref[0, s] if windowed[li] else ref[s]
 
+        def _wy(li, yp):
+            ky = ky_list[li]
+            qy = yp / cw_ref[li] - orgy_ref[li, rt_id] - 0.5  # (tr,)
+            kk = jax.lax.broadcasted_iota(
+                jnp.int32, (tr, ky), 1
+            ).astype(jnp.float32)
+            return jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - kk))
+
         def _interp(s):
             # select slab s's column via a masked reduce (Mosaic has no
             # unaligned dynamic lane indexing)
             yp = jnp.sum(jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
 
             # per-level y-tent weights over the tile's window; zero-pad
-            # rows in the mids make out-of-range weights harmless
+            # rows in the mids make out-of-range weights harmless.
+            # fused: ONE (tr, KY) @ (KY, (C+1)*tc) dot per level yields
+            # every channel's swv AND the mask sw (lane groups of tc);
+            # else one dot per component, swv deferred to _classify
             wys = []
-            sw = jnp.zeros((tr, tc), jnp.float32)
+            acc = jnp.zeros((tr, n_comp_k * tc), jnp.float32)
             for li in range(n_levels):
-                ky = ky_list[li]
-                qy = yp / cw_ref[li] - orgy_ref[li, rt_id] - 0.5  # (tr,)
-                kk = jax.lax.broadcasted_iota(
-                    jnp.int32, (tr, ky), 1
-                ).astype(jnp.float32)
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - kk))
+                wy = _wy(li, yp)
                 wys.append(wy)
-                sw = sw + mxu_dot(wy, _mid_block(li, n_channels, s))
+                # fused: the single level ref holds all components;
+                # non-fused: contract the mask component only (swv dots
+                # are deferred to _classify)
+                acc = acc + mxu_dot(
+                    wy, _mid_block(li, 0 if fused else n_channels, s))
+            sw = acc[:, n_channels * tc:] if fused else acc
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
             if has_stop:
                 # surface hit caps the volume interval per pixel
                 # (integrateVolume t1 = min(t1, surf t))
                 ok = ok & (t_slab_ref[s] < t_stop_ref[:])
-            return wys, sw, ok
+            return (acc if fused else None, wys), sw, ok
 
         def _slab_dense(s, carry):
             # every slab active in this tile: keep the tent build and
             # matmuls unconditional so Mosaic pipelines them across slabs
-            wys, sw, ok = _interp(s)
+            payload, sw, ok = _interp(s)
             do = ok.any() & (jnp.max(carry[3]) > 0.005)
             return jax.lax.cond(
-                do, lambda c: _classify(s, wys, sw, ok, c, 1.0),
+                do, lambda c: _classify(s, payload, sw, ok, c, 1.0),
                 lambda c: c, carry,
             )
 
@@ -200,15 +221,17 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             do = (w_s > 0.0) & (jnp.max(carry[3]) > 0.005)
 
             def work(carry):
-                wys, sw, ok = _interp(s)
+                payload, sw, ok = _interp(s)
                 return jax.lax.cond(
-                    ok.any(), lambda c: _classify(s, wys, sw, ok, c, w_s),
+                    ok.any(),
+                    lambda c: _classify(s, payload, sw, ok, c, w_s),
                     lambda c: c, carry,
                 )
 
             return jax.lax.cond(do, work, lambda c: c, carry)
 
-        def _classify(s, wys, sw, ok, carry, w_s):
+        def _classify(s, payload, sw, ok, carry, w_s):
+                acc, wys = payload
                 # per-slab channel merge in the reference's channel order
                 # (exabrick.cu:1169-1179)
                 slab_a = jnp.zeros((tr, tc), jnp.float32)
@@ -216,11 +239,13 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    swv = jnp.zeros((tr, tc), jnp.float32)
-                    for li in range(n_levels):
-                        swv = swv + mxu_dot(
-                            wys[li], _mid_block(li, ch, s)
-                        )
+                    if fused:
+                        swv = acc[:, ch * tc:(ch + 1) * tc]
+                    else:
+                        swv = jnp.zeros((tr, tc), jnp.float32)
+                        for li in range(n_levels):
+                            swv = swv + mxu_dot(
+                                wys[li], _mid_block(li, ch, s))
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
                     if compressed:
                         lo = lut_ref[ch, 0]
@@ -384,6 +409,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 adaptive_stride: bool = False,
                 ky_hints: Tuple[int, ...] | None = None,
                 prev_trans=None,
+                fuse_mids: bool = True,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk.
 
@@ -460,6 +486,27 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
 
     tr, tc = tile_shape(height, width, tiles, adaptive_stride)
     grid = (pl.cdiv(width, tc), pl.cdiv(height, tr))
+    n_ct_ = grid[0]
+    pad_c_ = n_ct_ * tc - width
+    n_comp = n_channels + 1
+
+    def _interleave(li):
+        # fuse the level's channel mids + mask mid along the lane axis,
+        # grouped per column tile: block j holds [v_0 | .. | v_{C-1} | m]
+        # for tile j, so the kernel's y-contraction is ONE
+        # (tr, KY) @ (KY, (C+1)*tc) MXU dot per level per slab instead of
+        # C+1 small dots (the small-N dots are latency-bound; fusing
+        # halves the per-slab MXU instruction count at 1 channel)
+        comps = mid_vs_l[li] + [mid_m_l[li]]
+        if pad_c_:
+            comps = [
+                jnp.pad(c_, ((0, 0), (0, 0), (0, pad_c_))) for c_ in comps
+            ]
+        ny = comps[0].shape[1]
+        st = jnp.stack(
+            [c_.reshape(s_, ny, n_ct_, tc) for c_ in comps], axis=3
+        )
+        return st.reshape(s_, ny, n_ct_ * n_comp * tc)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -507,11 +554,17 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 lvl_specs.append(spec)
 
         if not win:
-            spec = pl.BlockSpec((s_, ny, tc), lambda j, i: (0, 0, j),
-                                memory_space=pltpu.VMEM)
-            for ch in range(n_channels):
-                emit(mid_vs_l[li][ch], spec)
-            emit(mid_m_l[li], spec)
+            if fuse_mids:
+                spec = pl.BlockSpec((s_, ny, n_comp * tc),
+                                    lambda j, i: (0, 0, j),
+                                    memory_space=pltpu.VMEM)
+                emit(_interleave(li), spec)
+            else:
+                spec = pl.BlockSpec((s_, ny, tc), lambda j, i: (0, 0, j),
+                                    memory_space=pltpu.VMEM)
+                for ch in range(n_channels):
+                    emit(mid_vs_l[li][ch], spec)
+                emit(mid_m_l[li], spec)
             continue
         # window start per row tile: the lowest lattice row any of the
         # chunk's slabs can touch from this tile (tent reach -1)
@@ -521,19 +574,24 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         orgy_eff = orgy_eff.at[li].set(
             orgy[li] + k0.astype(jnp.float32)
         )
-        spec = pl.BlockSpec((1, s_, ky, tc), lambda j, i: (i, 0, 0, j),
-                            memory_space=pltpu.VMEM)
-
         def window(a):
-            # (S, ny, W) -> (R, S, ky, W) per-row-tile slices
+            # (S, ny, Wcat) -> (R, S, ky, Wcat) per-row-tile slices
             return jnp.stack([
                 jax.lax.dynamic_slice_in_dim(a, k0[r], ky, axis=1)
                 for r in range(n_rt)
             ])
 
-        for ch in range(n_channels):
-            emit(mid_vs_l[li][ch], spec, win_fn=window)
-        emit(mid_m_l[li], spec, win_fn=window)
+        if fuse_mids:
+            spec = pl.BlockSpec((1, s_, ky, n_comp * tc),
+                                lambda j, i: (i, 0, 0, j),
+                                memory_space=pltpu.VMEM)
+            emit(_interleave(li), spec, win_fn=window)
+        else:
+            spec = pl.BlockSpec((1, s_, ky, tc), lambda j, i: (i, 0, 0, j),
+                                memory_space=pltpu.VMEM)
+            for ch in range(n_channels):
+                emit(mid_vs_l[li][ch], spec, win_fn=window)
+            emit(mid_m_l[li], spec, win_fn=window)
 
     # lateral space skipping: per-(slab, row-tile, col-tile) activity from
     # mask support.  A slab's cells can only reach a tile whose y range
@@ -689,7 +747,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                      n_texels=n if knots is not None else 0,
                      has_stop=t_stop is not None,
                      dot_precision=dot_precision,
-                     tau=tau_flags, has_pt=prev_trans is not None),
+                     tau=tau_flags, has_pt=prev_trans is not None,
+                     fused=fuse_mids),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params

@@ -637,8 +637,22 @@ class SlabConfig:
     # 128 = exact reproduction of the reference LUT; smaller trades a
     # resampled (smoothed) LUT for VPU time.
     xf_knots: int = NUM_XF_VALUES
+    # PWL-fit tolerance for the knot compression, in display quanta
+    # (1/255).  The embedded palette strips carry +-1 LSB of 8-bit
+    # dither, so fitting at 1 quantum spends knots reproducing noise
+    # (Jet: 62 knots at 1.0, 39 at 1.5, 18 at 2.0); classification cost
+    # is ~linear in knots.  1.0 = within one display quantum of the
+    # reference's linear-filtered 128-texel LUT.
+    xf_fit_quantum: float = 1.0
     # compute interpolation matmuls in bfloat16 (MXU fast path)
     bf16_interp: bool = False
+    # fuse each level's per-channel + mask mids along the lane axis so
+    # the kernel's y-contraction is ONE (tr, KY) @ (KY, (C+1)*tc) MXU
+    # dot per level per slab instead of C+1 small dots.  Measured ~12%
+    # SLOWER at 256^3/C=1 (interleaved A/B): the host-side interleave
+    # re-materializes every mid through HBM, which outweighs the saved
+    # kernel dot issues — kept as an option for high channel counts.
+    fuse_mids: bool = False
     # single-channel megakernel lane (pallas_sweep.py): y-interpolation +
     # classification + compositing fused in VMEM
     megakernel: bool = True
@@ -646,12 +660,13 @@ class SlabConfig:
     tile_rows: int = 0
     tile_cols: int = 0
     # MXU pass precision for the interpolation contractions:
-    # "high" (bf16x3, ~f32 accurate) default; "highest" (full f32);
-    # "hi_lo" (kernel dots as two single-bf16 passes over a bf16
-    # (hi, lo) mid split — ~display-quantum fidelity at a third of
-    # HIGHEST's passes; mid einsums keep bf16x3);
+    # "hi_lo" (default: kernel dots as two single-bf16 passes over a
+    # bf16 (hi, lo) mid split — within 1/255 of HIGHEST on the fidelity
+    # test, ~8% faster than "high" at 256^3 in the interleaved A/B;
+    # mid einsums keep bf16x3); "high" (bf16x3, ~f32 accurate);
+    # "highest" (full f32, the bit-reference);
     # bf16_interp=True overrides to "default" (single bf16 pass)
-    dot_precision: str = "high"
+    dot_precision: str = "hi_lo"
     # iso shading: analytic basis gradients (gradientShadingISO,
     # exabrick.cu:1060-1073); False = unshaded TF color like the reference
     gradient_shading_iso: bool = True
@@ -1025,6 +1040,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     "high": jax.lax.Precision.HIGH,
                     "highest": jax.lax.Precision.HIGHEST,
                     "default": None,
+                    # hi_lo applies to the megakernel dots; this
+                    # non-megakernel lane keeps bf16x3 (~f32) accuracy
+                    "hi_lo": jax.lax.Precision.HIGH,
                 }[cfg.dot_precision])
 
                 def resample(vol, wz_=None, wy_=None, wx_=None):
@@ -1249,6 +1267,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     dot_precision=("default" if cfg.bf16_interp else cfg.dot_precision),
                     adaptive_stride=cfg.adaptive_stride,
                     ky_hints=ky_hints,
+                    fuse_mids=cfg.fuse_mids,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
                 )
@@ -1832,7 +1851,8 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
             )
             for c in range(cfg.num_channels)
         ]
-        knots = compress_pwl(luts_np)
+        knots = compress_pwl(
+            luts_np, fit_tol=cfg.xf_fit_quantum / 255.0)
 
     f = jax.jit(
         render_slabs,
