@@ -88,6 +88,24 @@ def main():
         "stride_hi_lo_nofuse": dataclasses.replace(
             base, adaptive_stride=True, dot_precision="hi_lo",
             fuse_mids=False),
+        # ablations: localize the remaining kernel cost
+        "abl_knots8": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            xf_knots=8),
+        "abl_bf16": dataclasses.replace(
+            base, adaptive_stride=True, bf16_interp=True),
+        "abl_tr64": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            tile_rows=64),
+        "abl_tr216": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            tile_rows=216),
+        "abl_chunk16": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            chunk=16),
+        "abl_chunk24": dataclasses.replace(
+            base, adaptive_stride=True, dot_precision="hi_lo",
+            chunk=24),
     }
     if len(sys.argv) > 4:
         keep = sys.argv[4].split(",")
