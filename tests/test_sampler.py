@@ -1,6 +1,7 @@
 """Sampler unit tests: basis weights, trilinear reproduction, continuity
 across level boundaries, and jnp-vs-oracle agreement."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -11,6 +12,18 @@ from owlexabrick_tpu.render.dvr import locate_leaf, sample_basis
 from owlexabrick_tpu.render.scene import to_device
 
 from conftest import EX2, EX3, EX4
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_cache():
+    # Full-suite runs reproducibly segfaulted inside XLA's CPU
+    # backend_compile_and_load when this module's locate_leaf compile
+    # ran after ~120 accumulated prior-test compilations (the same
+    # compile is clean in isolation or after any small prefix).
+    # Resetting the trace/executable caches before the module sidesteps
+    # the poisoned compiler state at the cost of a few recompiles.
+    jax.clear_caches()
+    yield
 
 
 def _scene(amr_fixture, text):
