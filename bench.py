@@ -30,6 +30,7 @@ through the dev tunnel vs sub-second on production PCIe).
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -98,11 +99,51 @@ def _hbm_peak_mb():
         return None
 
 
+def _emit(state):
+    """Print the single JSON result line from whatever rows completed.
+    Called at the end — or from the SIGTERM/SIGALRM handler, so a
+    harness timeout still records the finished rows instead of
+    nothing."""
+    if state.get("emitted"):
+        return
+    state["emitted"] = True
+    head = state.get("headline") or (
+        state["rows"][0] if state["rows"] else {}
+    )
+    fps = head.get("fps", 0.0)
+    out = {
+        "metric": state.get("metric", "dvr_fps_1080p_synthetic64"),
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+        "rows": state["rows"],
+    }
+    if state.get("platform"):
+        out["platform"] = state["platform"]
+    print(json.dumps(out), flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from owlexabrick_tpu.render.slabs import render_slabs_camera
+
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700))
+    state = {"rows": None, "headline": None, "emitted": False}
+
+    def _on_deadline(signum, frame):  # pragma: no cover
+        print(f"# signal {signum}: emitting completed rows",
+              file=sys.stderr, flush=True)
+        _emit(state)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGALRM):
+        try:
+            signal.signal(sig, _on_deadline)
+        except (ValueError, OSError):
+            pass
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
@@ -121,8 +162,21 @@ def main():
         ).split(",")
 
     rows = []
+    state["rows"] = rows
     headline = None
     screenshot_frame = None
+
+    metric = "dvr_fps_1080p_synthetic64"
+    if legacy_n or legacy_scene:
+        kind0 = legacy_scene or "blobs"
+        n0 = int(legacy_n or 64)
+        if (kind0, n0) != ("blobs", 64):
+            metric = f"dvr_fps_1080p_{kind0}{n0}"
+    state["metric"] = metric
+    try:
+        state["platform"] = jax.devices()[0].platform
+    except Exception:
+        state["platform"] = None
 
     # ---- small/medium rows -------------------------------------------
     specs = {
@@ -161,6 +215,7 @@ def main():
                   file=sys.stderr, flush=True)
             if name == "headline":
                 headline = row
+                state["headline"] = row
                 screenshot_frame = r
 
                 # latency: blocking single frame incl. readback, then
@@ -205,6 +260,28 @@ def main():
 
     # ---- reference-scale row -----------------------------------------
     if "scale1024" in rows_wanted:
+        # the dev tunnel uploads the ~4.4 GB grids at ~3.5 MB/s; skip
+        # the row (recording why) when the remaining budget cannot fit
+        # it, so a harness timeout never swallows the finished rows.
+        # Prior-session full evidence: SCALE_RUN_r03.md.
+        n_est = int(os.environ.get("BENCH_SCALE_N", 1024))
+        est_s = 4.6e9 * (n_est / 1024.0) ** 3 / 3.5e6 + 300.0
+        remaining = budget_s - (time.time() - t_start)
+        if remaining < est_s:
+            print(f"# scale1024 skipped: est {est_s:.0f}s upload+render"
+                  f" > {remaining:.0f}s left of BENCH_BUDGET_S"
+                  f" (evidence: SCALE_RUN_r03.md)",
+                  file=sys.stderr, flush=True)
+            rows.append(dict(
+                name="scale1024", skipped="budget",
+                evidence="SCALE_RUN_r03.md",
+                prior_session=dict(
+                    fps=2.26, fps_iqr=0.0, n_cells=63544167,
+                    n_bricks=369716, grid_gb=4.42, hbm_resident=True),
+            ))
+    if "scale1024" in rows_wanted and not (
+        rows and rows[-1].get("skipped")
+    ):
         try:
             from owlexabrick_tpu.bench_scene import (
                 load_or_build_scale_scene,
@@ -309,25 +386,7 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"# screenshot failed: {e}", file=sys.stderr)
 
-    head = headline or (rows[0] if rows else {})
-    fps = head.get("fps", 0.0)
-    metric = "dvr_fps_1080p_synthetic64"
-    if legacy_n or legacy_scene:
-        kind, n = specs["headline"]
-        if (kind, n) != ("blobs", 64):
-            metric = f"dvr_fps_1080p_{kind}{n}"
-    out = {
-        "metric": metric,
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
-        "rows": rows,
-    }
-    try:
-        out["platform"] = jax.devices()[0].platform
-    except Exception:
-        pass
-    print(json.dumps(out))
+    _emit(state)
 
 
 if __name__ == "__main__":

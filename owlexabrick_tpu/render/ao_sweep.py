@@ -4,27 +4,27 @@ The reference's AO (exabrick.cu:1612-1645) shoots 2 cosine-distributed
 hemisphere rays per pixel per frame against the surfaces and averages
 hit counts progressively.  Per-pixel incoherent rays are the worst case
 for a TPU (see PERFORMANCE.md's gather wall), so the fast path restates
-the same Monte-Carlo integral with frame-coherent directions:
+the same Monte-Carlo integral over a per-frame direction pool:
 
-  * per frame, each of the ``ao_samples`` directions is ONE
-    uniform-sphere draw shared by every pixel (re-drawn per frame by the
-    accumulation RNG); a pixel uses d or -d, whichever lies in its
-    surface hemisphere;
-  * occlusion along a fixed direction is precomputable for the whole
-    volume: S_d(x) = 1 iff the iso indicator is occupied within
-    ao_length along d from x — a directional dilation of the indicator,
-    built with log2(K) shift-OR doubling passes over a dense
-    finest-lattice grid (rolls + masks, no gathers);
-  * the per-pixel estimate hit * 2*max(dot(n, d), 0) has expectation
-    equal to the reference estimator's: uniform-hemisphere importance
-    with weight 2cos == cosine importance with weight 1, so the
-    progressive averages converge to the same image (higher variance,
-    frame-coherent — tested statistically in tests/test_ao_sweep.py).
+  * per frame, ``RenderConfig.ao_dirs`` uniform-sphere directions are
+    drawn (re-drawn per frame by the accumulation RNG) and a signed
+    shadow volume is built for each: S_d(x) = 1 iff the iso indicator
+    is occupied within ao_length along d from x — a directional
+    dilation of the indicator, built with log2(K) shift-OR doubling
+    passes over a dense finest-lattice grid (rolls + masks, no
+    gathers); this cost scales with the pool size, not the pixel count;
+  * each pixel draws ``ao_samples`` pool members with probability
+    proportional to |cos(n, u_j)| and importance weight
+    2|cos_j| / (D p_j): unbiased for the cosine-weighted hemisphere
+    integral, the weight concentrates near E[2|cos|] = 1 (the
+    reference's cosine-importance variance profile), and neighbouring
+    pixels decorrelate within one frame — tested statistically in
+    tests/test_ao_sweep.py.
 
 The occluders are the iso level sets (marked on the lattice where a
 cell neighborhood's field range crosses an enabled iso).  Scenes with
 meshes or streamlines stay on the fast path too: geometric occlusion is
-evaluated as dense prim intersections along the same shared directions
+evaluated as dense prim intersections along the same pool directions
 (``geom_occluder`` in :func:`ao_shadow_fast`), combined with the lattice
 shadow under one estimator (``ao_combined`` in
 render/renderer.py:_render_fast).  The packed wavefront path retains the
@@ -169,8 +169,37 @@ def sample_lattice(vol, lo, cwf, pts_zyx):
     return acc
 
 
+def sample_lattice_indexed(vols, lo, cwf, pts_zyx, vidx):
+    """Trilinear sample of a stacked (V, nz, ny, nx) volume at (P, 3)
+    grid-frame points, volume ``vidx`` (P,) per point — same gather-row
+    count as :func:`sample_lattice` (8 corner rows per pixel; the stack
+    index folds into the flat offset)."""
+    _, nz, ny, nx = vols.shape
+    q = (pts_zyx - lo[None, :]) / cwf - 0.5
+    k0 = jnp.floor(q).astype(jnp.int32)
+    f = q - k0.astype(q.dtype)
+    flat = vols.reshape(-1)
+    base = vidx * (nz * ny * nx)
+    acc = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                kz = jnp.clip(k0[:, 0] + dz, 0, nz - 1)
+                ky = jnp.clip(k0[:, 1] + dy, 0, ny - 1)
+                kx = jnp.clip(k0[:, 2] + dx, 0, nx - 1)
+                w = (
+                    (f[:, 0] if dz else 1 - f[:, 0])
+                    * (f[:, 1] if dy else 1 - f[:, 1])
+                    * (f[:, 2] if dx else 1 - f[:, 2])
+                )
+                corner = flat[base + (kz * ny + ky) * nx + kx]
+                acc = acc + w * corner.astype(jnp.float32)
+    return acc
+
+
 def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
-                   ao_samples: int = 2, geom_occluder=None):
+                   ao_samples: int = 2, geom_occluder=None,
+                   ao_dirs: int = 4):
     """Per-pixel AO shadow estimate at surface hits.
 
     lattice: (val, occ, lo, cwf) device arrays from build_ao_lattice.
@@ -178,25 +207,61 @@ def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
     both in the grid (z, y, x) frame.  Returns (P,) shadow in [0, 1] —
     the frame's term of the progressive average (hits/ao_samples).
 
+    Estimator: ``ao_dirs`` uniform-sphere directions are drawn per frame
+    and their signed shadow volumes built once (cost scales with D, not
+    with pixels); each pixel then draws ``ao_samples`` directions from
+    the pool with probability proportional to |cos(n, u_j)| and weights
+    the hit by 2|cos_j| / (D p_j) = 2 sum_k(|cos_k|) / D.  Conditional
+    on the pool this is an unbiased estimate of the pool average
+    (1/D) sum_j hit_j 2|cos_j|, whose expectation over the pool is the
+    reference's cosine-weighted hemisphere integral
+    (exabrick.cu:1612-1645) — and the weight concentrates near
+    E[2|cos|] = 1, so the per-pixel variance approaches the reference's
+    cosine-importance estimator while neighbouring pixels decorrelate
+    within a single frame (D=1 degenerates to the old frame-coherent
+    shared direction).
+
     ``geom_occluder``: optional callback ``d_pix (P, 3) zyx -> (P,)
     0/1`` reporting geometric occlusion (meshes/streamlines) along the
     per-pixel hemisphere direction — OR-ed with the lattice's iso
-    occlusion under the same 2|cos| estimator, so mesh AO with iso
-    occluders shares one sample budget."""
+    occlusion under the same estimator, so mesh AO with iso occluders
+    shares one sample budget."""
     val, occ, lo, cwf = lattice
     ind = iso_indicator(val, occ, fs)
     max_len = max(val.shape)
     ao_cells = jnp.clip(fs.ao_length / cwf, 1.0, float(max_len))
+    n_dirs = max(int(ao_dirs), 1)
+
+    # the frame's direction pool + its 2*D signed shadow volumes
+    # (uint8: the indicator is 0/1, and the stack stays small)
+    k_dirs = jax.random.fold_in(key, 101)
+    u = jax.random.normal(k_dirs, (n_dirs, 3))
+    u = u / jnp.maximum(
+        jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-9
+    )
+    vols = []
+    for j in range(n_dirs):
+        vols.append(shadow_volume(ind, u[j], ao_cells, max_len))
+        vols.append(shadow_volume(ind, -u[j], ao_cells, max_len))
+    stack = jnp.stack(vols).astype(jnp.uint8)  # (2D, nz, ny, nx)
+
+    cos = normals_zyx @ u.T  # (P, D)
+    abs_cos = jnp.abs(cos)
+    p = abs_cos + 1e-3  # full support keeps the estimator unbiased
+    p = p / p.sum(-1, keepdims=True)
+    cdf = jnp.cumsum(p, -1)
 
     shadow = jnp.zeros(hit_zyx.shape[0], jnp.float32)
     for s in range(ao_samples):
         k = jax.random.fold_in(key, s)
-        u = jax.random.normal(k, (3,))
-        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-9)
-        s_pos = shadow_volume(ind, u, ao_cells, max_len)
-        s_neg = shadow_volume(ind, -u, ao_cells, max_len)
-        cosu = (normals_zyx * u[None, :]).sum(-1)
-        d_pix = jnp.sign(cosu)[:, None] * u[None, :]
+        r = jax.random.uniform(k, (hit_zyx.shape[0],))
+        j_sel = jnp.clip(
+            (r[:, None] >= cdf).sum(-1), 0, n_dirs - 1
+        )
+        cos_sel = jnp.take_along_axis(cos, j_sel[:, None], -1)[:, 0]
+        p_sel = jnp.take_along_axis(p, j_sel[:, None], -1)[:, 0]
+        u_sel = u[j_sel]
+        d_pix = jnp.sign(cos_sel)[:, None] * u_sel
         # stand off along the NORMAL past the indicator's own ~1.5-cell
         # shell: tangential directions then run parallel above the
         # surface slab instead of through it (self-occlusion, the
@@ -205,11 +270,10 @@ def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
         # reference's ray march re-detects crossings instead.
         probe = (hit_zyx + normals_zyx * (1.5 * cwf)
                  + d_pix * (0.5 * cwf))
-        hit_p = sample_lattice(s_pos, lo, cwf, probe)
-        hit_n = sample_lattice(s_neg, lo, cwf, probe)
-        hit = jnp.where(cosu >= 0.0, hit_p, hit_n)
+        vidx = j_sel * 2 + (cos_sel < 0.0).astype(jnp.int32)
+        hit = sample_lattice_indexed(stack, lo, cwf, probe, vidx)
         if geom_occluder is not None:
             hit = jnp.maximum(hit, geom_occluder(d_pix))
-        # 2|cos| importance weight: uniform-hemisphere -> cosine measure
-        shadow = shadow + jnp.clip(hit, 0.0, 1.0) * 2.0 * jnp.abs(cosu)
+        w = 2.0 * jnp.abs(cos_sel) / (n_dirs * p_sel)
+        shadow = shadow + jnp.clip(hit, 0.0, 1.0) * w
     return jnp.clip(shadow / ao_samples, 0.0, 1.0)

@@ -55,6 +55,14 @@ class RenderConfig:
     # surface passes
     iso_surfaces: bool = False
     ao_samples: int = 0
+    # fast-path AO only: number of shared candidate directions per frame
+    # in the shadow-volume estimator (render/ao_sweep.py).  Each pixel
+    # picks one per sample with |cos|-proportional probability, so
+    # pixels decorrelate within a frame and the importance weight
+    # concentrates near 1 (the reference's per-pixel cosine draws,
+    # exabrick.cu:1612-1645, are the D->inf limit).  Shadow-volume build
+    # cost scales with this; per-pixel gather cost does not.
+    ao_dirs: int = 4
     # secondary field used to colormap iso surfaces (LaunchParams.h:59-60)
     colormap_channel: int = 0
     # EXPLICIT_BASIS_METHOD parity: True = basis reconstruction over

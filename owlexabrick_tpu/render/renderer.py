@@ -217,8 +217,8 @@ class Renderer:
         # Every AO configuration stays on the fast path: iso-only AO
         # uses the sweep shadow volumes (render/ao_sweep), geometric AO
         # is dense prim intersections inside the surface pass, and mesh
-        # AO with iso occluders combines the two under one
-        # shared-direction estimator (ao_combined in _render_fast).
+        # AO with iso occluders combines the two under one pooled-
+        # direction estimator (ao_combined in _render_fast).
         # the sweep operates in voxel space (remap transform applied to
         # the camera, exa/Config.cpp:23-44)
         cam = camera_to_voxel(
@@ -499,7 +499,7 @@ class Renderer:
         # exabrick.cu:1612-1645): iso-only AO uses the sweep shadow
         # volumes; geometric AO runs as dense prim intersections inside
         # trace_surface_pass; mesh AO *with* iso occluders combines the
-        # two under one shared-direction estimator (ao_combined)
+        # two under one pooled-direction estimator (ao_combined)
         ao_combined = (
             self.cfg.ao_samples > 0
             and self.cfg.iso_surfaces
@@ -623,6 +623,7 @@ class Renderer:
                     shadow = ao_shadow_fast(
                         lat, self.fs, hit_v[:, ::-1], n_vox[:, ::-1],
                         key_ao, ao_samples=self.cfg.ao_samples,
+                        ao_dirs=self.cfg.ao_dirs,
                     )
                     shadow = jnp.where(
                         jnp.asarray(self.fs.ao_enabled), shadow, 0.0
@@ -646,7 +647,7 @@ class Renderer:
                 # unified AO over the visible surface (iso or geometry
                 # winner): lattice shadow volumes give the iso
                 # occlusion, dense prim intersections along the same
-                # shared directions give the geometric occlusion
+                # per-pixel pool directions give the geometric occlusion
                 # (raygen AO vs all surfaces but contour planes,
                 # exabrick.cu:1612-1645); shading is applied here with
                 # the combined shadow
@@ -703,7 +704,7 @@ class Renderer:
                 shadow = ao_shadow_fast(
                     lat, self.fs, pos_v[:, ::-1], n_vox_eff[:, ::-1],
                     key_ao, ao_samples=self.cfg.ao_samples,
-                    geom_occluder=occ_geom,
+                    geom_occluder=occ_geom, ao_dirs=self.cfg.ao_dirs,
                 )
                 shadow = jnp.where(
                     jnp.asarray(self.fs.ao_enabled), shadow, 0.0

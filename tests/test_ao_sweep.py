@@ -40,6 +40,60 @@ def _mean_image(r, frames):
     return img.view(np.uint8).reshape(SIZE, SIZE, 4).astype(np.float64)
 
 
+def test_ao_pooled_directions_cut_variance():
+    """The per-frame direction pool (RenderConfig.ao_dirs) must reduce
+    both per-pixel variance and frame-coherent error vs the D=1
+    shared-direction degenerate case, with the same expectation — the
+    pooled estimator's whole point (reference per-pixel cosine draws,
+    exabrick.cu:1612-1645, are the D->inf limit)."""
+    from owlexabrick_tpu.render.ao_sweep import ao_shadow_fast
+
+    n = 24
+    val = np.zeros((n, n, n), np.float32)
+    val[8:10] = 1.0  # a flat occluder slab, z in [8, 10)
+    lat = (jnp.asarray(val), jnp.ones((n, n, n), bool),
+           jnp.zeros(3, jnp.float32), jnp.float32(1.0))
+    fs = dataclasses.replace(
+        _fs(Camera.look_at([0, 0, 9], [0, 0, 0], [0, 1, 0], 30.0,
+                           SIZE, SIZE)),
+        iso_value=np.array([0.5, 0.0], np.float32),
+        ao_length=np.float32(10.0),
+    )
+    p = 128
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(4, 20, (p, 2)).astype(np.float32)
+    hits = jnp.asarray(
+        np.concatenate([np.full((p, 1), 12.0, np.float32), xy], 1)
+    )
+    # down-facing normals (grid zyx): every hit sees the slab below
+    normals = jnp.asarray(
+        np.tile(np.asarray([[-1.0, 0, 0]], np.float32), (p, 1))
+    )
+    f = jax.jit(
+        lambda key, d: ao_shadow_fast(lat, fs, hits, normals, key,
+                                      ao_samples=2, ao_dirs=d),
+        static_argnums=1,
+    )
+    stats = {}
+    for d in (1, 4):
+        frames = np.stack(
+            [np.asarray(f(jax.random.PRNGKey(i), d)) for i in range(24)]
+        )
+        stats[d] = (frames.mean(), frames.var(0).mean(),
+                    frames.mean(1).var())
+    mean1, pvar1, fvar1 = stats[1]
+    mean4, pvar4, fvar4 = stats[4]
+    # fully-occluded down-facing hits: truth ~1.  D=1's 2|cos| weight
+    # truncates against the [0,1] clip (mean 0.69); the pool's weight
+    # concentrates near 1 so D=4 sits closer to truth (0.86,
+    # calibrated 2026-08)
+    assert mean4 > mean1 - 0.02, (mean1, mean4)
+    assert 0.55 < mean1 <= 1.0 and 0.75 < mean4 <= 1.0, (mean1, mean4)
+    # the pool must cut both variance components materially
+    assert pvar4 < 0.7 * pvar1, (pvar1, pvar4)
+    assert fvar4 < 0.7 * fvar1, (fvar1, fvar4)
+
+
 def test_ao_sweep_converges_to_wavefront():
     lower, level, scal = parse_grids_text(EX2)
     scene, *_ = scene_from_cells(lower, level, [scal])

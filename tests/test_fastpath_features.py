@@ -296,17 +296,16 @@ def test_fast_path_mesh_ao():
     cfg = RenderConfig(num_channels=1, ao_samples=2)
     r = Renderer(scene, SIZE, SIZE, cfg=cfg, frame_state=fs, surfaces=surf)
     assert r.enable_fast_path(), "AO+mesh without iso must stay fast"
-    # AO estimators differ by design (shared-direction vs per-pixel
-    # cosine draws): after 4 frames the sample sets have not converged,
+    # AO estimators differ by design (pooled-direction draws vs
+    # per-pixel cosine): after 4 frames the sample sets have not converged,
     # so only the coarse budget binds here; convergence of the
     # estimator itself is bounded statistically in test_ao_sweep.py
     a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.58, frac40=0.95)
     assert (a[..., :3] > 8).any()
 
     # with iso surfaces enabled the lattice shadow volumes join the
-    # geometric occluders under one shared-direction estimator — the
-    # fast path keeps the config (higher-variance frame-coherent AO;
-    # statistics in test_ao_sweep)
+    # geometric occluders under one pooled-direction estimator — the
+    # fast path keeps the config (statistics in test_ao_sweep)
     fs_iso = dataclasses.replace(
         fs,
         iso_enabled=np.asarray([True, False]),
