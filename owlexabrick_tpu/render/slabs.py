@@ -682,6 +682,11 @@ class SlabConfig:
     # (exabrick.cu:1694-97; differs only by a <=0.005-transmittance tail
     # the saturated-pixel collapse absorbs)
     carry_termination: bool = True
+    # static-camera product cache cap: render_slabs_camera only caches
+    # the per-chunk camera products (mids + TF-cull rows) when their
+    # estimated size fits this budget (progressive accumulation at a
+    # fixed pose then pays only the Pallas kernel per frame)
+    camera_cache_max_mb: int = 4096
     # adaptive z-stride: where a tile's finest contributing AMR level is
     # coarse, one slab stands in for a group of up to 8 with its step
     # weight scaled accordingly — the slab form of the reference's
@@ -821,13 +826,25 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
                  width: int, height: int, knots=None, t_stop=None,
                  lattice=None, t_start=None, ky_hints=None,
-                 kx_hints=None):
+                 kx_hints=None, products=None,
+                 return_products: bool = False):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
     t1 = min(t1, surface t), exabrick.cu:1675-1680).  t_start: optional
     (P,) parameter before which it is not integrated (the clip box
     entry, clipRay exabrick.cu:1258-1264); requires the einsum lane
-    (set megakernel=False when clipping)."""
+    (set megakernel=False when clipping).
+
+    ``products`` / ``return_products``: the megakernel lane's per-chunk
+    camera products (z/x-resampled level mids + TF-cull value rows)
+    depend only on (grids, camera, cfg geometry) — NOT on the frame
+    state.  ``return_products=True`` computes and returns them stacked
+    over chunks (one-time per camera pose); passing the result back as
+    ``products`` makes each frame slice them instead of recomputing, so
+    progressive accumulation at a fixed camera pays only the Pallas
+    kernel (the analog of the reference's lazy BVH rebuild: camera-
+    dependent structures rebuild on change only, exa/OptixRenderer.cpp:
+    533-549).  Bit-identical to the live path by construction."""
     """Sweep-render one frame.  Camera vectors must already be permuted to
     the grid frame (z = sweep axis) and separable (check_separable).
 
@@ -837,6 +854,11 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     adaptive one).  Returns (P, 4) accumulated rgba in pixel-row-major
     order like trace_dvr.
     """
+    if return_products and not (
+        cfg.megakernel and not cfg.gradient_shading_dvr
+        and t_start is None
+    ):
+        raise ValueError("return_products requires the megakernel lane")
     f32 = jnp.float32
     h, w = height, width
     # separable ray components: r(i,j) = dir00 + (i+.5) du + (j+.5) dv
@@ -991,6 +1013,177 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             kz,
         )
 
+    def mega_chunk_products(z_s, occ_s, scale):
+        """Camera-only products for one chunk of the megakernel lane:
+        per-level ([per-channel mids (S, ny, W)], mask mid) plus the
+        TF-cull value rows — everything here depends on (grids, camera,
+        cfg geometry) but not on the frame state."""
+        from .pallas_sweep import tile_shape as _tile_shape
+
+        x_pos = ox + scale[:, None] * rx[None, :]  # (S, W)
+        mids = []
+        orgs_y = []
+        cws_l = []
+        _, tc_x = _tile_shape(
+            h, w, (cfg.tile_rows, cfg.tile_cols), cfg.adaptive_stride,
+        )
+        n_ct_x = -(-w // tc_x)
+        for li, L in enumerate(grids.levels):
+            cw = float(1 << L)
+            m = grids.masks[li]
+            org = grids.origins[li]
+            nz, ny, nx = m.shape
+            qz = z_s / cw - org[0] - 0.5
+            wz_fn, vol_z, _kz = z_weights_slice(qz, li)
+            wz = wz_fn()  # (S, nz or KZ)
+            qx = x_pos / cw - org[2] - 0.5  # (S, W)
+
+            prec = (None if cfg.bf16_interp else {
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST,
+                "default": None,
+                # hi_lo applies to the kernel dots; the mid
+                # einsums keep bf16x3 (~f32) accuracy
+                "hi_lo": jax.lax.Precision.HIGH,
+            }[cfg.dot_precision])
+
+            # column-tiled x-resample: the x tent matrix has
+            # <= 2 nonzero entries per column, so a tc-column
+            # tile only reaches KX << nx lattice cells; the
+            # windowed einsum + tent build cost ~nx/KX less
+            # (exact — weights outside the window are zero)
+            # engage when the window saves >= 25% of the
+            # contraction (unlike y-windows there are no
+            # per-tile HBM copies to amortize, only the slice)
+            kx = (None if kx_hints is None
+                  else min(int(kx_hints[li]), nx))
+            if kx is not None and 4 * kx > 3 * nx:
+                kx = None
+            if kx is None:
+                k = jnp.arange(nx, dtype=f32)
+                wx = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(qx[..., None] - k)
+                )  # (S, W, nx)
+
+                def xres(sv, wx=wx):
+                    return jnp.einsum(
+                        "syx,swx->syw", sv, wx,
+                        preferred_element_type=f32,
+                        precision=prec,
+                    )
+            else:
+                xwin = []
+                for ct in range(n_ct_x):
+                    i0 = ct * tc_x
+                    i1 = min(w, i0 + tc_x)
+                    qx_t = qx[:, i0:i1]  # (S, tcw)
+                    k0 = jnp.clip(
+                        jnp.floor(qx_t.min()).astype(jnp.int32)
+                        - 1, 0, nx - kx,
+                    )
+                    kk = (jnp.arange(kx, dtype=f32)
+                          + k0.astype(f32))
+                    wx_t = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(qx_t[..., None] - kk)
+                    )  # (S, tcw, kx)
+                    xwin.append((k0, wx_t))
+
+                def xres(sv, xwin=xwin, kx=kx):
+                    pieces = [
+                        jnp.einsum(
+                            "syk,swk->syw",
+                            lax.dynamic_slice_in_dim(
+                                sv, k0, kx, axis=2),
+                            wx_t,
+                            preferred_element_type=f32,
+                            precision=prec,
+                        )
+                        for k0, wx_t in xwin
+                    ]
+                    return jnp.concatenate(pieces, axis=2)
+
+            def mid(vol, xres=xres, wz=wz, vol_z=vol_z, prec=prec):
+                sv = jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
+                                preferred_element_type=f32,
+                                precision=prec)
+                return xres(sv)
+
+            gate = occ_s[li].any().astype(f32)
+            mdt = jnp.bfloat16 if cfg.bf16_interp else f32
+            mids.append((
+                [(mid(grids.vals[li][c]) * gate).astype(mdt)
+                 for c in range(cfg.num_channels)],
+                (mid(m) * gate).astype(mdt),
+            ))
+            orgs_y.append(org[1])
+            cws_l.append(cw)
+
+        # per-slab (C, S, nyb, 2) value ranges over the z-lerp
+        # support rows, for the TF-aware lateral cull
+        tf_cull = None
+        if grids.vrange_zy and cfg.space_skipping:
+            vr_rows = []
+            for li, L in enumerate(grids.levels):
+                cw = float(1 << L)
+                org = grids.origins[li]
+                nzl = grids.masks[li].shape[0]
+                qz = z_s / cw - org[0] - 0.5
+                k0 = jnp.floor(qz).astype(jnp.int32)
+                vr = grids.vrange_zy[li]  # (C, nz, nyb, 2)
+
+                def zrow(k, vr=vr, nzl=nzl):
+                    valid = (k >= 0) & (k < nzl)
+                    r = vr[:, jnp.clip(k, 0, nzl - 1)]
+                    neut = jnp.stack(
+                        [jnp.full(r.shape[:-1], jnp.inf),
+                         jnp.full(r.shape[:-1], -jnp.inf)], -1,
+                    )
+                    return jnp.where(
+                        valid[None, :, None, None], r, neut
+                    )
+
+                r0 = zrow(k0)
+                r1 = zrow(k0 + 1)
+                vr_rows.append(jnp.stack(
+                    [jnp.minimum(r0[..., 0], r1[..., 0]),
+                     jnp.maximum(r0[..., 1], r1[..., 1])], -1,
+                ))
+            tf_cull = (vr_rows, grids.y_bin)
+        return mids, orgs_y, cws_l, tf_cull
+
+    if return_products:
+        # one-time per camera pose: every chunk's camera products,
+        # stacked over the chunk axis for dynamic slicing per frame
+        per_chunk = []
+        for ci0 in range(n_chunks):
+            z_s = z_planes_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
+            occ_s = [o[ci0 * s_chunk:(ci0 + 1) * s_chunk]
+                     for o in lvl_occ_p]
+            scale = (z_s - oz) / rz
+            mids, _, _, tf_cull = mega_chunk_products(z_s, occ_s, scale)
+            per_chunk.append((mids, tf_cull))
+        nl = len(grids.levels)
+        stacked = tuple(
+            (
+                tuple(
+                    jnp.stack([per_chunk[c][0][li][0][ch]
+                               for c in range(n_chunks)])
+                    for ch in range(cfg.num_channels)
+                ),
+                jnp.stack([per_chunk[c][0][li][1]
+                           for c in range(n_chunks)]),
+            )
+            for li in range(nl)
+        )
+        cull = None
+        if per_chunk[0][1] is not None:
+            cull = tuple(
+                jnp.stack([per_chunk[c][1][0][li]
+                           for c in range(n_chunks)])
+                for li in range(nl)
+            )
+        return (stacked, cull)
+
     need_grad = cfg.gradient_shading_dvr
 
     def chunk_fields(z_s, live_s, occ_s):
@@ -1123,138 +1316,35 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
                 scale = (z_s - oz) / rz
                 y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
-                x_pos = ox + scale[:, None] * rx[None, :]  # (S, W)
-                mids = []
-                orgs_y = []
-                cws_l = []
-                from .pallas_sweep import tile_shape as _tile_shape
-
-                _, tc_x = _tile_shape(
-                    h, w, (cfg.tile_rows, cfg.tile_cols),
-                    cfg.adaptive_stride,
-                )
-                n_ct_x = -(-w // tc_x)
-                for li, L in enumerate(grids.levels):
-                    cw = float(1 << L)
-                    m = grids.masks[li]
-                    org = grids.origins[li]
-                    nz, ny, nx = m.shape
-                    qz = z_s / cw - org[0] - 0.5
-                    wz_fn, vol_z, _kz = z_weights_slice(qz, li)
-                    wz = wz_fn()  # (S, nz or KZ)
-                    qx = x_pos / cw - org[2] - 0.5  # (S, W)
-
-                    prec = (None if cfg.bf16_interp else {
-                        "high": jax.lax.Precision.HIGH,
-                        "highest": jax.lax.Precision.HIGHEST,
-                        "default": None,
-                        # hi_lo applies to the kernel dots; the mid
-                        # einsums keep bf16x3 (~f32) accuracy
-                        "hi_lo": jax.lax.Precision.HIGH,
-                    }[cfg.dot_precision])
-
-                    # column-tiled x-resample: the x tent matrix has
-                    # <= 2 nonzero entries per column, so a tc-column
-                    # tile only reaches KX << nx lattice cells; the
-                    # windowed einsum + tent build cost ~nx/KX less
-                    # (exact — weights outside the window are zero)
-                    # engage when the window saves >= 25% of the
-                    # contraction (unlike y-windows there are no
-                    # per-tile HBM copies to amortize, only the slice)
-                    kx = (None if kx_hints is None
-                          else min(int(kx_hints[li]), nx))
-                    if kx is not None and 4 * kx > 3 * nx:
-                        kx = None
-                    if kx is None:
-                        k = jnp.arange(nx, dtype=f32)
-                        wx = jnp.maximum(
-                            0.0, 1.0 - jnp.abs(qx[..., None] - k)
-                        )  # (S, W, nx)
-
-                        def xres(sv, wx=wx):
-                            return jnp.einsum(
-                                "syx,swx->syw", sv, wx,
-                                preferred_element_type=f32,
-                                precision=prec,
-                            )
-                    else:
-                        xwin = []
-                        for ct in range(n_ct_x):
-                            i0 = ct * tc_x
-                            i1 = min(w, i0 + tc_x)
-                            qx_t = qx[:, i0:i1]  # (S, tcw)
-                            k0 = jnp.clip(
-                                jnp.floor(qx_t.min()).astype(jnp.int32)
-                                - 1, 0, nx - kx,
-                            )
-                            kk = (jnp.arange(kx, dtype=f32)
-                                  + k0.astype(f32))
-                            wx_t = jnp.maximum(
-                                0.0, 1.0 - jnp.abs(qx_t[..., None] - kk)
-                            )  # (S, tcw, kx)
-                            xwin.append((k0, wx_t))
-
-                        def xres(sv, xwin=xwin, kx=kx):
-                            pieces = [
-                                jnp.einsum(
-                                    "syk,swk->syw",
-                                    lax.dynamic_slice_in_dim(
-                                        sv, k0, kx, axis=2),
-                                    wx_t,
-                                    preferred_element_type=f32,
-                                    precision=prec,
-                                )
-                                for k0, wx_t in xwin
-                            ]
-                            return jnp.concatenate(pieces, axis=2)
-
-                    def mid(vol, xres=xres):
-                        sv = jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
-                                        preferred_element_type=f32,
-                                        precision=prec)
-                        return xres(sv)
-
-                    gate = occ_s[li].any().astype(f32)
-                    mdt = jnp.bfloat16 if cfg.bf16_interp else f32
-                    mids.append((
-                        [(mid(grids.vals[li][c]) * gate).astype(mdt)
-                         for c in range(cfg.num_channels)],
-                        (mid(m) * gate).astype(mdt),
-                    ))
-                    orgs_y.append(org[1])
-                    cws_l.append(cw)
-
-                # per-slab (C, S, nyb, 2) value ranges over the z-lerp
-                # support rows, for the TF-aware lateral cull
-                tf_cull = None
-                if grids.vrange_zy and cfg.space_skipping:
-                    vr_rows = []
-                    for li, L in enumerate(grids.levels):
-                        cw = float(1 << L)
-                        org = grids.origins[li]
-                        nzl = grids.masks[li].shape[0]
-                        qz = z_s / cw - org[0] - 0.5
-                        k0 = jnp.floor(qz).astype(jnp.int32)
-                        vr = grids.vrange_zy[li]  # (C, nz, nyb, 2)
-
-                        def zrow(k):
-                            valid = (k >= 0) & (k < nzl)
-                            r = vr[:, jnp.clip(k, 0, nzl - 1)]
-                            neut = jnp.stack(
-                                [jnp.full(r.shape[:-1], jnp.inf),
-                                 jnp.full(r.shape[:-1], -jnp.inf)], -1,
-                            )
-                            return jnp.where(
-                                valid[None, :, None, None], r, neut
-                            )
-
-                        r0 = zrow(k0)
-                        r1 = zrow(k0 + 1)
-                        vr_rows.append(jnp.stack(
-                            [jnp.minimum(r0[..., 0], r1[..., 0]),
-                             jnp.maximum(r0[..., 1], r1[..., 1])], -1,
-                        ))
-                    tf_cull = (vr_rows, grids.y_bin)
+                if products is not None:
+                    # cached camera pose: slice the precomputed chunk
+                    # products instead of recomputing the resample
+                    stacked, cull = products
+                    mids = [
+                        (
+                            [lax.dynamic_index_in_dim(
+                                chs, ci, 0, keepdims=False)
+                             for chs in lvl[0]],
+                            lax.dynamic_index_in_dim(
+                                lvl[1], ci, 0, keepdims=False),
+                        )
+                        for lvl in stacked
+                    ]
+                    orgs_y = [grids.origins[li][1]
+                              for li in range(len(grids.levels))]
+                    cws_l = [float(1 << L) for L in grids.levels]
+                    tf_cull = None
+                    if cull is not None:
+                        vr_rows = [
+                            lax.dynamic_index_in_dim(
+                                v, ci, 0, keepdims=False)
+                            for v in cull
+                        ]
+                        tf_cull = (vr_rows, grids.y_bin)
+                else:
+                    mids, orgs_y, cws_l, tf_cull = mega_chunk_products(
+                        z_s, occ_s, scale
+                    )
 
                 stop = None
                 if t_stop is not None:
@@ -1810,11 +1900,21 @@ def grids_from_scene(scene, axis: int = 2, device: bool = True) -> LevelGrids:
 
 def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                         width: int, height: int, t_stop=None,
-                        lattice=None, t_start=None):
+                        lattice=None, t_start=None, camera_cache=None):
     """Convenience wrapper: permute/validate the camera, handle the
     swapped du/dv orientation by rendering transposed, pick the sweep
     direction from the view sign.  Returns (P, 4) rgba in row-major pixel
-    order."""
+    order.
+
+    ``camera_cache``: optional dict owned by the caller.  When given
+    (and the config runs the megakernel lane), the per-chunk camera
+    products are computed once per (grids, camera, cfg) key and reused
+    for every following frame at the same pose — the per-frame cost
+    drops to the fused Pallas kernel, which is what progressive
+    accumulation at a fixed camera should pay (the reference's analog:
+    lazy BVH rebuild only on change, exa/OptixRenderer.cpp:533-549).
+    Entries are replaced on any key change, so callers just keep one
+    dict alive; bit-identical output either way."""
     import jax
 
     axis = grids.axis
@@ -1856,16 +1956,57 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
 
     f = jax.jit(
         render_slabs,
-        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints"),
+        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints",
+                         "return_products"),
     )
+
+    def cached_products(pos_, dir00_, du_, dv_, w_, h_, hints, xhints):
+        """Reuse (or compute) the per-chunk camera products keyed on the
+        full pose; None when ineligible."""
+        if camera_cache is None:
+            return None
+        if cfg.gradient_shading_dvr or not cfg.megakernel \
+                or t_start is not None:
+            return None  # einsum lane: no product cache
+        try:
+            key_cam = tuple(
+                np.asarray(v, np.float64).tobytes()
+                for v in (pos_, dir00_, du_, dv_)
+            )
+            key_lat = (None if lattice is None else tuple(
+                np.asarray(l, np.float32).tobytes() for l in lattice))
+        except Exception:
+            return None  # traced camera (inside jit): no host cache
+        # size gate: stacked mids are ~padded_nslabs * sum(ny_l) * W
+        # floats per component
+        ns_pad = cfg.nslabs + cfg.chunk
+        ny_sum = sum(int(m.shape[1]) for m in grids.masks)
+        itemsize = 2 if cfg.bf16_interp else 4
+        est = ns_pad * ny_sum * w_ * itemsize * (1 + cfg.num_channels)
+        if est > cfg.camera_cache_max_mb * 1e6:
+            return None
+        key = (key_cam, key_lat, w_, h_, cfg, hints, xhints,
+               id(grids.zranges))
+        if camera_cache.get("key") != key:
+            camera_cache["products"] = f(
+                grids, fs, cfg, pos_, dir00_, du_, dv_, w_, h_,
+                knots=None, lattice=lattice, ky_hints=hints,
+                kx_hints=xhints, return_products=True,
+            )
+            camera_cache["key"] = key
+        return camera_cache["products"]
+
     if not swapped:
         hints = ky_hints_for_camera(grids, cfg, pos, dir00, dv, height,
                                     width, lattice=lattice)
         xhints = kx_hints_for_camera(grids, cfg, pos, dir00, du, height,
                                      width, lattice=lattice)
+        products = cached_products(pos, dir00, du, dv, width, height,
+                                   hints, xhints)
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
                  knots=knots, t_stop=t_stop, lattice=lattice,
-                 t_start=t_start, ky_hints=hints, kx_hints=xhints)
+                 t_start=t_start, ky_hints=hints, kx_hints=xhints,
+                 products=products)
     if t_stop is not None:
         # the internal render is transposed: internal row = final column
         t_stop = t_stop.reshape(height, width).T.reshape(-1)
@@ -1874,9 +2015,11 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     # transposed internals: the v axis is du and the row count is width
     hints = ky_hints_for_camera(grids, cfg, pos, dir00, du, width, height)
     xhints = kx_hints_for_camera(grids, cfg, pos, dir00, dv, width, height)
+    products = cached_products(pos, dir00, dv, du, height, width,
+                               hints, xhints)
     rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots,
              t_stop=t_stop, t_start=t_start, ky_hints=hints,
-             kx_hints=xhints)
+             kx_hints=xhints, products=products)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )

@@ -736,3 +736,53 @@ def test_hi_lo_dot_precision_display_exact():
         cam, w, h))
     assert ref[:, 3].max() > 0.5
     assert np.abs(got - ref).max() < 1.0 / 255.0
+
+
+def test_camera_products_cache_bit_identical(amr_fixture):
+    """render_slabs_camera with a camera_cache must (a) populate the
+    cache, (b) reuse it at the same pose, (c) reproduce the live path
+    bit-for-bit, and (d) invalidate on a camera change — the static-
+    pose product cache (the lazy-BVH-rebuild analog,
+    exa/OptixRenderer.cpp:533-549)."""
+    scene, bricks, grids = _build(amr_fixture, EX3)
+    w = h = 24
+    cam = Camera.look_at([4.0, 4.0, 26.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=1.0,
+                          opacity_scale=0.8)
+    extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    cfg = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                     extent_z=extent, adaptive_stride=True)
+
+    live = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h))
+    cache = {}
+    first = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
+                                           camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    key0 = cache["key"]
+    again = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
+                                           camera_cache=cache))
+    assert cache["key"] is key0  # same pose: no recompute
+    assert np.array_equal(live, first)
+    assert np.array_equal(first, again)
+
+    # TF edit keeps the pose key (products are frame-state independent)
+    fs2 = dataclasses.replace(fs, xf_opacity_scale=np.float32(0.3))
+    out2 = np.asarray(render_slabs_camera(grids, fs2, cfg, cam, w, h,
+                                          camera_cache=cache))
+    assert cache["key"] is key0
+    assert np.array_equal(
+        out2,
+        np.asarray(render_slabs_camera(grids, fs2, cfg, cam, w, h)),
+    )
+
+    # camera change invalidates
+    cam2 = Camera.look_at([4.0, 4.0, 30.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                          30.0, w, h)
+    out3 = np.asarray(render_slabs_camera(grids, fs, cfg, cam2, w, h,
+                                          camera_cache=cache))
+    assert cache["key"] != key0
+    assert np.array_equal(
+        out3,
+        np.asarray(render_slabs_camera(grids, fs, cfg, cam2, w, h)),
+    )
