@@ -369,7 +369,7 @@ def warp_image(rgba_i, sw: ShearWarp, width: int, height: int,
 def render_slabs_shearwarp(grids, fs, cfg, camera, width: int, height: int,
                            sw: ShearWarp | None = None, t_stop=None,
                            jx=0.5, jy=0.5, oversample: float = 1.5,
-                           filter: str = "auto"):
+                           filter: str = "auto", camera_cache=None):
     """Render an arbitrarily oriented camera exactly through the sweep.
 
     ``camera`` must already be in voxel space; ``grids.axis`` selects the
@@ -386,7 +386,7 @@ def render_slabs_shearwarp(grids, fs, cfg, camera, width: int, height: int,
             )
     rgba_i = render_slabs_camera(
         grids, fs, cfg, sw.camera, sw.width, sw.height, t_stop=t_stop,
-        lattice=sw.lattice(),
+        lattice=sw.lattice(), camera_cache=camera_cache,
     )
     warp = {"auto": warp_image, "bicubic": warp_bicubic,
             "bilinear": warp_bilinear}[filter]

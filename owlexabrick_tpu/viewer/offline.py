@@ -423,16 +423,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                 adaptive_stride=adaptive_stride,
             )
             fsd = __import__("jax").tree.map(jnp.asarray, fs)
+            # the camera is fixed for the whole run: cache the per-chunk
+            # camera products so frames 2..N pay only the fused kernel
+            cam_cache = {}
             if shear is not None:
                 from ..render.shearwarp import render_slabs_shearwarp
 
                 def _render_one():
                     return render_slabs_shearwarp(
-                        grids, fsd, scfg, vcam, *size, sw=shear
+                        grids, fsd, scfg, vcam, *size, sw=shear,
+                        camera_cache=cam_cache,
                     )
             else:
                 def _render_one():
-                    return render_slabs_camera(grids, fsd, scfg, vcam, *size)
+                    return render_slabs_camera(grids, fsd, scfg, vcam,
+                                               *size,
+                                               camera_cache=cam_cache)
             t0 = time.time()
             rgba = None
             for f in range(frames):
