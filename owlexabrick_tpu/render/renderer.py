@@ -747,9 +747,37 @@ class Renderer:
             t_start = jnp.where(chit, c0, jnp.inf) / rnorm
             t_stop = jnp.where(chit, c1, 0.0) / rnorm
 
+        # TF-drag interactivity: repeated frame-0 renders at a stable
+        # pose (accumulation resets on every TF edit, the pose and its
+        # deterministic frame-0 jitter stay put) reuse the per-chunk
+        # camera products and pay only the fused kernel — the analog of
+        # the reference's updateXF -> lazy-BVH-rebuild -> render loop
+        # (exa/OptixRenderer.cpp:370-404, 533-549).  Orbit frames (pose
+        # changes) and accumulation frames (jitter changes) keep the
+        # live path, so there is no prepare overhead when poses move.
+        cam_cache = None
+        try:
+            pose = (
+                np.asarray(cam.pos).tobytes(),
+                np.asarray(cam.dir00).tobytes(),
+                np.asarray(cam.dir_du).tobytes(),
+                np.asarray(cam.dir_dv).tobytes(),
+                rw, rh, id(grids.zranges),
+                None if lattice is None else tuple(
+                    np.asarray(l).tobytes() for l in lattice),
+            )
+        except Exception:
+            pose = None
+        if (pose is not None and int(self.fs.frame_id) == 0
+                and pose == getattr(self, "_last_pose", None)):
+            cam_cache = getattr(self, "_cam_cache", None)
+            if cam_cache is None:
+                cam_cache = self._cam_cache = {}
+        self._last_pose = pose
+
         rgba = render_slabs_camera(
             grids, self.fs, scfg, cam, rw, rh, t_stop=t_stop,
-            lattice=lattice, t_start=t_start,
+            lattice=lattice, t_start=t_start, camera_cache=cam_cache,
         )
         color = composite_background(rgba, bg)
         if shear is not None:

@@ -786,3 +786,35 @@ def test_camera_products_cache_bit_identical(amr_fixture):
         out3,
         np.asarray(render_slabs_camera(grids, fs, cfg, cam2, w, h)),
     )
+
+
+def test_renderer_tf_drag_uses_camera_cache(amr_fixture):
+    """Repeated frame-0 renders at a stable pose (the TF-drag
+    interaction: every edit resets accumulation) must populate and hit
+    the renderer's camera-product cache without changing output."""
+    scene, bricks, grids = _build(amr_fixture, EX2)
+    from owlexabrick_tpu.render.renderer import Renderer
+
+    s = 20
+    cam = Camera.look_at([4, 4, 26], [4, 4, 4], [0, 1, 0], 30.0, s, s)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.5,
+                          opacity_scale=0.8)
+    cfg = RenderConfig(num_channels=1)
+    colors = np.asarray(fs.xf_lut[0][:, :3])
+    opac = np.asarray(fs.xf_lut[0][:, 3])
+    dom = np.asarray(fs.xf_domain[0])
+
+    def run():
+        r = Renderer(scene, s, s, cfg=cfg, frame_state=fs)
+        assert r.enable_fast_path()
+        outs = [np.asarray(r.render())]
+        for sc in (0.5, 0.65, 0.8):
+            r.update_xf(0, colors, opac, dom, sc)
+            outs.append(np.asarray(r.render()))
+        return outs, getattr(r, "_cam_cache", None)
+
+    o1, c1 = run()
+    o2, c2 = run()
+    assert c1 is not None and "key" in c1  # drag pattern engaged it
+    for a, b in zip(o1, o2):
+        assert np.array_equal(a, b)
