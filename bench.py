@@ -113,6 +113,12 @@ def _emit(state):
     if state.get("emitted"):
         return
     state["emitted"] = True
+    if not state.get("rows"):
+        # nothing measured (e.g. device init hang): a value-0 JSON line
+        # would read as a perf collapse — report the failure as such
+        print("# bench: no rows completed before the deadline",
+              file=sys.stderr, flush=True)
+        return
     head = state.get("headline") or (
         state["rows"][0] if state["rows"] else {}
     )
@@ -124,6 +130,16 @@ def _emit(state):
         "vs_baseline": round(fps / 30.0, 3),
         "rows": state["rows"],
     }
+    # rounds 1-2 recorded the per-frame-recompute rate under this
+    # metric; since round 3 `value` is the static-pose rate (camera
+    # products cached — the same 50 identical protocol frames, less
+    # redundant work).  value_orbit is the round-1/2-comparable number.
+    if head.get("fps_orbit") is not None:
+        out["value_orbit"] = head["fps_orbit"]
+        out["metric_note"] = (
+            "value = static-pose (cached camera products); "
+            "value_orbit = per-frame recompute, comparable to r01/r02"
+        )
     if state.get("platform"):
         out["platform"] = state["platform"]
     print(json.dumps(out), flush=True)
@@ -150,6 +166,9 @@ def main():
             signal.signal(sig, _on_deadline)
         except (ValueError, OSError):
             pass
+    # hard self-deadline: a hung device tunnel (observed: jax.devices()
+    # blocking for hours) must still flush whatever rows completed
+    signal.alarm(int(budget_s) + 120)
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
@@ -177,7 +196,10 @@ def main():
         kind0 = legacy_scene or "blobs"
         n0 = int(legacy_n or 64)
         if (kind0, n0) != ("blobs", 64):
-            metric = f"dvr_fps_1080p_{kind0}{n0}"
+            # round-2 naming kept for series continuity
+            metric = ("dvr_fps_1080p_exajet_pattern%d" % n0
+                      if kind0 == "exajet"
+                      else f"dvr_fps_1080p_{kind0}{n0}")
     state["metric"] = metric
     try:
         state["platform"] = jax.devices()[0].platform
@@ -353,6 +375,11 @@ def main():
             row = dict(
                 name="scale1024", scene=f"exajet2w{n}",
                 fps=round(med, 2), fps_iqr=round(iqr, 2), reps=vals,
+                # the product cache declines at this scale (the stacked
+                # mids exceed camera_cache_max_mb), so unlike the other
+                # rows this fps is the per-frame-recompute rate
+                cached_pose=("key" in scache) or scache.get(
+                    "declined", "not engaged"),
                 mray_s=round(med * width * height / 1e6, 1),
                 nslabs=cfg.nslabs, compile_s=round(compile_s, 1),
                 upload_s=round(upload_s, 1),

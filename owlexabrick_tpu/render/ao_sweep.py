@@ -148,38 +148,23 @@ def sample_lattice(vol, lo, cwf, pts_zyx):
     """Trilinear sample of a dense (nz, ny, nx) volume at (P, 3) points
     in the grid (z, y, x) frame — one gather row per corner per pixel,
     used once per frame at the surface hits."""
-    nz, ny, nx = vol.shape
-    q = (pts_zyx - lo[None, :]) / cwf - 0.5
-    k0 = jnp.floor(q).astype(jnp.int32)
-    f = q - k0.astype(q.dtype)
-    flat = vol.reshape(-1)
-    acc = 0.0
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                kz = jnp.clip(k0[:, 0] + dz, 0, nz - 1)
-                ky = jnp.clip(k0[:, 1] + dy, 0, ny - 1)
-                kx = jnp.clip(k0[:, 2] + dx, 0, nx - 1)
-                w = (
-                    (f[:, 0] if dz else 1 - f[:, 0])
-                    * (f[:, 1] if dy else 1 - f[:, 1])
-                    * (f[:, 2] if dx else 1 - f[:, 2])
-                )
-                acc = acc + w * flat[(kz * ny + ky) * nx + kx]
-    return acc
+    return sample_lattice_indexed(
+        vol[None], lo, cwf, pts_zyx,
+        jnp.zeros(pts_zyx.shape[0], jnp.int32),
+    )
 
 
 def sample_lattice_indexed(vols, lo, cwf, pts_zyx, vidx):
     """Trilinear sample of a stacked (V, nz, ny, nx) volume at (P, 3)
-    grid-frame points, volume ``vidx`` (P,) per point — same gather-row
-    count as :func:`sample_lattice` (8 corner rows per pixel; the stack
-    index folds into the flat offset)."""
+    grid-frame points, volume ``vidx`` (P,) per point — one gather row
+    per corner per pixel.  The stack axis stays a separate index (not
+    folded into a flat int32 offset) so the reach is the same ~2^31
+    cells per volume regardless of the stack size."""
     _, nz, ny, nx = vols.shape
     q = (pts_zyx - lo[None, :]) / cwf - 0.5
     k0 = jnp.floor(q).astype(jnp.int32)
     f = q - k0.astype(q.dtype)
-    flat = vols.reshape(-1)
-    base = vidx * (nz * ny * nx)
+    flat = vols.reshape(vols.shape[0], -1)
     acc = 0.0
     for dz in (0, 1):
         for dy in (0, 1):
@@ -192,7 +177,7 @@ def sample_lattice_indexed(vols, lo, cwf, pts_zyx, vidx):
                     * (f[:, 1] if dy else 1 - f[:, 1])
                     * (f[:, 2] if dx else 1 - f[:, 2])
                 )
-                corner = flat[base + (kz * ny + ky) * nx + kx]
+                corner = flat[vidx, (kz * ny + ky) * nx + kx]
                 acc = acc + w * corner.astype(jnp.float32)
     return acc
 
@@ -218,8 +203,9 @@ def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
     (exabrick.cu:1612-1645) — and the weight concentrates near
     E[2|cos|] = 1, so the per-pixel variance approaches the reference's
     cosine-importance estimator while neighbouring pixels decorrelate
-    within a single frame (D=1 degenerates to the old frame-coherent
-    shared direction).
+    within a single frame.  The pool never shrinks below ``ao_samples``
+    (a smaller pool would make a pixel's samples share directions,
+    strictly worse coverage than one independent draw per sample).
 
     ``geom_occluder``: optional callback ``d_pix (P, 3) zyx -> (P,)
     0/1`` reporting geometric occlusion (meshes/streamlines) along the
@@ -230,7 +216,7 @@ def ao_shadow_fast(lattice, fs, hit_zyx, normals_zyx, key,
     ind = iso_indicator(val, occ, fs)
     max_len = max(val.shape)
     ao_cells = jnp.clip(fs.ao_length / cwf, 1.0, float(max_len))
-    n_dirs = max(int(ao_dirs), 1)
+    n_dirs = max(int(ao_dirs), int(ao_samples), 1)
 
     # the frame's direction pool + its 2*D signed shadow volumes
     # (uint8: the indicator is 0/1, and the stack stays small)

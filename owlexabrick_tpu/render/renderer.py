@@ -422,6 +422,20 @@ class Renderer:
                 np.asarray(self.scene.voxel_from_world),
             )
             pick = self._pick_shearwarp(cam_v)
+
+            def slabs_for(grids):
+                # slab spacing = dt * finest cell width over the sweep
+                # extent (integrateBrick's dt, exabrick.cu:1129)
+                extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+                finest = float(min(1 << l for l in grids.levels))
+                return _dc.replace(
+                    scfg,
+                    nslabs=int(np.ceil(
+                        extent / (float(self.fs.dt) * finest)
+                    )),
+                    extent_z=extent,
+                )
+
             if pick is None:
                 # frustum too oblique for every axis mid-orbit: render
                 # this frame through the bounded-time reorientation
@@ -430,15 +444,7 @@ class Renderer:
                 from .slabs import reorient_grids
 
                 grids, cam_r = reorient_grids(self._grids_for(2), cam_v)
-                extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
-                finest = float(min(1 << l for l in grids.levels))
-                scfg = _dc.replace(
-                    scfg,
-                    nslabs=int(np.ceil(
-                        extent / (float(self.fs.dt) * finest)
-                    )),
-                    extent_z=extent,
-                )
+                scfg = slabs_for(grids)
                 cam = Camera(
                     pos=cam_r.pos,
                     dir00=cam_r.dir00 + jx * cam_r.dir_du
@@ -451,15 +457,7 @@ class Renderer:
             else:
                 axis, shear = pick
                 grids = self._grids_for(axis)
-                extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
-                finest = float(min(1 << l for l in grids.levels))
-                scfg = _dc.replace(
-                    scfg,
-                    nslabs=int(np.ceil(
-                        extent / (float(self.fs.dt) * finest)
-                    )),
-                    extent_z=extent,
-                )
+                scfg = slabs_for(grids)
                 # lattice-phase jitter (the intermediate rays move each
                 # frame; the warp compensates so screen positions stay put)
                 kx = jx
@@ -769,11 +767,14 @@ class Renderer:
         except Exception:
             pose = None
         if (pose is not None and int(self.fs.frame_id) == 0
-                and pose == getattr(self, "_last_pose", None)):
+                and pose == getattr(self, "_last_pose", None)
+                and getattr(self, "_last_pose_grids", None)
+                is grids.zranges):
             cam_cache = getattr(self, "_cam_cache", None)
             if cam_cache is None:
                 cam_cache = self._cam_cache = {}
         self._last_pose = pose
+        self._last_pose_grids = grids.zranges
 
         rgba = render_slabs_camera(
             grids, self.fs, scfg, cam, rw, rh, t_stop=t_stop,

@@ -1984,16 +1984,27 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         itemsize = 2 if cfg.bf16_interp else 4
         est = ns_pad * ny_sum * w_ * itemsize * (1 + cfg.num_channels)
         if est > cfg.camera_cache_max_mb * 1e6:
+            # record the decline so callers (bench.py) can label the
+            # measurement honestly instead of assuming a cached pose
+            camera_cache["declined"] = (
+                f"size: ~{est/1e6:.0f} MB > camera_cache_max_mb="
+                f"{cfg.camera_cache_max_mb}"
+            )
             return None
         key = (key_cam, key_lat, w_, h_, cfg, hints, xhints,
                id(grids.zranges))
-        if camera_cache.get("key") != key:
+        # pin the grids object itself: a GC'd grids can recycle its id
+        # for a NEW grids (same hazard _host_z_bounds guards), which
+        # would serve the previous scene's mids at a matching pose
+        if (camera_cache.get("key") != key
+                or camera_cache.get("grids_ref") is not grids.zranges):
             camera_cache["products"] = f(
                 grids, fs, cfg, pos_, dir00_, du_, dv_, w_, h_,
                 knots=None, lattice=lattice, ky_hints=hints,
                 kx_hints=xhints, return_products=True,
             )
             camera_cache["key"] = key
+            camera_cache["grids_ref"] = grids.zranges
         return camera_cache["products"]
 
     if not swapped:
