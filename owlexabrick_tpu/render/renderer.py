@@ -47,7 +47,8 @@ def _render_step_impl(scene, fs: FrameState, surf: SurfaceData, accum, *,
 
     # surface pass: meshes, contour planes, iso surfaces (exabrick.cu:1475-1529)
     t_hit, bg = trace_surface_pass(
-        scene, fs, surf, cfg, o, d, jax.random.fold_in(key, 3)
+        scene, fs, surf, cfg, o, d, jax.random.fold_in(key, 3),
+        screen=(width, height),
     )
 
     # clip box shrinks the volume interval (clipRay, exabrick.cu:1258-1264)
@@ -518,7 +519,8 @@ class Renderer:
 
             fns = jax.jit(
                 _nearest_surface,
-                static_argnames=("cfg", "include_contours", "include_iso"),
+                static_argnames=("cfg", "include_contours",
+                                 "include_iso", "screen"),
             )
             p_ = o_w.shape[0]
             t_g, n_w_g, base_g, amb_g, _kind = fns(
@@ -528,6 +530,7 @@ class Renderer:
                 jnp.full(p_, 2e10, jnp.float32),
                 include_contours=include_contours, include_iso=False,
                 current_timestep=self.fs.tracer_timestep,
+                screen=(rw, rh),
             )
             t_w = jnp.where(jnp.isfinite(t_g), t_g, 2e10)
             geom = (t_w / rnorm, n_w_g, base_g, amb_g)
@@ -540,12 +543,14 @@ class Renderer:
             key_s = jax.random.fold_in(key, 3)
             fsurf = jax.jit(
                 trace_surface_pass,
-                static_argnames=("cfg", "include_iso", "include_contours"),
+                static_argnames=("cfg", "include_iso",
+                                 "include_contours", "screen"),
             )
             t_w, bg_s = fsurf(
                 self.scene, self.fs, self.surf, self.cfg,
                 o_w, d_unit, key_s,
                 include_iso=False, include_contours=include_contours,
+                screen=(rw, rh),
             )
             t_surf = t_w / rnorm  # world t -> sweep scale
             t_stop = t_surf
@@ -831,10 +836,12 @@ class Renderer:
         o, d = jax.jit(generate_rays, static_argnames=("width", "height"))(
             fs, w, h, jitter
         )
-        fsurf = jax.jit(trace_surface_pass, static_argnames=("cfg",))
+        fsurf = jax.jit(
+            trace_surface_pass, static_argnames=("cfg", "screen")
+        )
         t_hit, bg = fsurf(
             self.scene, fs, self.surf, self.cfg, o, d,
-            jax.random.fold_in(key, 3),
+            jax.random.fold_in(key, 3), screen=(w, h),
         )
         chit, c0, c1 = ray_box(
             o, d, fs.clip_lo, fs.clip_hi, jnp.zeros(p), t_hit

@@ -187,7 +187,9 @@ def _streamline_chunk(surf_chunk, current_timestep, o, d, tmin, tmax):
 def trace_streamlines(surf: SurfaceData, current_timestep, o, d, tmin, tmax,
                       chunk: int = 2048):
     """Nearest visible streamline segment (segments at/after the current
-    timestep are hidden, exabrick.cu:536-570).
+    timestep are hidden, exabrick.cu:536-570).  ``d`` must be unit
+    vectors (every production caller normalizes; the rounded-cone
+    quadratics assume |d| = 1).
 
     Large trace tables (the live tracer holds seeds x timesteps
     segments) are processed in ``chunk``-segment slices under lax.scan
@@ -226,6 +228,214 @@ def trace_streamlines(surf: SurfaceData, current_timestep, o, d, tmin, tmax,
     init = (jnp.full(p, jnp.inf, o.dtype), jnp.zeros((p, 3), o.dtype))
     (t_best, n_best), _ = jax.lax.scan(step, init, (seg_a, seg_b, seg_t))
     return t_best, n_best
+
+
+# ----------------------------------------------------------------------------
+# tile-culled streamline tracing (the live tracer's table is seeds x
+# timesteps segments; seed-major order makes a run of consecutive
+# segments one trajectory piece, so chunk bounding spheres are tight)
+# ----------------------------------------------------------------------------
+
+def _segment_chunk_bounds(sa, sb, radius):
+    """Bounding sphere per segment chunk.  sa/sb: (NC, C, 3).  Dead
+    endpoints (|coord| >= 2e10, the tracer's not-yet-advanced slots and
+    the pad chunk) are excluded; an all-dead chunk reports alive=False.
+    Returns centers (NC, 3), radii (NC,), alive (NC,)."""
+    ok = (jnp.abs(sa) < 2e10).all(-1) & (jnp.abs(sb) < 2e10).all(-1)
+    pts = jnp.concatenate([sa, sb], axis=1)
+    m = jnp.concatenate([ok, ok], axis=1)[..., None]
+    big = jnp.float32(3e10)
+    lo = jnp.min(jnp.where(m, pts, big), axis=1)
+    hi = jnp.max(jnp.where(m, pts, -big), axis=1)
+    ctr = 0.5 * (lo + hi)
+    rad = 0.5 * jnp.linalg.norm(hi - lo, axis=-1) + radius
+    alive = ok.any(1)
+    return (jnp.where(alive[:, None], ctr, 0.0),
+            jnp.where(alive, rad, 0.0), alive)
+
+
+def _ray_block_cones(o_b, d_b, tmax_b):
+    """Bounding cone per ray block.  o_b/d_b: (B, G, 3).  Returns apex
+    centroid (B, 3), apex radius (B,), unit axis (B, 3), cos half-angle
+    (B,), and the block's largest reachable axis coordinate (B,)."""
+    oc = o_b.mean(1)
+    rho = jnp.linalg.norm(o_b - oc[:, None], axis=-1).max(1)
+    axis = d_b.mean(1)
+    axis = axis / jnp.maximum(
+        jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-20
+    )
+    dn = jnp.linalg.norm(d_b, axis=-1)
+    cos_t = jnp.clip(
+        ((d_b * axis[:, None]).sum(-1)
+         / jnp.maximum(dn, 1e-20)).min(1), -1.0, 1.0
+    )
+    # ray points sit at axis coordinate <= rho + t*|d| (t windows are in
+    # the caller's |d| parametrization, so scale by the block max |d|)
+    x_reach = rho + jnp.maximum(tmax_b.max(1), 0.0) * dn.max(1)
+    return oc, rho, axis, cos_t, x_reach
+
+
+def _cone_sphere_overlap(oc, rho, axis, cos_t, x_reach, ctr, rad, alive):
+    """Conservative (never-drops) cone-vs-sphere test, (B, NC) mask.
+    The plane term is the signed distance to a supporting halfspace of
+    the cone, a lower bound on the true distance, so `<= rr` keeps
+    every genuine overlap."""
+    v = ctr[None] - oc[:, None, :]
+    x = (v * axis[:, None, :]).sum(-1)
+    vv = (v * v).sum(-1)
+    y = jnp.sqrt(jnp.maximum(vv - x * x, 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    rr = rad[None] + rho[:, None]
+    plane = cos_t[:, None] * y - sin_t[:, None] * x
+    hit = (plane <= rr) | (vv <= rr * rr)
+    # forward rays only: a sphere wholly behind the apex is unreachable,
+    # and one past the farthest t window is too
+    hit &= x + rad[None] >= -rho[:, None]
+    hit &= x - rad[None] <= x_reach[:, None]
+    # incoherent block (half-angle >= ~84 deg): the halfspace bound
+    # degenerates, keep every chunk for this block
+    hit = jnp.where(cos_t[:, None] < 0.1, True, hit)
+    return hit & alive[None]
+
+
+def _trace_stream_blocks(chunks, radius, cand, current_timestep,
+                         o_b, d_b, tmin_b, tmax_b):
+    """Scan candidate chunk columns; each block gathers its own chunk.
+    chunks: (sa, sb, st) of shape (NC1, C, ...); cand: (B, K) chunk ids.
+    Returns nearest t (B, G) and normals (B, G, 3)."""
+    sa, sb, st = chunks
+
+    def step(carry, ids):
+        bt, bn = carry
+        ct, cn = jax.vmap(
+            lambda a, b, t_, o, d, t0, t1: _streamline_chunk(
+                (a, b, t_, radius), current_timestep, o, d, t0, t1
+            )
+        )(sa[ids], sb[ids], st[ids], o_b, d_b, tmin_b, tmax_b)
+        win = ct < bt
+        return (jnp.where(win, ct, bt),
+                jnp.where(win[..., None], cn, bn)), None
+
+    init = (jnp.full(o_b.shape[:2], jnp.inf, o_b.dtype),
+            jnp.zeros((*o_b.shape[:2], 3), o_b.dtype))
+    (bt, bn), _ = jax.lax.scan(step, init, cand.T)
+    return bt, bn
+
+
+def _screen_tile_perm(w: int, h: int, group: int):
+    """Row-major pixel order -> near-square screen-tile order, so a
+    contiguous block of `group` rays is one tile's bundle (much tighter
+    bounding cones than row strips).  Returns (perm, inverse)."""
+    tw = max(8, int(2 ** np.round(np.log2(max(np.sqrt(group), 1)))))
+    th = max(1, group // tw)
+    py, px = np.mgrid[0:h, 0:w]
+    tile = (py // th) * ((w + tw - 1) // tw) + px // tw
+    perm = np.argsort(tile.ravel(), kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
+
+
+def trace_streamlines_tiled(surf: SurfaceData, current_timestep, o, d,
+                            tmin, tmax, *, group: int = 256,
+                            seg_chunk: int = 32, max_chunks=(64, 256),
+                            screen=None):
+    """Exact nearest streamline hit with two-level culling: segment
+    chunks (bounding spheres; the tracer's Morton seed order keeps them
+    tight) vs ray blocks (bounding cones).  Each block tests only its
+    overlapping chunks, padded to the smallest adequate capacity tier
+    in `max_chunks`; when even the largest tier overflows, the call
+    scans every chunk (still blocked, still exact).  Tier selection is
+    a nested `lax.cond` on the per-frame max candidate count, so the
+    result equals :func:`trace_streamlines` in every branch (to within
+    XLA's per-shape FMA contraction, ~1 ulp) while the common
+    localized-tracer case pays only the small tier.  ``d`` must be unit vectors (the rounded-cone quadratics
+    assume |d| = 1; every production caller normalizes).
+
+    This is the TPU-first replacement for the reference's per-frame
+    streamline BVH rebuild (exa/OptixRenderer.cpp:476-487): culling is
+    recomputed in-graph each frame from the fixed-shape segment table,
+    so the live tracer never recompiles or rebuilds host-side.
+
+    `screen=(w, h)`: optional row-major screen shape of the ray batch;
+    rays are regrouped into near-square tiles for tighter cones."""
+    p = o.shape[0]
+    s = surf.num_segments
+    radius = surf.seg_radius
+    c = int(seg_chunk)
+    nc = -(-s // c)
+    dead = jnp.float32(3e10)
+
+    def _pad3(xs, rows):
+        return jnp.concatenate(
+            [xs, jnp.full((rows, 3), dead, xs.dtype)]
+        )
+
+    # +1 trailing all-dead chunk: junk candidate slots point here
+    sa = _pad3(surf.seg_a, nc * c - s + c).reshape(nc + 1, c, 3)
+    sb = _pad3(surf.seg_b, nc * c - s + c).reshape(nc + 1, c, 3)
+    st = jnp.concatenate(
+        [surf.seg_t, jnp.zeros(nc * c - s + c, surf.seg_t.dtype)]
+    ).reshape(nc + 1, c)
+    ctr, rad, alive = _segment_chunk_bounds(sa, sb, radius)
+
+    # ray blocks (optionally screen-tiled)
+    g = int(group)
+    perm = inv = None
+    if screen is not None and int(screen[0]) * int(screen[1]) == p:
+        perm, inv = _screen_tile_perm(int(screen[0]), int(screen[1]), g)
+    nb = -(-p // g)
+    idx = np.arange(nb * g)
+    idx = np.minimum(idx, p - 1)
+    if perm is not None:
+        idx = np.concatenate([perm, np.full(nb * g - p, perm[-1])])
+    idx = jnp.asarray(idx, jnp.int32)
+    o_b = o[idx].reshape(nb, g, 3)
+    d_b = d[idx].reshape(nb, g, 3)
+    tmin_b = tmin[idx].reshape(nb, g)
+    tmax_b = tmax[idx].reshape(nb, g)
+
+    oc, rho, axis, cos_t, x_reach = _ray_block_cones(o_b, d_b, tmax_b)
+    mask = _cone_sphere_overlap(
+        oc, rho, axis, cos_t, x_reach, ctr, rad, alive
+    )
+    counts = mask.sum(1)
+    cmax = counts.max()
+    chunks = (sa, sb, st)
+    if isinstance(max_chunks, int):
+        max_chunks = (max_chunks,)
+    tiers = sorted({min(int(k), nc) for k in max_chunks if int(k) < nc})
+    if tiers:
+        order = jnp.argsort(~mask, axis=1)
+
+    def _run(kc):
+        cand = order[:, :kc]
+        cand = jnp.where(
+            jnp.arange(kc)[None] < counts[:, None], cand, nc
+        )
+        return lambda: _trace_stream_blocks(
+            chunks, radius, cand, current_timestep,
+            o_b, d_b, tmin_b, tmax_b,
+        )
+
+    # innermost fallback: scan every chunk
+    run = lambda: _trace_stream_blocks(  # noqa: E731
+        chunks, radius,
+        jnp.broadcast_to(jnp.arange(nc), (nb, nc)),
+        current_timestep, o_b, d_b, tmin_b, tmax_b,
+    )
+    for kc in reversed(tiers):
+        run = (lambda kc=kc, nxt=run: lambda: jax.lax.cond(
+            cmax <= kc, _run(kc), nxt
+        ))()
+    bt, bn = run()
+    t_flat = bt.reshape(-1)[:p]
+    n_flat = bn.reshape(-1, 3)[:p]
+    if perm is not None:
+        inv = jnp.asarray(inv)
+        t_flat = t_flat[inv]
+        n_flat = n_flat[inv]
+    return t_flat, n_flat
 
 
 # ----------------------------------------------------------------------------
@@ -316,7 +526,7 @@ def _lookup_channel(fs, cfg, channel, value):
 
 def _nearest_surface(scene, fs, surf, cfg, o, d, tmin, tmax,
                      include_contours: bool, include_iso: bool,
-                     current_timestep=None):
+                     current_timestep=None, screen=None):
     """traceSurfaces: nearest hit among meshes, contour planes, streamlines
     and iso surfaces.  Returns (t, normal, base_color, ambient, kind)."""
     p = o.shape[0]
@@ -347,7 +557,12 @@ def _nearest_surface(scene, fs, surf, cfg, o, d, tmin, tmax,
         # default: every segment visible (a live tracer animates by
         # passing its current timestep)
         ts = current_timestep if current_timestep is not None else jnp.int32(1 << 30)
-        st, sn = trace_streamlines(surf, ts, o, d, tmin, tmax)
+        if surf.num_segments >= 2048 and o.shape[0] >= 2048:
+            st, sn = trace_streamlines_tiled(
+                surf, ts, o, d, tmin, tmax, screen=screen
+            )
+        else:
+            st, sn = trace_streamlines(surf, ts, o, d, tmin, tmax)
         win = st < t
         t = jnp.where(win, st, t)
         normal = jnp.where(win[:, None], sn, normal)
@@ -382,7 +597,8 @@ def _onb(w):
 
 def trace_surface_pass(scene, fs, surf, cfg, o, d, key,
                        include_iso: bool = True,
-                       include_contours: bool = True):
+                       include_contours: bool = True,
+                       screen=None):
     """Full surface pass of the raygen program: nearest surface, AO,
     shaded background color.  Returns (t_hit (P,), bg (P,3)).
 
@@ -393,7 +609,7 @@ def trace_surface_pass(scene, fs, surf, cfg, o, d, key,
     tmax = jnp.full(p, 2e10, o.dtype)
 
     t, n, base, ambient, kind = _nearest_surface(
-        scene, fs, surf, cfg, o, d, tmin, tmax,
+        scene, fs, surf, cfg, o, d, tmin, tmax, screen=screen,
         include_contours=include_contours, include_iso=include_iso,
         current_timestep=getattr(fs, "tracer_timestep", None),
     )

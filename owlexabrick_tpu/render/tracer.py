@@ -32,6 +32,29 @@ from .dvr import locate_leaf, sample_basis
 from .surfaces import SurfaceData
 
 
+def morton_order(points: np.ndarray) -> np.ndarray:
+    """Permutation sorting (N, 3) points along a 3D Z-curve (10 bits per
+    axis over the point AABB).  Used to emit the tracer's segment table
+    in spatially-coherent seed order so the tiled streamline tracer's
+    chunk bounding spheres stay tight (render/surfaces.py) — a pure
+    reordering, render semantics (nearest hit over the set) unchanged."""
+    pts = np.asarray(points, np.float64)
+    lo = pts.min(0)
+    ext = np.maximum(pts.max(0) - lo, 1e-30)
+    q = np.minimum((pts - lo) / ext * 1023.0, 1023.0).astype(np.uint64)
+
+    def _spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = _spread(q[:, 0]) | (_spread(q[:, 1]) << np.uint64(1)) \
+        | (_spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
 def minstd0_uniform_f32(n: int, seed: int = 0) -> np.ndarray:
     """n float32 draws of libstdc++'s
     ``uniform_real_distribution<float>(0,1)(default_random_engine(seed))``.
@@ -166,13 +189,19 @@ class Tracer:
         self.timestep += 1
         return True
 
+    def _seed_order(self) -> np.ndarray:
+        """Morton order of the seed points (spatially-coherent segment
+        emission for the tiled tracer's chunk culling)."""
+        return morton_order(self.traces[:, 0])
+
     def surface_data(self) -> SurfaceData:
         """Segments up to the current timestep as renderable rounded cones."""
         t = self.timestep
         if t == 0:
             return SurfaceData.empty()
-        a = self.traces[:, :t].reshape(-1, 3)
-        b = self.traces[:, 1 : t + 1].reshape(-1, 3)
+        tr = self.traces[self._seed_order()]
+        a = tr[:, :t].reshape(-1, 3)
+        b = tr[:, 1 : t + 1].reshape(-1, 3)
         seg_t = np.tile(np.arange(1, t + 1, dtype=np.int32),
                         (self.num_traces, 1)).reshape(-1)
         z = np.zeros((0, 3), np.float32)
@@ -193,8 +222,9 @@ class Tracer:
         particles advect (the reference instead rebuilds the streamline
         BVH per frame, exa/OptixRenderer.cpp:476-487)."""
         nt = self.num_timesteps
-        a = self.traces[:, : nt - 1].reshape(-1, 3)
-        b = self.traces[:, 1:nt].reshape(-1, 3)
+        tr = self.traces[self._seed_order()]
+        a = tr[:, : nt - 1].reshape(-1, 3)
+        b = tr[:, 1:nt].reshape(-1, 3)
         seg_t = np.tile(np.arange(1, nt, dtype=np.int32),
                         (self.num_traces, 1)).reshape(-1)
         z = np.zeros((0, 3), np.float32)
