@@ -316,8 +316,9 @@ def _trace_stream_blocks(chunks, radius, cand, current_timestep,
         return (jnp.where(win, ct, bt),
                 jnp.where(win[..., None], cn, bn)), None
 
-    init = (jnp.full(o_b.shape[:2], jnp.inf, o_b.dtype),
-            jnp.zeros((*o_b.shape[:2], 3), o_b.dtype))
+    # derive the carry init from o_b so its device-variance matches the
+    # step output under shard_map (jnp.full would be unvarying)
+    init = (jnp.full_like(o_b[..., 0], jnp.inf), jnp.zeros_like(o_b))
     (bt, bn), _ = jax.lax.scan(step, init, cand.T)
     return bt, bn
 

@@ -164,3 +164,82 @@ def test_sharded_slab_render_matches_single(setup):
         )
     )
     np.testing.assert_allclose(out_k, single_k, rtol=1e-5, atol=2e-5)
+
+
+def test_8way_multichannel_streamlines_matches_single():
+    """BASELINE 'runnable config': multi-channel + streamlines sharded
+    across the mesh.  Segment table large enough (>= 2048) that each
+    shard's surface pass runs the tile-culled tracer."""
+    from owlexabrick_tpu.render.tracer import morton_order
+    from owlexabrick_tpu.tools.artificial import parse_grids_text
+
+    lower, level, scal = parse_grids_text(EX2)
+    scene, *_ = scene_from_cells(
+        lower, level, [scal, 7.0 - scal], num_range_channels=2
+    )
+    w, h = 144, 128
+    cam = Camera.look_at([12.0, 10.0, 14.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         50.0, w, h)
+    fs = make_frame_state(
+        cam, num_channels=2, xf_domains=[[0.0, 7.0], [0.0, 7.0]], dt=0.7
+    )
+    o, d = cam.rays(w, h)
+
+    # clustered trajectories near the volume, Morton seed order
+    rng = np.random.default_rng(11)
+    n_seeds, n_steps = 64, 33
+    pos = rng.uniform(0, 8, (n_seeds, 3)).astype(np.float32)
+    vel = 0.1 * rng.normal(0, 1, (n_seeds, 3)).astype(np.float32)
+    pts = [pos.copy()]
+    for _ in range(n_steps):
+        vel = 0.9 * vel + 0.03 * rng.normal(
+            0, 1, (n_seeds, 3)
+        ).astype(np.float32)
+        pos = pos + vel
+        pts.append(pos.copy())
+    traj = np.stack(pts, axis=1)
+    traj = traj[morton_order(traj[:, 0])]
+    z = np.zeros((0, 3), np.float32)
+    surf = SurfaceData(
+        tri_v0=z, tri_e1=z, tri_e2=z, tri_n=z,
+        seg_a=traj[:, :-1].reshape(-1, 3),
+        seg_b=traj[:, 1:].reshape(-1, 3),
+        seg_t=np.tile(np.arange(1, n_steps + 1, dtype=np.int32),
+                      (n_seeds, 1)).reshape(-1),
+        seg_radius=np.float32(0.35),
+    )
+    assert surf.num_segments >= 2048  # tiled-path threshold
+
+    cfg = RenderConfig(num_channels=2)
+    mesh = make_mesh(8, 1)
+    f = make_sharded_renderer(mesh, cfg)
+    sc = replicate(mesh, to_device(scene))
+    fsr = replicate(mesh, fs)
+    sfr = replicate(mesh, jax.tree.map(jnp.asarray, surf))
+    key = jax.random.PRNGKey(3)
+    os_, ds_ = shard_rays(mesh, o, d)
+    sharded = np.asarray(f(sc, fsr, sfr, os_, ds_, key))
+
+    per = o.shape[0] // 8
+    single = np.zeros((o.shape[0], 3), np.float32)
+    dscene = to_device(scene)
+    fsj = jax.tree.map(jnp.asarray, fs)
+    surfj = jax.tree.map(jnp.asarray, surf)
+    for tile in range(8):
+        k = jax.random.fold_in(jax.random.fold_in(key, 0), tile)
+        sl = slice(tile * per, (tile + 1) * per)
+        off = jax.random.uniform(jax.random.fold_in(k, 2), (per,))
+        t_hit, bg = trace_surface_pass(
+            dscene, fsj, surfj, cfg, jnp.asarray(o[sl]),
+            jnp.asarray(d[sl]), jax.random.fold_in(k, 3),
+        )
+        rgba = trace_dvr(
+            dscene, fsj, cfg, jnp.asarray(o[sl]), jnp.asarray(d[sl]),
+            off, t_end_world=t_hit,
+        )
+        single[sl] = np.asarray(composite_background(rgba, bg))
+    assert np.isfinite(sharded).all()
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    # the streamlines must actually appear in the image
+    flat = single.reshape(-1, 3)
+    assert (np.abs(flat - flat.mean(0)).max() > 0.05)
