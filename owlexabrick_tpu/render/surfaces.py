@@ -79,6 +79,13 @@ class SurfaceData:
         v0 = np.concatenate(v0s)
         e1 = np.concatenate(e1s)
         e2 = np.concatenate(e2s)
+        # Morton centroid order keeps trace_triangles_tiled's chunk
+        # bounding spheres tight (pure reordering; nearest-hit
+        # semantics and per-tri shading are order-free)
+        from .tracer import morton_order
+
+        order = morton_order(v0 + (e1 + e2) / 3.0)
+        v0, e1, e2 = v0[order], e1[order], e2[order]
         n = np.cross(e1, e2)
         n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
         z = np.zeros((0, 3), np.float32)
@@ -118,6 +125,94 @@ def trace_triangles(surf: SurfaceData, o, d, tmin, tmax):
     t_hit = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
     n = surf.tri_n[k]
     return t_hit, n
+
+
+def _tri_chunk_bounds(v0, e1, e2):
+    """Bounding sphere per triangle chunk; v0/e1/e2: (NC, C, 3).  Pad
+    triangles carry |v0| >= 2e10 and zero edges."""
+    ok = (jnp.abs(v0) < 2e10).all(-1)  # (NC, C)
+    pts = jnp.concatenate([v0, v0 + e1, v0 + e2], axis=1)  # (NC, 3C, 3)
+    m = jnp.concatenate([ok, ok, ok], axis=1)[..., None]
+    big = jnp.float32(3e10)
+    lo = jnp.min(jnp.where(m, pts, big), axis=1)
+    hi = jnp.max(jnp.where(m, pts, -big), axis=1)
+    ctr = 0.5 * (lo + hi)
+    rad = 0.5 * jnp.linalg.norm(hi - lo, axis=-1)
+    alive = ok.any(1)
+    return (jnp.where(alive[:, None], ctr, 0.0),
+            jnp.where(alive, rad, 0.0), alive)
+
+
+def _trace_tri_blocks(chunks, cand, o_b, d_b, tmin_b, tmax_b):
+    """Scan candidate triangle-chunk columns per ray block.
+    chunks: (v0, e1, e2, n) of shape (NC1, C, 3); cand: (B, K)."""
+    v0c, e1c, e2c, nrc = chunks
+
+    def blk(v0, e1, e2, nrm, o, d, t0, t1):
+        t = _ray_triangles(o, d, v0, e1, e2)
+        t = jnp.where((t >= t0[:, None]) & (t <= t1[:, None]), t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        return jnp.take_along_axis(t, k[:, None], 1)[:, 0], nrm[k]
+
+    def step(carry, ids):
+        bt, bn = carry
+        ct, cn = jax.vmap(blk)(
+            v0c[ids], e1c[ids], e2c[ids], nrc[ids],
+            o_b, d_b, tmin_b, tmax_b,
+        )
+        win = ct < bt
+        return (jnp.where(win, ct, bt),
+                jnp.where(win[..., None], cn, bn)), None
+
+    init = (jnp.full_like(o_b[..., 0], jnp.inf), jnp.zeros_like(o_b))
+    (bt, bn), _ = jax.lax.scan(step, init, cand.T)
+    return bt, bn
+
+
+def trace_triangles_tiled(surf: SurfaceData, o, d, tmin, tmax, *,
+                          group: int = 256, tri_chunk: int = 64,
+                          max_chunks=(64, 256), screen=None):
+    """Exact nearest mesh hit with the same two-level tile culling as
+    :func:`trace_streamlines_tiled`: triangle chunks (bounding spheres;
+    `SurfaceData.from_meshes` emits triangles in Morton centroid order
+    so chunks are spatially tight) vs ray-block bounding cones, tiered
+    candidate capacities under nested `lax.cond`, exact in every
+    branch.  ``d`` must be unit vectors.  This is what lets the
+    reference's triangle-heavy scenes (NASA landing gear) trace in
+    bounded memory: the dense path materializes (P, T), impossible at
+    1080p x 100k tris.  Reference: two-level mesh BVH,
+    exa/OptixRenderer.cpp + programs/exabrick.cu:1475-1529."""
+    p = o.shape[0]
+    nt = surf.num_tris
+    c = int(tri_chunk)
+    nc = -(-nt // c)
+    dead = jnp.float32(3e10)
+
+    pad = nc * c - nt + c  # +1 trailing all-dead chunk for junk slots
+    v0 = jnp.concatenate(
+        [surf.tri_v0, jnp.full((pad, 3), dead, surf.tri_v0.dtype)]
+    ).reshape(nc + 1, c, 3)
+    zpad = jnp.zeros((pad, 3), surf.tri_e1.dtype)
+    e1 = jnp.concatenate([surf.tri_e1, zpad]).reshape(nc + 1, c, 3)
+    e2 = jnp.concatenate([surf.tri_e2, zpad]).reshape(nc + 1, c, 3)
+    nr = jnp.concatenate([surf.tri_n, zpad]).reshape(nc + 1, c, 3)
+    ctr, rad, alive = _tri_chunk_bounds(v0, e1, e2)
+
+    o_b, d_b, tmin_b, tmax_b, inv, nb = _ray_blocks(
+        o, d, tmin, tmax, group, screen
+    )
+    oc, rho, axis, cos_t, x_reach = _ray_block_cones(o_b, d_b, tmax_b)
+    mask = _cone_sphere_overlap(
+        oc, rho, axis, cos_t, x_reach, ctr, rad, alive
+    )
+    chunks = (v0, e1, e2, nr)
+    bt, bn = _tiered_trace(
+        mask, nc, nb, max_chunks,
+        lambda cand: _trace_tri_blocks(
+            chunks, cand, o_b, d_b, tmin_b, tmax_b
+        ),
+    )
+    return _unblock(bt, bn, p, inv)
 
 
 # ----------------------------------------------------------------------------
@@ -337,6 +432,64 @@ def _screen_tile_perm(w: int, h: int, group: int):
     return perm, inv
 
 
+def _ray_blocks(o, d, tmin, tmax, group: int, screen):
+    """Group rays into blocks of `group` (screen-tiled when `screen`
+    gives the row-major (w, h) shape).  Returns blocked arrays, the
+    inverse permutation (or None), and the block count."""
+    p = o.shape[0]
+    g = int(group)
+    perm = inv = None
+    if screen is not None and int(screen[0]) * int(screen[1]) == p:
+        perm, inv = _screen_tile_perm(int(screen[0]), int(screen[1]), g)
+    nb = -(-p // g)
+    idx = np.minimum(np.arange(nb * g), p - 1)
+    if perm is not None:
+        idx = np.concatenate([perm, np.full(nb * g - p, perm[-1])])
+    idx = jnp.asarray(idx, jnp.int32)
+    return (o[idx].reshape(nb, g, 3), d[idx].reshape(nb, g, 3),
+            tmin[idx].reshape(nb, g), tmax[idx].reshape(nb, g), inv, nb)
+
+
+def _tiered_trace(mask, nc: int, nb: int, max_chunks, scan_fn):
+    """Run `scan_fn(cand)` with per-block candidate chunk ids padded to
+    the smallest adequate capacity tier (junk slots point at the dead
+    pad chunk `nc`); nested lax.cond on the per-frame max count, with a
+    scan over every chunk as the exact innermost fallback."""
+    counts = mask.sum(1)
+    cmax = counts.max()
+    if isinstance(max_chunks, int):
+        max_chunks = (max_chunks,)
+    tiers = sorted({min(int(k), nc) for k in max_chunks if int(k) < nc})
+    if tiers:
+        order = jnp.argsort(~mask, axis=1)
+
+    def _run(kc):
+        cand = order[:, :kc]
+        cand = jnp.where(
+            jnp.arange(kc)[None] < counts[:, None], cand, nc
+        )
+        return lambda: scan_fn(cand)
+
+    run = lambda: scan_fn(  # noqa: E731
+        jnp.broadcast_to(jnp.arange(nc), (nb, nc))
+    )
+    for kc in reversed(tiers):
+        run = (lambda kc=kc, nxt=run: lambda: jax.lax.cond(
+            cmax <= kc, _run(kc), nxt
+        ))()
+    return run()
+
+
+def _unblock(bt, bn, p: int, inv):
+    t = bt.reshape(-1)[:p]
+    n = bn.reshape(-1, 3)[:p]
+    if inv is not None:
+        inv = jnp.asarray(inv)
+        t = t[inv]
+        n = n[inv]
+    return t, n
+
+
 def trace_streamlines_tiled(surf: SurfaceData, current_timestep, o, d,
                             tmin, tmax, *, group: int = 256,
                             seg_chunk: int = 32, max_chunks=(64, 256),
@@ -380,63 +533,22 @@ def trace_streamlines_tiled(surf: SurfaceData, current_timestep, o, d,
     ).reshape(nc + 1, c)
     ctr, rad, alive = _segment_chunk_bounds(sa, sb, radius)
 
-    # ray blocks (optionally screen-tiled)
-    g = int(group)
-    perm = inv = None
-    if screen is not None and int(screen[0]) * int(screen[1]) == p:
-        perm, inv = _screen_tile_perm(int(screen[0]), int(screen[1]), g)
-    nb = -(-p // g)
-    idx = np.arange(nb * g)
-    idx = np.minimum(idx, p - 1)
-    if perm is not None:
-        idx = np.concatenate([perm, np.full(nb * g - p, perm[-1])])
-    idx = jnp.asarray(idx, jnp.int32)
-    o_b = o[idx].reshape(nb, g, 3)
-    d_b = d[idx].reshape(nb, g, 3)
-    tmin_b = tmin[idx].reshape(nb, g)
-    tmax_b = tmax[idx].reshape(nb, g)
-
+    o_b, d_b, tmin_b, tmax_b, inv, nb = _ray_blocks(
+        o, d, tmin, tmax, group, screen
+    )
     oc, rho, axis, cos_t, x_reach = _ray_block_cones(o_b, d_b, tmax_b)
     mask = _cone_sphere_overlap(
         oc, rho, axis, cos_t, x_reach, ctr, rad, alive
     )
-    counts = mask.sum(1)
-    cmax = counts.max()
     chunks = (sa, sb, st)
-    if isinstance(max_chunks, int):
-        max_chunks = (max_chunks,)
-    tiers = sorted({min(int(k), nc) for k in max_chunks if int(k) < nc})
-    if tiers:
-        order = jnp.argsort(~mask, axis=1)
-
-    def _run(kc):
-        cand = order[:, :kc]
-        cand = jnp.where(
-            jnp.arange(kc)[None] < counts[:, None], cand, nc
-        )
-        return lambda: _trace_stream_blocks(
+    bt, bn = _tiered_trace(
+        mask, nc, nb, max_chunks,
+        lambda cand: _trace_stream_blocks(
             chunks, radius, cand, current_timestep,
             o_b, d_b, tmin_b, tmax_b,
-        )
-
-    # innermost fallback: scan every chunk
-    run = lambda: _trace_stream_blocks(  # noqa: E731
-        chunks, radius,
-        jnp.broadcast_to(jnp.arange(nc), (nb, nc)),
-        current_timestep, o_b, d_b, tmin_b, tmax_b,
+        ),
     )
-    for kc in reversed(tiers):
-        run = (lambda kc=kc, nxt=run: lambda: jax.lax.cond(
-            cmax <= kc, _run(kc), nxt
-        ))()
-    bt, bn = run()
-    t_flat = bt.reshape(-1)[:p]
-    n_flat = bn.reshape(-1, 3)[:p]
-    if perm is not None:
-        inv = jnp.asarray(inv)
-        t_flat = t_flat[inv]
-        n_flat = n_flat[inv]
-    return t_flat, n_flat
+    return _unblock(bt, bn, p, inv)
 
 
 # ----------------------------------------------------------------------------
@@ -537,7 +649,11 @@ def _nearest_surface(scene, fs, surf, cfg, o, d, tmin, tmax,
     ambient = jnp.zeros(p, o.dtype)
     kind = jnp.full(p, -1, jnp.int32)
 
-    tt, tn = trace_triangles(surf, o, d, tmin, tmax)
+    if surf.num_tris >= 4096 and o.shape[0] >= 2048:
+        tt, tn = trace_triangles_tiled(surf, o, d, tmin, tmax,
+                                       screen=screen)
+    else:
+        tt, tn = trace_triangles(surf, o, d, tmin, tmax)
     win = tt < t
     t = jnp.where(win, tt, t)
     normal = jnp.where(win[:, None], tn, normal)

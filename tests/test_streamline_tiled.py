@@ -184,3 +184,107 @@ def test_tiled_culling_engages():
     # measured 2026-08: mean 19 / max 56 of 150 chunks
     assert counts.max() <= 64, counts.max()
     assert counts.mean() < 0.25 * nc, (counts.mean(), nc)
+
+
+# ----------------------------------------------------------------------------
+# tiled triangle tracing (same culling machinery, mesh chunks)
+# ----------------------------------------------------------------------------
+
+def _big_mesh(nu=72, nv=72, seed=0):
+    """Bumpy-sphere triangle mesh (> 4096 tris, the tiled-path
+    threshold), built through SurfaceData.from_meshes so triangles get
+    the Morton centroid order."""
+    from owlexabrick_tpu.core.types import TriangleMesh
+
+    rng = np.random.default_rng(seed)
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    v = np.linspace(1e-3, np.pi - 1e-3, nv)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    r = 14.0 + 2.0 * np.sin(3 * uu) * np.sin(4 * vv)
+    x = r * np.sin(vv) * np.cos(uu)
+    y = r * np.cos(vv)
+    zc = r * np.sin(vv) * np.sin(uu)
+    verts = np.stack([x, y, zc], -1).reshape(-1, 3).astype(np.float32)
+    verts += rng.normal(0, 0.05, verts.shape).astype(np.float32)
+    idx = []
+    for i in range(nu):
+        for j in range(nv - 1):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            idx.append([a, b, a + 1])
+            idx.append([b, b + 1, a + 1])
+    mesh = TriangleMesh(vertices=verts,
+                        indices=np.asarray(idx, np.int32))
+    return SurfaceData.from_meshes([mesh])
+
+
+def _both_tri(surf, o, d, tmin, tmax, **kw):
+    from owlexabrick_tpu.render.surfaces import (
+        trace_triangles,
+        trace_triangles_tiled,
+    )
+
+    td, nd = jax.jit(trace_triangles)(surf, o, d, tmin, tmax)
+    tt, nt = jax.jit(
+        lambda *a: trace_triangles_tiled(*a, **kw)
+    )(surf, o, d, tmin, tmax)
+    return map(np.asarray, (td, nd, tt, nt))
+
+
+def test_tri_tiled_equals_dense():
+    surf = _big_mesh()
+    assert surf.num_tris >= 4096
+    o, d = _camera_rays()
+    p = o.shape[0]
+    tmin = jnp.full(p, 1e-6, jnp.float32)
+    tmax = jnp.full(p, 2e10, jnp.float32)
+    td, nd, tt, nt = _both_tri(surf, o, d, tmin, tmax, screen=(W, H))
+    assert np.isfinite(td).any() and (~np.isfinite(td)).any()
+    _assert_equal(td, nd, tt, nt)
+
+
+def test_tri_tiled_overflow_fallback_exact():
+    surf = _big_mesh(seed=2)
+    o, d = _camera_rays(seed=3)
+    p = o.shape[0]
+    tmin = jnp.full(p, 1e-6, jnp.float32)
+    tmax = jnp.full(p, 2e10, jnp.float32)
+    td, nd, tt, nt = _both_tri(
+        surf, o, d, tmin, tmax, max_chunks=1, screen=(W, H)
+    )
+    _assert_equal(td, nd, tt, nt)
+
+
+def test_tri_tiled_culling_engages():
+    from owlexabrick_tpu.render.surfaces import (
+        _cone_sphere_overlap,
+        _ray_block_cones,
+        _ray_blocks,
+        _tri_chunk_bounds,
+    )
+
+    w, h = 128, 96
+    surf = _big_mesh()
+    o, d = _camera_rays(w, h)
+    p = o.shape[0]
+    c, g = 64, 256
+    nt = surf.num_tris
+    nc = -(-nt // c)
+    pad = nc * c - nt
+    v0 = jnp.concatenate(
+        [jnp.asarray(surf.tri_v0), jnp.full((pad, 3), 3e10)]
+    ).reshape(nc, c, 3)
+    zp = jnp.zeros((pad, 3), jnp.float32)
+    e1 = jnp.concatenate([jnp.asarray(surf.tri_e1), zp]).reshape(nc, c, 3)
+    e2 = jnp.concatenate([jnp.asarray(surf.tri_e2), zp]).reshape(nc, c, 3)
+    ctr, rad, alive = _tri_chunk_bounds(v0, e1, e2)
+    o_b, d_b, tmin_b, tmax_b, inv, nb = _ray_blocks(
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.full(p, 1e-6, jnp.float32), jnp.full(p, 2e10, jnp.float32),
+        g, (w, h),
+    )
+    cones = _ray_block_cones(o_b, d_b, tmax_b)
+    mask = np.asarray(_cone_sphere_overlap(*cones, ctr, rad, alive))
+    counts = mask.sum(1)
+    # Morton chunks on a closed surface: each tile sees a small slice
+    assert counts.mean() < 0.35 * nc, (counts.mean(), nc)
