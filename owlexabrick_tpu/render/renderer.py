@@ -699,6 +699,7 @@ class Renderer:
                         jnp.full(p_, 1.0, jnp.float32) * self.fs.ao_length,
                         include_contours=False, include_iso=False,
                         current_timestep=self.fs.tracer_timestep,
+                        screen=(rw, rh),
                     )
                     return jnp.isfinite(at).astype(jnp.float32)
 
