@@ -13,8 +13,12 @@ Pipeline split (per chunk of S slabs):
       with it (deeper chunks fit).  Window sizes are static compile
       hints (``ky_hints`` from the host camera); without hints the full
       rows are used (same code path, KY = ny).
-  kernel (grid over (col, row) tiles, rows fastest):
-    * per slab: per-level y-tent weight blocks (tr, KY_l) contracted
+  kernel (grid over (col, row) tiles, rows fastest; hoisted tents flip
+  to rows-outer so the per-row-tile tent blocks stay VMEM-resident
+  across the column sweep):
+    * per slab: per-level y-tent weight blocks (tr, KY_l) — hoisted
+      host-built blocks by default (the build is camera-only and
+      column-tile-invariant) — contracted
       (tr, KY_l) @ (KY_l, (C+1)*tc) on the MXU against lane-fused
       [channels | mask] mids and summed over levels — one dot per
       level per slab yields every channel's swv and the mask sw
@@ -27,11 +31,19 @@ Pipeline split (per chunk of S slabs):
 
 HBM sees only the per-level (windowed) mids and the four output images
 — no (S, H, W) intermediates.
+
+The per-chunk work splits into three stages so a static camera pose
+caches everything camera-dependent (render_slabs_camera's
+``camera_cache``): ``prepare_chunk`` (camera-only: pad/interleave/
+window/hi_lo-split the mids, hoisted tents, geometric activity, TF-cull
+value bounds) -> ``combine_activity`` (per frame, tiny: TF/live masks +
+adaptive-stride weights) -> ``run_chunk`` (the Pallas dispatch).
+``sweep_chunk`` composes all three for the uncached path.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +77,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  n_texels: int = 0, has_stop: bool = False,
                  dot_precision: str = "highest",
                  tau: Tuple[bool, ...] = (), has_pt: bool = False,
-                 fused: bool = True):
+                 fused: bool = True, hoist_wy: bool = False):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -115,6 +127,16 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         for li in range(n_levels):
             lvl_refs.append(refs[k : k + per_lvl])
             k += per_lvl
+        wy_refs = ()
+        if hoist_wy:
+            # host-hoisted per-(row-tile, slab) y-tent weight blocks
+            # (1, S, tr, KY_l): the tent build is camera-only and
+            # column-tile-invariant, so building it in the kernel paid
+            # the VPU cost n_ct times per (slab, row tile); hoisted
+            # blocks ride the rows-outer grid and stay VMEM-resident
+            # across the column sweep
+            wy_refs = refs[k : k + n_levels]
+            k += n_levels
         ypos_ref = refs[k]
         sec_ref = refs[k + 1]
         k += 2
@@ -139,9 +161,15 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         s_count = ypos_ref.shape[1]
         tr = ypos_ref.shape[0]
         tc = sec_ref.shape[1]
-        # grid is (col_tiles, row_tiles): rows iterate fastest
-        rt_id = pl.program_id(1)
-        ct_id = pl.program_id(0)
+        # grid order: (col_tiles, row_tiles) with rows fastest normally;
+        # hoisted tents flip to (row_tiles, col_tiles) with cols fastest
+        # so the per-row-tile tent blocks load once per row tile
+        if hoist_wy:
+            rt_id = pl.program_id(0)
+            ct_id = pl.program_id(1)
+        else:
+            rt_id = pl.program_id(1)
+            ct_id = pl.program_id(0)
         row0 = rt_id * tr
         col0 = ct_id * tc
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
@@ -172,9 +200,13 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             return jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - kk))
 
         def _interp(s):
-            # select slab s's column via a masked reduce (Mosaic has no
-            # unaligned dynamic lane indexing)
-            yp = jnp.sum(jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
+            if hoist_wy:
+                yp = None
+            else:
+                # select slab s's column via a masked reduce (Mosaic has
+                # no unaligned dynamic lane indexing)
+                yp = jnp.sum(
+                    jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
 
             # per-level y-tent weights over the tile's window; zero-pad
             # rows in the mids make out-of-range weights harmless.
@@ -184,7 +216,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             wys = []
             acc = jnp.zeros((tr, n_comp_k * tc), jnp.float32)
             for li in range(n_levels):
-                wy = _wy(li, yp)
+                wy = wy_refs[li][0, s] if hoist_wy else _wy(li, yp)
                 wys.append(wy)
                 # fused: the single level ref holds all components;
                 # non-fused: contract the mask component only (swv dots
@@ -401,39 +433,53 @@ def _pad8_rows(a: jax.Array) -> jax.Array:
     return a if pad == 0 else jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
 
 
-def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
-                origins_y, cell_widths, y_pos, sec, live,
-                luts, domains, dz, height: int, width: int, *,
-                knots=None, tf_cull=None, t_stop=None, tiles=(0, 0),
-                dot_precision: str = "highest",
-                adaptive_stride: bool = False,
-                ky_hints: Tuple[int, ...] | None = None,
-                prev_trans=None,
-                fuse_mids: bool = True,
-                interpret: bool | None = None):
-    """Run the sweep megakernel for one chunk.
+class ChunkPrep(NamedTuple):
+    """Camera-only kernel inputs for one chunk of the megakernel lane —
+    everything below depends on (grids, camera, cfg geometry) but NOT on
+    the frame state, so a static pose computes it once and every
+    following frame goes straight to the Pallas kernel (the analog of
+    the reference's lazy BVH rebuild, exa/OptixRenderer.cpp:533-549).
 
-    mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
-    x-resampled, z-lerped level slabs; origins_y / cell_widths: per-level
-    scalars; y_pos: (S, H) slab-plane y coordinates; sec: (H, W);
-    live: (S,); luts: per channel (N, 4) alpha-prescaled; domains: per
-    channel (2,).  ky_hints: static per-level y-window row counts
-    (multiples of 8, from the host camera — see ky_hints_for_camera);
-    None = full rows.  Returns (rgb (3,H,W), trans (H,W)).
+    lvl: flattened per-level kernel mid blocks in the kernel's emit
+    order (windowed levels (R, S, KY, Wcat); full levels (S, ny, Wcat);
+    hi_lo splits each into a bf16 (hi, lo) pair).
+    orgy_eff: (L, R) effective y origins (lattice origin + window start).
+    acts_l: per level (S, R, Ct) bool — geometric tile activity from
+    mask support (the TF/live parts are combined per frame).
+    vmin/vmax: optional (C, S, R) per-row-tile blended-value bounds for
+    the TF-aware lateral cull.
+    y_pos_t: (H, S) slab-plane y coordinates (kernel tent input).
+    wy: per level (R, S, tr, KY) hoisted y-tent weight blocks (empty
+    when the kernel builds its tents in-place)."""
 
-    prev_trans: optional (H, W) transmittance accumulated by earlier
-    chunks.  When given, the kernel carries *absolute* transmittance:
-    outputs are premultiplied (caller composites ``color += rgb;
-    alpha = 1 - trans``) and tiles/pixels the earlier chunks saturated
-    skip their slab work entirely — the per-tile form of the
-    reference's terminateRay (exabrick.cu:1694-97; identical up to the
-    <=0.005-transmittance tail, which the saturated-pixel collapse
-    absorbs).
-    """
-    n_levels = len(mids)
-    n_channels = len(luts)
-    hi_lo = dot_precision == "hi_lo"
-    s_ = y_pos.shape[0]
+    lvl: tuple
+    orgy_eff: jax.Array
+    acts_l: tuple
+    vmin: Optional[jax.Array]
+    vmax: Optional[jax.Array]
+    y_pos_t: jax.Array
+    wy: tuple = ()
+
+
+def _layout(ny_list, ky_hints):
+    """Static per-level (KY, windowed) derivation shared by prepare and
+    run: window only when it at least halves the contraction rows (near-
+    full windows still stack R per-row-tile copies in HBM without
+    shrinking K — measured -20% on thin-sheet grids)."""
+    ky_list = []
+    windowed = []
+    for li, ny in enumerate(ny_list):
+        ky = ny if ky_hints is None else min(int(ky_hints[li]), ny)
+        win = 2 * ky <= ny
+        if not win:
+            ky = ny
+        ky_list.append(ky)
+        windowed.append(win)
+    return tuple(ky_list), tuple(windowed)
+
+
+def _pack_luts(luts, domains, knots, n_channels):
+    """Frame-state classification tables for the kernel (SMEM packs)."""
     n = luts[0].shape[0]
     if knots is not None:
         # compressed classification: (C, 6) [domain lo, hi, base rgba] +
@@ -452,8 +498,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         cum_pack = jnp.asarray(knots.cum, jnp.float32)
     else:
         tau_flags = ()
-        # pack per-channel lut + domain into one SMEM array: (C, N, 6) with
-        # cols 4:6 = domain at row 0
+        # pack per-channel lut + domain into one SMEM array: (C, N, 6)
+        # with cols 4:6 = domain at row 0
         lut_pack = jnp.zeros((n_channels, n, 6), jnp.float32)
         d_pack = jnp.zeros((n_channels, n, 4), jnp.float32)
         for ch, (lut, dom) in enumerate(zip(luts, domains)):
@@ -468,15 +514,24 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
             )
         cum_pack = jnp.zeros((n_channels, 1, 8), jnp.float32)
-    params = jnp.stack(
-        [jnp.asarray(dz, jnp.float32),
-         jnp.asarray(height, jnp.float32),
-         jnp.asarray(width, jnp.float32)]
-    )
-    orgy = jnp.stack([jnp.asarray(o, jnp.float32) for o in origins_y])
-    cws = jnp.stack([jnp.asarray(c, jnp.float32) for c in cell_widths])
+    return lut_pack, d_pack, cum_pack, tau_flags, n
 
-    # per-level mids, rows zero-padded to sublane alignment
+
+def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
+                  origins_y, cell_widths, y_pos, height: int, width: int,
+                  *, tiles=(0, 0), dot_precision: str = "highest",
+                  adaptive_stride: bool = False,
+                  ky_hints: Tuple[int, ...] | None = None,
+                  fuse_mids: bool = True, tf_cull=None,
+                  hoist_wy: bool = False) -> ChunkPrep:
+    """Build the camera-only kernel inputs for one chunk: pad/interleave
+    the mids, slice per-row-tile y windows, split hi_lo pairs, derive the
+    geometric tile-activity tables and the TF-cull value bounds."""
+    n_levels = len(mids)
+    n_channels = len(mids[0][0])
+    hi_lo = dot_precision == "hi_lo"
+    s_ = y_pos.shape[0]
+
     mid_vs_l = [
         [_pad8_rows(mvs[ch]) for ch in range(n_channels)]
         for mvs, _ in mids
@@ -485,32 +540,30 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     ny_list = tuple(m.shape[1] for m in mid_m_l)
 
     tr, tc = tile_shape(height, width, tiles, adaptive_stride)
-    grid = (pl.cdiv(width, tc), pl.cdiv(height, tr))
-    n_ct_ = grid[0]
-    pad_c_ = n_ct_ * tc - width
+    n_ct = pl.cdiv(width, tc)
+    n_rt = pl.cdiv(height, tr)
+    pad_c = n_ct * tc - width
     n_comp = n_channels + 1
 
     def _interleave(li):
         # fuse the level's channel mids + mask mid along the lane axis,
         # grouped per column tile: block j holds [v_0 | .. | v_{C-1} | m]
         # for tile j, so the kernel's y-contraction is ONE
-        # (tr, KY) @ (KY, (C+1)*tc) MXU dot per level per slab instead of
-        # C+1 small dots (the small-N dots are latency-bound; fusing
-        # halves the per-slab MXU instruction count at 1 channel)
+        # (tr, KY) @ (KY, (C+1)*tc) MXU dot per level per slab
         comps = mid_vs_l[li] + [mid_m_l[li]]
-        if pad_c_:
+        if pad_c:
             comps = [
-                jnp.pad(c_, ((0, 0), (0, 0), (0, pad_c_))) for c_ in comps
+                jnp.pad(c_, ((0, 0), (0, 0), (0, pad_c))) for c_ in comps
             ]
         ny = comps[0].shape[1]
         st = jnp.stack(
-            [c_.reshape(s_, ny, n_ct_, tc) for c_ in comps], axis=3
+            [c_.reshape(s_, ny, n_ct, tc) for c_ in comps], axis=3
         )
-        return st.reshape(s_, ny, n_ct_ * n_comp * tc)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        return st.reshape(s_, ny, n_ct * n_comp * tc)
 
-    n_rt, n_ct = grid[1], grid[0]
+    orgy = jnp.stack([jnp.asarray(o, jnp.float32) for o in origins_y])
+    cws = jnp.stack([jnp.asarray(c, jnp.float32) for c in cell_widths])
+
     pad_r = n_rt * tr - height
     ypp = y_pos if pad_r == 0 else jnp.concatenate(
         [y_pos, jnp.repeat(y_pos[:, -1:], pad_r, axis=1)], axis=1
@@ -521,25 +574,15 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
 
     # y-windowing: slice each level's mids to the rows each row tile can
     # reach (over the whole chunk); KY static from ky_hints
-    ky_list = []
-    windowed = []
-    lvl_inputs = []  # flattened [mv_0..mv_{C-1}, mm] per level
-    lvl_specs = []
+    ky_list, windowed = _layout(ny_list, ky_hints)
+    lvl_inputs = []  # flattened kernel inputs in the kernel's emit order
     orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
     for li in range(n_levels):
         ny = ny_list[li]
-        ky = ny if ky_hints is None else min(int(ky_hints[li]), ny)
-        # window only when it at least halves the contraction rows:
-        # near-full windows still stack R per-row-tile copies in HBM
-        # (measured -20% on thin-sheet grids whose cropped levels are
-        # already narrow) without shrinking K
-        win = 2 * ky <= ny
-        if not win:
-            ky = ny
-        ky_list.append(ky)
-        windowed.append(win)
+        ky = ky_list[li]
+        win = windowed[li]
 
-        def emit(a, spec, win_fn=None):
+        def emit(a, win_fn=None):
             # hi_lo: split each mid into a bf16 (hi, lo) pair (exact
             # reconstruction to ~2^-16) feeding the two-pass kernel dot
             if hi_lo:
@@ -548,23 +591,16 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 for part in (ahi, alo):
                     lvl_inputs.append(
                         part if win_fn is None else win_fn(part))
-                    lvl_specs.append(spec)
             else:
                 lvl_inputs.append(a if win_fn is None else win_fn(a))
-                lvl_specs.append(spec)
 
         if not win:
             if fuse_mids:
-                spec = pl.BlockSpec((s_, ny, n_comp * tc),
-                                    lambda j, i: (0, 0, j),
-                                    memory_space=pltpu.VMEM)
-                emit(_interleave(li), spec)
+                emit(_interleave(li))
             else:
-                spec = pl.BlockSpec((s_, ny, tc), lambda j, i: (0, 0, j),
-                                    memory_space=pltpu.VMEM)
                 for ch in range(n_channels):
-                    emit(mid_vs_l[li][ch], spec)
-                emit(mid_m_l[li], spec)
+                    emit(mid_vs_l[li][ch])
+                emit(mid_m_l[li])
             continue
         # window start per row tile: the lowest lattice row any of the
         # chunk's slabs can touch from this tile (tent reach -1)
@@ -574,6 +610,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         orgy_eff = orgy_eff.at[li].set(
             orgy[li] + k0.astype(jnp.float32)
         )
+
         def window(a):
             # (S, ny, Wcat) -> (R, S, ky, Wcat) per-row-tile slices
             return jnp.stack([
@@ -582,25 +619,18 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             ])
 
         if fuse_mids:
-            spec = pl.BlockSpec((1, s_, ky, n_comp * tc),
-                                lambda j, i: (i, 0, 0, j),
-                                memory_space=pltpu.VMEM)
-            emit(_interleave(li), spec, win_fn=window)
+            emit(_interleave(li), win_fn=window)
         else:
-            spec = pl.BlockSpec((1, s_, ky, tc), lambda j, i: (i, 0, 0, j),
-                                memory_space=pltpu.VMEM)
             for ch in range(n_channels):
-                emit(mid_vs_l[li][ch], spec, win_fn=window)
-            emit(mid_m_l[li], spec, win_fn=window)
+                emit(mid_vs_l[li][ch], win_fn=window)
+            emit(mid_m_l[li], win_fn=window)
 
-    # lateral space skipping: per-(slab, row-tile, col-tile) activity from
-    # mask support.  A slab's cells can only reach a tile whose y range
-    # overlaps an occupied lattice point's tent support (and whose columns
-    # hold non-zero x-resampled mask) — inactive tiles skip the tent
-    # build and both MXU contractions in the kernel.
-    pad_c = n_ct * tc - width
-    act = jnp.zeros((s_, n_rt, n_ct), bool)
-    acts_l = []  # per level (S, R, Ct) — feeds the adaptive stride below
+    # lateral space skipping: per-(slab, row-tile, col-tile) activity
+    # from mask support.  A slab's cells can only reach a tile whose y
+    # range overlaps an occupied lattice point's tent support (and whose
+    # columns hold non-zero x-resampled mask) — inactive tiles skip the
+    # tent build and both MXU contractions in the kernel.
+    acts_l = []  # per level (S, R, Ct)
     for li in range(n_levels):
         mm_p = mid_m_l[li] if pad_c == 0 else jnp.pad(
             mid_m_l[li], ((0, 0), (0, 0), (0, pad_c))
@@ -622,19 +652,16 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         hi_g = jnp.take_along_axis(
             cs, jnp.broadcast_to(k1[:, :, None], (s_, n_rt, n_ct)), axis=1
         )
-        al = hi_g - lo_g > 0
-        acts_l.append(al)
-        act = act | al
-    act = act & live[:, None, None]
+        acts_l.append(hi_g - lo_g > 0)
 
+    vmin_all = vmax_all = None
     if tf_cull is not None:
-        # TF-aware lateral cull: the blended value at any point is a
-        # convex combination of contributing cell values, so the combined
-        # min/max over all levels' support rows bounds it; tiles whose
-        # range maps to zero opacity everywhere are culled (the lateral
-        # analog of the TF-culled BVH bounds program, exabrick.cu:283-331)
-        from .xf import active_for_volume_sampling
-
+        # TF-aware lateral cull bounds: the blended value at any point is
+        # a convex combination of contributing cell values, so the
+        # combined min/max over all levels' support rows bounds it (the
+        # lateral analog of the TF-culled BVH bounds program,
+        # exabrick.cu:283-331).  The LUT walk happens per frame in
+        # combine_activity; these bounds are camera-only.
         vr_rows, y_bins = tf_cull
         vmin_all = jnp.full((n_channels, s_, n_rt), jnp.inf)
         vmax_all = jnp.full((n_channels, s_, n_rt), -jnp.inf)
@@ -655,11 +682,57 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 inr[None], vr_s[:, :, None, :, 0], jnp.inf).min(-1))
             vmax_all = jnp.maximum(vmax_all, jnp.where(
                 inr[None], vr_s[:, :, None, :, 1], -jnp.inf).max(-1))
+
+    wy_blocks = ()
+    if hoist_wy:
+        # hoisted per-(row-tile, slab) y-tent weights: built once here
+        # (camera-only) instead of once per (slab, column tile) in the
+        # kernel.  Arithmetic mirrors the kernel's _wy exactly (f32
+        # build, cast to the dot's input dtype), so output is
+        # bit-identical either way.
+        wdt = (jnp.bfloat16 if dot_precision in ("hi_lo", "default")
+               else jnp.float32)
+        ypt = ypp.reshape(s_, n_rt, tr).transpose(1, 0, 2)  # (R, S, tr)
+        blocks = []
+        for li in range(n_levels):
+            ky = ky_list[li]
+            qy = (ypt / cws[li]
+                  - orgy_eff[li][:, None, None] - 0.5)  # (R, S, tr)
+            kk = jnp.arange(ky, dtype=jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(qy[..., None] - kk))
+            blocks.append(wy.astype(wdt))
+        wy_blocks = tuple(blocks)
+
+    return ChunkPrep(
+        lvl=tuple(lvl_inputs), orgy_eff=orgy_eff, acts_l=tuple(acts_l),
+        vmin=vmin_all, vmax=vmax_all, y_pos_t=y_pos.T, wy=wy_blocks,
+    )
+
+
+def combine_activity(prep: ChunkPrep, live, luts, domains, cell_widths,
+                     *, adaptive_stride: bool = False):
+    """Per-frame (TF/live-dependent) activity tables from the cached
+    geometric ones: OR the per-level activities, mask dead slabs, apply
+    the TF-aware lateral cull, then form adaptive-stride step weights.
+    All arrays here are (S, R, Ct)-sized — negligible next to the
+    kernel."""
+    acts_l = prep.acts_l
+    s_, n_rt, n_ct = acts_l[0].shape
+    cws = jnp.stack([jnp.asarray(c, jnp.float32) for c in cell_widths])
+    act = jnp.zeros((s_, n_rt, n_ct), bool)
+    for al in acts_l:
+        act = act | al
+    act = act & live[:, None, None]
+
+    if prep.vmin is not None:
+        from .xf import active_for_volume_sampling
+
+        n_channels = prep.vmin.shape[0]
         act_tf = jnp.zeros((s_, n_rt), bool)
         for ch in range(n_channels):
-            rng = jnp.stack([vmin_all[ch], vmax_all[ch]], -1)
+            rng = jnp.stack([prep.vmin[ch], prep.vmax[ch]], -1)
             a = active_for_volume_sampling(luts[ch], domains[ch], 1.0, rng)
-            act_tf = act_tf | (a & (vmax_all[ch] >= vmin_all[ch]))
+            act_tf = act_tf | (a & (prep.vmax[ch] >= prep.vmin[ch]))
         act = act & act_tf[:, :, None]
 
     act_f = act.astype(jnp.float32)
@@ -726,9 +799,100 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     act_all_f = (
         act.all(axis=0) & (jnp.abs(act_f - 1.0) < 0.5).all(axis=0)
     ).astype(jnp.float32)  # (R, Ct)
+    return act_f, act_all_f
 
-    tile2 = pl.BlockSpec((tr, tc), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM)
+
+def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
+              height: int, width: int, *, act_f, act_all_f,
+              cell_widths, n_channels: int, knots=None, t_stop=None,
+              tiles=(0, 0), dot_precision: str = "highest",
+              adaptive_stride: bool = False, prev_trans=None,
+              fuse_mids: bool = True, interpret: bool | None = None):
+    """Dispatch the megakernel for one chunk from prepared inputs.
+    Static layout (KY, windowed, level count) is inferred from the
+    prepared block shapes."""
+    hi_lo = dot_precision == "hi_lo"
+    per_lvl = ((n_channels + 1) if not fuse_mids else 1) * (
+        2 if hi_lo else 1)
+    n_levels = len(prep.lvl) // per_lvl
+    s_ = prep.y_pos_t.shape[1]
+
+    lut_pack, d_pack, cum_pack, tau_flags, n = _pack_luts(
+        luts, domains, knots, n_channels)
+    params = jnp.stack(
+        [jnp.asarray(dz, jnp.float32),
+         jnp.asarray(height, jnp.float32),
+         jnp.asarray(width, jnp.float32)]
+    )
+    cws = jnp.stack([jnp.asarray(c, jnp.float32) for c in cell_widths])
+
+    tr, tc = tile_shape(height, width, tiles, adaptive_stride)
+    hoist = len(prep.wy) > 0
+    # hoisted tents flip the grid to rows-outer so the per-row-tile tent
+    # blocks (index invariant along the column sweep) load once per row
+    # tile instead of once per step
+    if hoist:
+        grid = (pl.cdiv(height, tr), pl.cdiv(width, tc))
+
+        def imap_win(i, j):
+            return (i, 0, 0, j)
+
+        def imap_full(i, j):
+            return (0, 0, j)
+
+        def imap_ypos(i, j):
+            return (i, 0)
+
+        def imap_tile(i, j):
+            return (i, j)
+
+        def imap_wy(i, j):
+            return (i, 0, 0, 0)
+    else:
+        grid = (pl.cdiv(width, tc), pl.cdiv(height, tr))
+
+        def imap_win(j, i):
+            return (i, 0, 0, j)
+
+        def imap_full(j, i):
+            return (0, 0, j)
+
+        def imap_ypos(j, i):
+            return (i, 0)
+
+        def imap_tile(j, i):
+            return (i, j)
+
+    n_comp = n_channels + 1
+    wcat = (n_comp * tc) if fuse_mids else tc
+
+    # rebuild static layout + block specs from the prepared shapes
+    ky_list = []
+    windowed = []
+    lvl_specs = []
+    for li in range(n_levels):
+        blk = prep.lvl[li * per_lvl]
+        win = blk.ndim == 4
+        ky = blk.shape[2] if win else blk.shape[1]
+        ky_list.append(ky)
+        windowed.append(win)
+        if win:
+            spec = pl.BlockSpec((1, s_, ky, wcat), imap_win,
+                                memory_space=pltpu.VMEM)
+        else:
+            spec = pl.BlockSpec((s_, ky, wcat), imap_full,
+                                memory_space=pltpu.VMEM)
+        lvl_specs.extend([spec] * per_lvl)
+    wy_specs = [
+        pl.BlockSpec((1, s_, tr, prep.wy[li].shape[3]), imap_wy,
+                     memory_space=pltpu.VMEM)
+        for li in range(n_levels)
+    ] if hoist else []
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    tile2 = pl.BlockSpec((tr, tc), imap_tile, memory_space=pltpu.VMEM)
     pt_ins = []
     pt_specs = []
     if prev_trans is not None:
@@ -748,7 +912,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                      has_stop=t_stop is not None,
                      dot_precision=dot_precision,
                      tau=tau_flags, has_pt=prev_trans is not None,
-                     fused=fuse_mids),
+                     fused=fuse_mids, hoist_wy=hoist),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -761,8 +925,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy eff (L, R)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cw
             *lvl_specs,
-            pl.BlockSpec((tr, s_), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *wy_specs,
+            pl.BlockSpec((tr, s_), imap_ypos, memory_space=pltpu.VMEM),
             tile2,
             *pt_specs,
             *([stop_specs[0], tile2] if stop_ins else []),
@@ -774,6 +938,56 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         ),
         interpret=interpret,
     )(params, lut_pack, d_pack, cum_pack, live.astype(jnp.float32), act_f,
-      act_all_f, orgy_eff, cws, *lvl_inputs, y_pos.T, sec, *pt_ins,
-      *stop_ins)
+      act_all_f, prep.orgy_eff, cws, *prep.lvl, *prep.wy, prep.y_pos_t,
+      sec, *pt_ins, *stop_ins)
     return jnp.stack([r, g, b]), t
+
+
+def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
+                origins_y, cell_widths, y_pos, sec, live,
+                luts, domains, dz, height: int, width: int, *,
+                knots=None, tf_cull=None, t_stop=None, tiles=(0, 0),
+                dot_precision: str = "highest",
+                adaptive_stride: bool = False,
+                ky_hints: Tuple[int, ...] | None = None,
+                prev_trans=None,
+                fuse_mids: bool = True,
+                hoist_wy: bool = False,
+                interpret: bool | None = None):
+    """Run the sweep megakernel for one chunk (prepare + combine + run).
+
+    mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
+    x-resampled, z-lerped level slabs; origins_y / cell_widths: per-level
+    scalars; y_pos: (S, H) slab-plane y coordinates; sec: (H, W);
+    live: (S,); luts: per channel (N, 4) alpha-prescaled; domains: per
+    channel (2,).  ky_hints: static per-level y-window row counts
+    (multiples of 8, from the host camera — see ky_hints_for_camera);
+    None = full rows.  Returns (rgb (3,H,W), trans (H,W)).
+
+    prev_trans: optional (H, W) transmittance accumulated by earlier
+    chunks.  When given, the kernel carries *absolute* transmittance:
+    outputs are premultiplied (caller composites ``color += rgb;
+    alpha = 1 - trans``) and tiles/pixels the earlier chunks saturated
+    skip their slab work entirely — the per-tile form of the
+    reference's terminateRay (exabrick.cu:1694-97; identical up to the
+    <=0.005-transmittance tail, which the saturated-pixel collapse
+    absorbs).
+    """
+    n_channels = len(luts)
+    prep = prepare_chunk(
+        mids, origins_y, cell_widths, y_pos, height, width,
+        tiles=tiles, dot_precision=dot_precision,
+        adaptive_stride=adaptive_stride, ky_hints=ky_hints,
+        fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
+    )
+    act_f, act_all_f = combine_activity(
+        prep, live, luts, domains, cell_widths,
+        adaptive_stride=adaptive_stride,
+    )
+    return run_chunk(
+        prep, sec, live, luts, domains, dz, height, width,
+        act_f=act_f, act_all_f=act_all_f, cell_widths=cell_widths,
+        n_channels=n_channels, knots=knots, t_stop=t_stop, tiles=tiles,
+        dot_precision=dot_precision, adaptive_stride=adaptive_stride,
+        prev_trans=prev_trans, fuse_mids=fuse_mids, interpret=interpret,
+    )

@@ -676,6 +676,12 @@ class SlabConfig:
     # secondary channel used to colormap iso surfaces through the channel-0
     # LUT (LaunchParams colormapChannel, exabrick.cu:1079-1085)
     colormap_channel: int = 0
+    # hoist the kernel's per-(slab, column-tile) y-tent weight builds to
+    # host-side per-row-tile blocks (camera-only, so the static-pose
+    # cache holds them for free); the kernel grid flips to rows-outer so
+    # each tent block loads once per row tile.  Bit-identical output
+    # (the build arithmetic is mirrored exactly).
+    hoist_tents: bool = True
     # carry the accumulated per-pixel transmittance INTO the megakernel
     # (premultiplied outputs): tiles earlier chunks saturated skip all
     # slab work — the per-tile form of the reference's terminateRay
@@ -836,13 +842,15 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     (set megakernel=False when clipping).
 
     ``products`` / ``return_products``: the megakernel lane's per-chunk
-    camera products (z/x-resampled level mids + TF-cull value rows)
-    depend only on (grids, camera, cfg geometry) — NOT on the frame
-    state.  ``return_products=True`` computes and returns them stacked
-    over chunks (one-time per camera pose); passing the result back as
-    ``products`` makes each frame slice them instead of recomputing, so
-    progressive accumulation at a fixed camera pays only the Pallas
-    kernel (the analog of the reference's lazy BVH rebuild: camera-
+    camera products depend only on (grids, camera, cfg geometry) — NOT
+    on the frame state.  ``return_products=True`` computes and returns
+    a tuple of (ChunkPrep, scale) per chunk — the FINAL kernel inputs
+    (padded/interleaved/windowed/hi_lo-split mid blocks + geometric
+    activity tables + TF-cull value bounds), one-time per camera pose.
+    Passing the result back as ``products`` switches the frame to a
+    Python-unrolled chunk loop that recombines only the tiny (S, R, Ct)
+    TF/live activity tables and dispatches the kernel — zero per-frame
+    mid work (the analog of the reference's lazy BVH rebuild: camera-
     dependent structures rebuild on change only, exa/OptixRenderer.cpp:
     533-549).  Bit-identical to the live path by construction."""
     """Sweep-render one frame.  Camera vectors must already be permuted to
@@ -971,9 +979,22 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             (t for t in (512, 256, 128) if width % t == 0), 128
         )
         budget = 7 * 1024 * 1024
-        cap = max(
-            4, budget // ((1 + cfg.num_channels) * ny_total * tc_est * 4 * 2)
-        )
+        per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
+        if cfg.hoist_tents:
+            # hoisted tent blocks are also VMEM-resident per slab:
+            # tr x KY lanes (padded to 128) per level
+            from .pallas_sweep import tile_shape as _ts
+
+            tr_est, _ = _ts(h, w, (cfg.tile_rows, cfg.tile_cols),
+                            cfg.adaptive_stride)
+            wy_item = (2 if cfg.bf16_interp
+                       or cfg.dot_precision in ("hi_lo", "default") else 4)
+            lanes = sum(
+                -(-rows_resident(li, m) // 128) * 128
+                for li, m in enumerate(grids.masks)
+            )
+            per_slab_bytes += tr_est * lanes * wy_item
+        cap = max(4, budget // (per_slab_bytes * 2))
         s_chunk = min(s_chunk, cap)
     n_chunks = -(-cfg.nslabs // s_chunk)
     # pad slab tables to a whole number of chunks (padded slabs inactive;
@@ -1152,37 +1173,33 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         return mids, orgs_y, cws_l, tf_cull
 
     if return_products:
-        # one-time per camera pose: every chunk's camera products,
-        # stacked over the chunk axis for dynamic slicing per frame
+        # one-time per camera pose: every chunk's FINAL kernel inputs
+        # (padded/interleaved/windowed/hi_lo-split mid blocks, geometric
+        # activity tables, TF-cull value bounds) — the per-frame path
+        # then goes straight to the Pallas kernel with only the tiny
+        # (S, R, Ct) TF/live combination recomputed (combine_activity)
+        from .pallas_sweep import prepare_chunk
+
+        kdot = "default" if cfg.bf16_interp else cfg.dot_precision
         per_chunk = []
         for ci0 in range(n_chunks):
             z_s = z_planes_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
             occ_s = [o[ci0 * s_chunk:(ci0 + 1) * s_chunk]
                      for o in lvl_occ_p]
             scale = (z_s - oz) / rz
-            mids, _, _, tf_cull = mega_chunk_products(z_s, occ_s, scale)
-            per_chunk.append((mids, tf_cull))
-        nl = len(grids.levels)
-        stacked = tuple(
-            (
-                tuple(
-                    jnp.stack([per_chunk[c][0][li][0][ch]
-                               for c in range(n_chunks)])
-                    for ch in range(cfg.num_channels)
-                ),
-                jnp.stack([per_chunk[c][0][li][1]
-                           for c in range(n_chunks)]),
+            mids, orgs_y, cws_l, tf_cull = mega_chunk_products(
+                z_s, occ_s, scale)
+            y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
+            prep = prepare_chunk(
+                mids, orgs_y, cws_l, y_pos, h, w,
+                tiles=(cfg.tile_rows, cfg.tile_cols),
+                dot_precision=kdot,
+                adaptive_stride=cfg.adaptive_stride,
+                ky_hints=ky_hints, fuse_mids=cfg.fuse_mids,
+                tf_cull=tf_cull, hoist_wy=cfg.hoist_tents,
             )
-            for li in range(nl)
-        )
-        cull = None
-        if per_chunk[0][1] is not None:
-            cull = tuple(
-                jnp.stack([per_chunk[c][1][0][li]
-                           for c in range(n_chunks)])
-                for li in range(nl)
-            )
-        return (stacked, cull)
+            per_chunk.append((prep, scale))
+        return tuple(per_chunk)
 
     need_grad = cfg.gradient_shading_dvr
 
@@ -1316,35 +1333,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
                 scale = (z_s - oz) / rz
                 y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
-                if products is not None:
-                    # cached camera pose: slice the precomputed chunk
-                    # products instead of recomputing the resample
-                    stacked, cull = products
-                    mids = [
-                        (
-                            [lax.dynamic_index_in_dim(
-                                chs, ci, 0, keepdims=False)
-                             for chs in lvl[0]],
-                            lax.dynamic_index_in_dim(
-                                lvl[1], ci, 0, keepdims=False),
-                        )
-                        for lvl in stacked
-                    ]
-                    orgs_y = [grids.origins[li][1]
-                              for li in range(len(grids.levels))]
-                    cws_l = [float(1 << L) for L in grids.levels]
-                    tf_cull = None
-                    if cull is not None:
-                        vr_rows = [
-                            lax.dynamic_index_in_dim(
-                                v, ci, 0, keepdims=False)
-                            for v in cull
-                        ]
-                        tf_cull = (vr_rows, grids.y_bin)
-                else:
-                    mids, orgs_y, cws_l, tf_cull = mega_chunk_products(
-                        z_s, occ_s, scale
-                    )
+                mids, orgs_y, cws_l, tf_cull = mega_chunk_products(
+                    z_s, occ_s, scale
+                )
 
                 stop = None
                 if t_stop is not None:
@@ -1358,6 +1349,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     adaptive_stride=cfg.adaptive_stride,
                     ky_hints=ky_hints,
                     fuse_mids=cfg.fuse_mids,
+                    hoist_wy=cfg.hoist_tents,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
                 )
@@ -1450,9 +1442,59 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
     color0 = jnp.zeros((3, h, w), f32)
     alpha0 = jnp.zeros((h, w), f32)
-    _, color, alpha = lax.while_loop(
-        chunk_cond, chunk_body, (0, color0, alpha0)
-    )
+    if products is not None:
+        # cached camera pose: Python-unrolled chunk loop over the
+        # prepared kernel inputs — zero per-frame mid work (no resample,
+        # no window copies, no hi_lo splits); each chunk recombines only
+        # the tiny (S, R, Ct) TF/live activity tables and dispatches the
+        # kernel, gated on saturation like the while_loop's condition
+        from .pallas_sweep import combine_activity, run_chunk
+
+        kdot = "default" if cfg.bf16_interp else cfg.dot_precision
+        cws_list = [float(1 << L) for L in grids.levels]
+        domains_list = [fs.xf_domain[c] for c in range(cfg.num_channels)]
+        color, alpha = color0, alpha0
+        for ci0, (prep, scale) in enumerate(products):
+            a_s = act_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
+            live = a_s & (scale > 1e-6)
+
+            def do(ca, prep=prep, scale=scale, live=live):
+                color, alpha = ca
+                act_f, act_all_f = combine_activity(
+                    prep, live, luts, domains_list, cws_list,
+                    adaptive_stride=cfg.adaptive_stride,
+                )
+                stop = None
+                if t_stop is not None:
+                    stop = (scale, t_stop.reshape(h, w))
+                chunk_rgb, chunk_trans = run_chunk(
+                    prep, sec, live, luts, domains_list, dz, h, w,
+                    act_f=act_f, act_all_f=act_all_f,
+                    cell_widths=cws_list, n_channels=cfg.num_channels,
+                    knots=knots, t_stop=stop,
+                    tiles=(cfg.tile_rows, cfg.tile_cols),
+                    dot_precision=kdot,
+                    adaptive_stride=cfg.adaptive_stride,
+                    prev_trans=((1.0 - alpha).reshape(h, w)
+                                if cfg.carry_termination else None),
+                    fuse_mids=cfg.fuse_mids,
+                )
+                if cfg.carry_termination:
+                    color = color + chunk_rgb
+                    alpha = 1.0 - chunk_trans
+                else:
+                    color = color + (1.0 - alpha)[None] * chunk_rgb
+                    alpha = 1.0 - (1.0 - alpha) * chunk_trans
+                return color, alpha
+
+            color, alpha = lax.cond(
+                live.any() & (alpha.min() < TERMINATION_THRESHOLD),
+                do, lambda ca: ca, (color, alpha),
+            )
+    else:
+        _, color, alpha = lax.while_loop(
+            chunk_cond, chunk_body, (0, color0, alpha0)
+        )
 
     # saturated pixels collapse to premultiplied opaque (exabrick.cu:1694-97)
     if cfg.saturate_collapse:
@@ -1977,12 +2019,23 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                 np.asarray(l, np.float32).tobytes() for l in lattice))
         except Exception:
             return None  # traced camera (inside jit): no host cache
-        # size gate: stacked mids are ~padded_nslabs * sum(ny_l) * W
-        # floats per component
+        # size gate: the prepared blocks hold ~padded_nslabs * rows * W
+        # values per component, where rows = R*KY for y-windowed levels
+        # (R per-row-tile copies) or the full ny otherwise; hi_lo pairs
+        # are two bf16 = 4 B/value, bf16_interp single bf16 = 2 B
+        from .pallas_sweep import tile_shape as _tshape
+
         ns_pad = cfg.nslabs + cfg.chunk
-        ny_sum = sum(int(m.shape[1]) for m in grids.masks)
+        tr_, _ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
+                         cfg.adaptive_stride)
+        n_rt_ = -(-h_ // tr_)
+        rows_sum = 0
+        for li, m in enumerate(grids.masks):
+            ny = -(-int(m.shape[1]) // 8) * 8
+            ky = ny if hints is None else min(int(hints[li]), ny)
+            rows_sum += n_rt_ * ky if 2 * ky <= ny else ny
         itemsize = 2 if cfg.bf16_interp else 4
-        est = ns_pad * ny_sum * w_ * itemsize * (1 + cfg.num_channels)
+        est = ns_pad * rows_sum * w_ * itemsize * (1 + cfg.num_channels)
         if est > cfg.camera_cache_max_mb * 1e6:
             # record the decline so callers (bench.py) can label the
             # measurement honestly instead of assuming a cached pose
