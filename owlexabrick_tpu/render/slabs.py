@@ -680,8 +680,14 @@ class SlabConfig:
     # host-side per-row-tile blocks (camera-only, so the static-pose
     # cache holds them for free); the kernel grid flips to rows-outer so
     # each tent block loads once per row tile.  Bit-identical output
-    # (the build arithmetic is mirrored exactly).
-    hoist_tents: bool = True
+    # (the build arithmetic is mirrored exactly).  Measured SLOWER on
+    # TPU at both 64^3 and 256^3 1080p (interleaved A/B,
+    # benchmarks/ab_cache.py: 256^3 cached 23.4 vs 26.2 FPS, orbit 15.9
+    # vs 17.0; 64^3 cached 69.1 vs 72.2, orbit 61.2 vs 65.3): the
+    # (R, S, tr, KY) blocks add HBM reads that outweigh the saved VPU
+    # tent arithmetic.  OFF by default; kept as the documented
+    # experiment.
+    hoist_tents: bool = False
     # carry the accumulated per-pixel transmittance INTO the megakernel
     # (premultiplied outputs): tiles earlier chunks saturated skip all
     # slab work — the per-tile form of the reference's terminateRay

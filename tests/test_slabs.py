@@ -788,6 +788,36 @@ def test_camera_products_cache_bit_identical(amr_fixture):
     )
 
 
+def test_hoisted_tents_bit_identical(amr_fixture):
+    """hoist_tents builds the kernel's y-tent weight blocks host-side
+    (camera-only, rows-outer grid) with arithmetic mirroring the
+    in-kernel build exactly — output must match the default in-kernel
+    path bit-for-bit, live and through the camera cache.  (The hoisted
+    variant measured slower on TPU and is OFF by default; this pins the
+    flag's correctness either way — see PERFORMANCE.md item 12.)"""
+    scene, bricks, grids = _build(amr_fixture, EX3)
+    w = h = 24
+    cam = Camera.look_at([4.0, 4.0, 26.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=1.0,
+                          opacity_scale=0.8)
+    extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                      extent_z=extent, adaptive_stride=True)
+    cfg_h = dataclasses.replace(base, hoist_tents=True)
+
+    plain = np.asarray(render_slabs_camera(grids, fs, base, cam, w, h))
+    hoisted = np.asarray(render_slabs_camera(grids, fs, cfg_h, cam, w, h))
+    assert plain[:, 3].max() > 0.1
+    assert np.array_equal(plain, hoisted)
+
+    cache = {}
+    cached = np.asarray(render_slabs_camera(grids, fs, cfg_h, cam, w, h,
+                                            camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    assert np.array_equal(plain, cached)
+
+
 def test_renderer_tf_drag_uses_camera_cache(amr_fixture):
     """Repeated frame-0 renders at a stable pose (the TF-drag
     interaction: every edit resets accumulation) must populate and hit
