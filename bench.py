@@ -91,6 +91,11 @@ def _cam_fs_cfg(grids, n, width, height, value_max, stride, nslabs=None):
         chunk=12,
         extent_z=extent,
         adaptive_stride=stride,
+        # static-pose rows hold the prepared per-chunk camera products
+        # on-device; 256^3 needs ~5-6 GB of the 16 GB HBM (the default
+        # 4 GB gate declines there and the row silently loses the
+        # cached-pose rate)
+        camera_cache_max_mb=int(os.environ.get("BENCH_CACHE_MB", 8192)),
     )
     return cam, fs, cfg
 
