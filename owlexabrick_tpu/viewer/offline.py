@@ -41,6 +41,9 @@ def _parse_onoff(flag: str, arg: str) -> bool:
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = list(argv if argv is not None else sys.argv[1:])
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     config_path = None
     size = (1024, 1024)

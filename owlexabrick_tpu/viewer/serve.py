@@ -709,6 +709,9 @@ class _Handler(BaseHTTPRequestHandler):
 
 def main(argv=None) -> int:
     argv = list(argv if argv is not None else sys.argv[1:])
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if not argv:
         print("usage: python -m owlexabrick_tpu.viewer.serve <scene.exa> "
               "[--port N] [--size W H]")
