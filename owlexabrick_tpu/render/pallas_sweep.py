@@ -77,7 +77,9 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  n_texels: int = 0, has_stop: bool = False,
                  dot_precision: str = "highest",
                  tau: Tuple[bool, ...] = (), has_pt: bool = False,
-                 fused: bool = True, hoist_wy: bool = False):
+                 fused: bool = True, hoist_wy: bool = False,
+                 concat: bool = False,
+                 static_cws: Tuple[float, ...] = ()):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -122,9 +124,16 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         n_comp_k = (n_channels + 1) if fused else 1
         per_lvl = ((n_channels + 1) if not fused else 1) * (
             2 if hi_lo else 1)
+        # concat mode: the levels' mid blocks arrive pre-concatenated
+        # along the contraction axis — ONE ref group whose K = sum of
+        # the per-level KYs; the kernel's per-level y-tent weights are
+        # concatenated to match, so each slab pays one dot per
+        # component per pass instead of one per level (small-K dots
+        # underutilize the MXU's 128-deep pipeline)
+        n_groups = 1 if concat else n_levels
         lvl_refs = []
         k = 0
-        for li in range(n_levels):
+        for li in range(n_groups):
             lvl_refs.append(refs[k : k + per_lvl])
             k += per_lvl
         wy_refs = ()
@@ -199,6 +208,30 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             ).astype(jnp.float32)
             return jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - kk))
 
+        ktot = sum(ky_list)
+
+        def _wy_cat(yp):
+            # concat mode: ONE tent build over the concatenated
+            # contraction axis.  The per-lane level map (reciprocal cell
+            # width + window base) is static except the row-tile y
+            # origins, composed from SMEM scalars with static lane
+            # selects — same elementwise cost as the per-level builds,
+            # no in-kernel concatenation shuffles.  1/cw is exact (cell
+            # widths are powers of two).
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ktot), 1)
+            icw = jnp.zeros((1, ktot), jnp.float32)
+            base = jnp.zeros((1, ktot), jnp.float32)
+            off = 0
+            for li, ky in enumerate(ky_list):
+                sel = (lane >= off) & (lane < off + ky)
+                icw = jnp.where(sel, 1.0 / static_cws[li], icw)
+                base = jnp.where(
+                    sel, orgy_ref[li, rt_id] + (0.5 - float(off)), base
+                )
+                off += ky
+            q = yp[:, None] * icw - (base + lane.astype(jnp.float32))
+            return jnp.maximum(0.0, 1.0 - jnp.abs(q))
+
         def _interp(s):
             if hoist_wy:
                 yp = None
@@ -212,17 +245,25 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             # rows in the mids make out-of-range weights harmless.
             # fused: ONE (tr, KY) @ (KY, (C+1)*tc) dot per level yields
             # every channel's swv AND the mask sw (lane groups of tc);
-            # else one dot per component, swv deferred to _classify
-            wys = []
+            # else one dot per component, swv deferred to _classify.
+            # concat: the per-level tents concatenate along the
+            # contraction axis to match the pre-concatenated mid blocks
+            if concat and not hoist_wy:
+                wys = [_wy_cat(yp)]
+            else:
+                per_wy = [
+                    wy_refs[li][0, s] if hoist_wy else _wy(li, yp)
+                    for li in range(n_levels)
+                ]
+                wys = ([jnp.concatenate(per_wy, axis=1)] if concat
+                       else per_wy)
             acc = jnp.zeros((tr, n_comp_k * tc), jnp.float32)
-            for li in range(n_levels):
-                wy = wy_refs[li][0, s] if hoist_wy else _wy(li, yp)
-                wys.append(wy)
-                # fused: the single level ref holds all components;
+            for gi in range(n_groups):
+                # fused: the single group ref holds all components;
                 # non-fused: contract the mask component only (swv dots
                 # are deferred to _classify)
                 acc = acc + mxu_dot(
-                    wy, _mid_block(li, 0 if fused else n_channels, s))
+                    wys[gi], _mid_block(gi, 0 if fused else n_channels, s))
             sw = acc[:, n_channels * tc:] if fused else acc
             ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
             if has_stop:
@@ -275,9 +316,9 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                         swv = acc[:, ch * tc:(ch + 1) * tc]
                     else:
                         swv = jnp.zeros((tr, tc), jnp.float32)
-                        for li in range(n_levels):
+                        for gi in range(n_groups):
                             swv = swv + mxu_dot(
-                                wys[li], _mid_block(li, ch, s))
+                                wys[gi], _mid_block(gi, ch, s))
                     value = swv / jnp.where(sw > 1e-20, sw, 1.0)
                     if compressed:
                         lo = lut_ref[ch, 0]
@@ -523,7 +564,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                   adaptive_stride: bool = False,
                   ky_hints: Tuple[int, ...] | None = None,
                   fuse_mids: bool = True, tf_cull=None,
-                  hoist_wy: bool = False) -> ChunkPrep:
+                  hoist_wy: bool = False,
+                  concat_levels: bool = False) -> ChunkPrep:
     """Build the camera-only kernel inputs for one chunk: pad/interleave
     the mids, slice per-row-tile y windows, split hi_lo pairs, derive the
     geometric tile-activity tables and the TF-cull value bounds."""
@@ -575,55 +617,101 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     # y-windowing: slice each level's mids to the rows each row tile can
     # reach (over the whole chunk); KY static from ky_hints
     ky_list, windowed = _layout(ny_list, ky_hints)
-    lvl_inputs = []  # flattened kernel inputs in the kernel's emit order
+    level_parts = []  # per level, the kernel parts in emit order
+    k0_list: list = []  # per level, the window start per row tile
     orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
     for li in range(n_levels):
         ny = ny_list[li]
         ky = ky_list[li]
         win = windowed[li]
+        parts: list = []
+        level_parts.append(parts)
 
-        def emit(a, win_fn=None):
+        def emit(a, win_fn=None, parts=parts):
             # hi_lo: split each mid into a bf16 (hi, lo) pair (exact
             # reconstruction to ~2^-16) feeding the two-pass kernel dot
             if hi_lo:
                 ahi = a.astype(jnp.bfloat16)
                 alo = (a - ahi.astype(jnp.float32)).astype(jnp.bfloat16)
                 for part in (ahi, alo):
-                    lvl_inputs.append(
+                    parts.append(
                         part if win_fn is None else win_fn(part))
             else:
-                lvl_inputs.append(a if win_fn is None else win_fn(a))
+                parts.append(a if win_fn is None else win_fn(a))
 
-        if not win:
-            if fuse_mids:
-                emit(_interleave(li))
-            else:
-                for ch in range(n_channels):
-                    emit(mid_vs_l[li][ch])
-                emit(mid_m_l[li])
-            continue
-        # window start per row tile: the lowest lattice row any of the
-        # chunk's slabs can touch from this tile (tent reach -1)
-        cw_v = cws[li]
-        qlo_t = (y_lo_t / cw_v - orgy[li] - 0.5).min(0) - 1.0  # (R,)
-        k0 = jnp.clip(jnp.floor(qlo_t).astype(jnp.int32), 0, ny - ky)
-        orgy_eff = orgy_eff.at[li].set(
-            orgy[li] + k0.astype(jnp.float32)
-        )
+        if win:
+            # window start per row tile: the lowest lattice row any of
+            # the chunk's slabs can touch from this tile (tent reach -1)
+            cw_v = cws[li]
+            qlo_t = (y_lo_t / cw_v - orgy[li] - 0.5).min(0) - 1.0  # (R,)
+            k0 = jnp.clip(jnp.floor(qlo_t).astype(jnp.int32), 0, ny - ky)
+            k0_list.append(k0)
+            orgy_eff = orgy_eff.at[li].set(
+                orgy[li] + k0.astype(jnp.float32)
+            )
+        else:
+            k0_list.append(None)
+            k0 = None
 
-        def window(a):
+        def window(a, k0=k0):
             # (S, ny, Wcat) -> (R, S, ky, Wcat) per-row-tile slices
             return jnp.stack([
                 jax.lax.dynamic_slice_in_dim(a, k0[r], ky, axis=1)
                 for r in range(n_rt)
             ])
 
+        # concat mode defers windowing to the combined-buffer build
+        # below (one write instead of window-stack + concatenate)
+        win_fn = window if (win and not concat_levels) else None
         if fuse_mids:
-            emit(_interleave(li), win_fn=window)
+            emit(_interleave(li), win_fn=win_fn)
         else:
             for ch in range(n_channels):
-                emit(mid_vs_l[li][ch], win_fn=window)
-            emit(mid_m_l[li], win_fn=window)
+                emit(mid_vs_l[li][ch], win_fn=win_fn)
+            emit(mid_m_l[li], win_fn=win_fn)
+
+    if concat_levels:
+        # pre-concatenate the levels' blocks along the contraction axis
+        # so each slab pays ONE kernel dot per component per pass
+        # (small per-level K underutilizes the MXU).  Each level's
+        # window is sliced straight into the combined buffer with
+        # in-place dynamic-update-slices — the same write volume as the
+        # unconcatenated window stacks.  Full (3-D) levels broadcast to
+        # per-row-tile copies when any level is windowed — cheap,
+        # because only small-ny levels stay unwindowed.
+        any_win = any(windowed)
+        ktot = sum(ky_list)
+        n_parts = len(level_parts[0])
+        lvl_inputs = []
+        for pi in range(n_parts):
+            if not any_win:
+                lvl_inputs.append(jnp.concatenate(
+                    [level_parts[li][pi] for li in range(n_levels)],
+                    axis=1))
+                continue
+            wlast = level_parts[0][pi].shape[-1]
+            comb = jnp.zeros(
+                (n_rt, s_, ktot, wlast), level_parts[0][pi].dtype)
+            off = 0
+            for li in range(n_levels):
+                a = level_parts[li][pi]
+                ky = ky_list[li]
+                if windowed[li]:
+                    k0 = k0_list[li]
+                    for r in range(n_rt):
+                        sl = jax.lax.dynamic_slice_in_dim(
+                            a, k0[r], ky, axis=1)
+                        comb = jax.lax.dynamic_update_slice(
+                            comb, sl[None], (r, 0, off, 0))
+                else:
+                    comb = jax.lax.dynamic_update_slice(
+                        comb,
+                        jnp.broadcast_to(a[None], (n_rt,) + a.shape),
+                        (0, 0, off, 0))
+                off += ky
+            lvl_inputs.append(comb)
+    else:
+        lvl_inputs = [p for parts in level_parts for p in parts]
 
     # lateral space skipping: per-(slab, row-tile, col-tile) activity
     # from mask support.  A slab's cells can only reach a tile whose y
@@ -807,14 +895,22 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
               cell_widths, n_channels: int, knots=None, t_stop=None,
               tiles=(0, 0), dot_precision: str = "highest",
               adaptive_stride: bool = False, prev_trans=None,
-              fuse_mids: bool = True, interpret: bool | None = None):
+              fuse_mids: bool = True, concat_levels: bool = False,
+              ky_list=None, interpret: bool | None = None):
     """Dispatch the megakernel for one chunk from prepared inputs.
     Static layout (KY, windowed, level count) is inferred from the
-    prepared block shapes."""
+    prepared block shapes; ``concat_levels`` preps carry one combined
+    block per part, so the per-level ``ky_list`` (the static y-window
+    row counts prepare_chunk derived) must be passed explicitly."""
     hi_lo = dot_precision == "hi_lo"
     per_lvl = ((n_channels + 1) if not fuse_mids else 1) * (
         2 if hi_lo else 1)
-    n_levels = len(prep.lvl) // per_lvl
+    if concat_levels:
+        if ky_list is None:
+            raise ValueError("concat_levels requires the static ky_list")
+        n_levels = len(ky_list)
+    else:
+        n_levels = len(prep.lvl) // per_lvl
     s_ = prep.y_pos_t.shape[1]
 
     lut_pack, d_pack, cum_pack, tau_flags, n = _pack_luts(
@@ -867,22 +963,40 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     wcat = (n_comp * tc) if fuse_mids else tc
 
     # rebuild static layout + block specs from the prepared shapes
-    ky_list = []
-    windowed = []
     lvl_specs = []
-    for li in range(n_levels):
-        blk = prep.lvl[li * per_lvl]
+    if concat_levels:
+        # one combined block per part: K = sum of the per-level KYs
+        ky_list = tuple(int(k) for k in ky_list)
+        blk = prep.lvl[0]
         win = blk.ndim == 4
-        ky = blk.shape[2] if win else blk.shape[1]
-        ky_list.append(ky)
-        windowed.append(win)
+        ktot = blk.shape[2] if win else blk.shape[1]
+        if ktot != sum(ky_list):
+            raise ValueError(
+                f"concat block K={ktot} != sum(ky_list)={sum(ky_list)}")
+        windowed = (win,)
         if win:
-            spec = pl.BlockSpec((1, s_, ky, wcat), imap_win,
+            spec = pl.BlockSpec((1, s_, ktot, wcat), imap_win,
                                 memory_space=pltpu.VMEM)
         else:
-            spec = pl.BlockSpec((s_, ky, wcat), imap_full,
+            spec = pl.BlockSpec((s_, ktot, wcat), imap_full,
                                 memory_space=pltpu.VMEM)
         lvl_specs.extend([spec] * per_lvl)
+    else:
+        ky_list = []
+        windowed = []
+        for li in range(n_levels):
+            blk = prep.lvl[li * per_lvl]
+            win = blk.ndim == 4
+            ky = blk.shape[2] if win else blk.shape[1]
+            ky_list.append(ky)
+            windowed.append(win)
+            if win:
+                spec = pl.BlockSpec((1, s_, ky, wcat), imap_win,
+                                    memory_space=pltpu.VMEM)
+            else:
+                spec = pl.BlockSpec((s_, ky, wcat), imap_full,
+                                    memory_space=pltpu.VMEM)
+            lvl_specs.extend([spec] * per_lvl)
     wy_specs = [
         pl.BlockSpec((1, s_, tr, prep.wy[li].shape[3]), imap_wy,
                      memory_space=pltpu.VMEM)
@@ -912,7 +1026,10 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      has_stop=t_stop is not None,
                      dot_precision=dot_precision,
                      tau=tau_flags, has_pt=prev_trans is not None,
-                     fused=fuse_mids, hoist_wy=hoist),
+                     fused=fuse_mids, hoist_wy=hoist,
+                     concat=concat_levels,
+                     static_cws=(tuple(float(c) for c in cell_widths)
+                                 if concat_levels else ())),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -953,6 +1070,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 prev_trans=None,
                 fuse_mids: bool = True,
                 hoist_wy: bool = False,
+                concat_levels: bool = False,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
 
@@ -979,15 +1097,21 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         tiles=tiles, dot_precision=dot_precision,
         adaptive_stride=adaptive_stride, ky_hints=ky_hints,
         fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
+        concat_levels=concat_levels,
     )
     act_f, act_all_f = combine_activity(
         prep, live, luts, domains, cell_widths,
         adaptive_stride=adaptive_stride,
     )
+    ky_list = None
+    if concat_levels:
+        ny_list = tuple(-(-m.shape[1] // 8) * 8 for _, m in mids)
+        ky_list, _ = _layout(ny_list, ky_hints)
     return run_chunk(
         prep, sec, live, luts, domains, dz, height, width,
         act_f=act_f, act_all_f=act_all_f, cell_widths=cell_widths,
         n_channels=n_channels, knots=knots, t_stop=t_stop, tiles=tiles,
         dot_precision=dot_precision, adaptive_stride=adaptive_stride,
-        prev_trans=prev_trans, fuse_mids=fuse_mids, interpret=interpret,
+        prev_trans=prev_trans, fuse_mids=fuse_mids,
+        concat_levels=concat_levels, ky_list=ky_list, interpret=interpret,
     )

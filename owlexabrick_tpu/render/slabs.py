@@ -653,6 +653,14 @@ class SlabConfig:
     # re-materializes every mid through HBM, which outweighs the saved
     # kernel dot issues — kept as an option for high channel counts.
     fuse_mids: bool = False
+    # concatenate the levels' mid blocks along the kernel's contraction
+    # axis so each slab pays ONE dot per component per pass (K = sum of
+    # the per-level y-windows) instead of one small-K dot per level —
+    # small K underutilizes the MXU's 128-deep pipeline.  Output agrees
+    # to float rounding (the K-sum accumulates in one pass instead of
+    # per-level partials); the host concatenation re-materializes the
+    # mids once per pose, which the camera cache absorbs.
+    concat_levels: bool = False
     # single-channel megakernel lane (pallas_sweep.py): y-interpolation +
     # classification + compositing fused in VMEM
     megakernel: bool = True
@@ -1203,6 +1211,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 adaptive_stride=cfg.adaptive_stride,
                 ky_hints=ky_hints, fuse_mids=cfg.fuse_mids,
                 tf_cull=tf_cull, hoist_wy=cfg.hoist_tents,
+                concat_levels=cfg.concat_levels,
             )
             per_chunk.append((prep, scale))
         return tuple(per_chunk)
@@ -1356,6 +1365,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     ky_hints=ky_hints,
                     fuse_mids=cfg.fuse_mids,
                     hoist_wy=cfg.hoist_tents,
+                    concat_levels=cfg.concat_levels,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
                 )
@@ -1454,11 +1464,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         # no window copies, no hi_lo splits); each chunk recombines only
         # the tiny (S, R, Ct) TF/live activity tables and dispatches the
         # kernel, gated on saturation like the while_loop's condition
-        from .pallas_sweep import combine_activity, run_chunk
+        from .pallas_sweep import _layout, combine_activity, run_chunk
 
         kdot = "default" if cfg.bf16_interp else cfg.dot_precision
         cws_list = [float(1 << L) for L in grids.levels]
         domains_list = [fs.xf_domain[c] for c in range(cfg.num_channels)]
+        kyl = None
+        if cfg.concat_levels:
+            # static per-level contraction rows (mirrors prepare_chunk's
+            # layout derivation — concat preps carry one combined block)
+            ny_list = tuple(
+                -(-int(m.shape[1]) // 8) * 8 for m in grids.masks
+            )
+            kyl, _ = _layout(ny_list, ky_hints)
         color, alpha = color0, alpha0
         for ci0, (prep, scale) in enumerate(products):
             a_s = act_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
@@ -1484,6 +1502,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
                     fuse_mids=cfg.fuse_mids,
+                    concat_levels=cfg.concat_levels, ky_list=kyl,
                 )
                 if cfg.carry_termination:
                     color = color + chunk_rgb
@@ -2035,11 +2054,21 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         tr_, _ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
                          cfg.adaptive_stride)
         n_rt_ = -(-h_ // tr_)
-        rows_sum = 0
+        lay = []
         for li, m in enumerate(grids.masks):
             ny = -(-int(m.shape[1]) // 8) * 8
             ky = ny if hints is None else min(int(hints[li]), ny)
-            rows_sum += n_rt_ * ky if 2 * ky <= ny else ny
+            lay.append((ky, ny, 2 * ky <= ny))
+        any_win = any(w for _, _, w in lay)
+        rows_sum = 0
+        for ky, ny, win in lay:
+            if win:
+                rows_sum += n_rt_ * ky
+            elif cfg.concat_levels and any_win:
+                # concat broadcasts full levels to per-row-tile copies
+                rows_sum += n_rt_ * ny
+            else:
+                rows_sum += ny
         itemsize = 2 if cfg.bf16_interp else 4
         est = ns_pad * rows_sum * w_ * itemsize * (1 + cfg.num_channels)
         if est > cfg.camera_cache_max_mb * 1e6:

@@ -818,6 +818,44 @@ def test_hoisted_tents_bit_identical(amr_fixture):
     assert np.array_equal(plain, cached)
 
 
+def test_concat_levels_agrees_and_caches(amr_fixture):
+    """concat_levels pre-concatenates the levels' mid blocks along the
+    kernel's contraction axis (one dot per component per pass instead of
+    one small-K dot per level).  The K-sum accumulates in one pass
+    instead of per-level partials, so agreement is to float rounding —
+    and the cached-pose path must reproduce the live concat path
+    bit-for-bit (same code, prepared inputs)."""
+    scene, bricks, grids = _build(
+        amr_fixture,
+        # coarse 16^3 + fine 8^3 brick: a windowed/full level mix
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n",
+    )
+    w = h = 24
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         14.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                      extent_z=extent, adaptive_stride=True, tile_rows=8)
+    plain = np.asarray(render_slabs_camera(grids, fs, base, cam, w, h))
+    assert plain[:, 3].max() > 0.5
+    for cfg in (
+        dataclasses.replace(base, concat_levels=True),
+        dataclasses.replace(base, concat_levels=True, fuse_mids=True),
+    ):
+        got = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h))
+        assert np.abs(got - plain).max() < 1e-5
+
+    cfg = dataclasses.replace(base, concat_levels=True)
+    cache = {}
+    cached = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
+                                            camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    live = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h))
+    assert np.array_equal(cached, live)
+
+
 def test_renderer_tf_drag_uses_camera_cache(amr_fixture):
     """Repeated frame-0 renders at a stable pose (the TF-drag
     interaction: every edit resets accumulation) must populate and hit
