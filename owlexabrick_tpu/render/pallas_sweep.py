@@ -107,8 +107,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                        preferred_element_type=jnp.float32,
                        precision=prec)
 
-    def kernel(params_ref, lut_ref, d_ref, cum_ref, live_ref, act_ref,
-               act_all_ref, orgy_ref, cw_ref, *refs):
+    def kernel(params_ref, lut_ref, d_ref, cum_ref, pos_ref, live_ref,
+               act_ref, act_all_ref, orgy_ref, cw_ref, *refs):
         # refs: per level ONE fused mid (hi_lo: a (hi, lo) pair) whose
         # lane axis interleaves [v_0 | .. | v_{C-1} | m] per column tile
         # (windowed levels: (1, S, KY, (C+1)*tc) blocks; full levels:
@@ -340,22 +340,21 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                         # coordinate contribute nothing; knots at or below
                         # its min act affinely and fold into the prefix
                         # sums (base + u*cum1 - cum2) — only the knots
-                        # inside the tile's value spread are looped.
+                        # inside the tile's value spread are looped.  The
+                        # window bounds come from ONE vector compare +
+                        # reduce over the VMEM knot-position row (a
+                        # scalar fori count loop here cost ~M iterations
+                        # per (slab, tile, channel); per-row-band windows
+                        # were also tried and measured far slower — the
+                        # per-band loop overhead dwarfs the narrower
+                        # spreads, PERFORMANCE.md round-3 notes).
                         u_min = jnp.min(jnp.where(ok, u_raw, n - 1.0))
                         u_max = jnp.max(u)
-                        m_all = d_ref.shape[1]
-
-                        def count(j, cnt):
-                            c_lo, c_hi = cnt
-                            p_ = d_ref[ch, j, 0]
-                            return (
-                                c_lo + (p_ <= u_min).astype(jnp.int32),
-                                c_hi + (p_ < u_max).astype(jnp.int32),
-                            )
-
-                        m_lo, m_hi = jax.lax.fori_loop(
-                            0, m_all, count, (0, 0)
-                        )
+                        pos_row = pos_ref[ch]  # (1, M) positions, pad = n
+                        m_lo = jnp.sum(
+                            (pos_row <= u_min).astype(jnp.int32))
+                        m_hi = jnp.sum(
+                            (pos_row < u_max).astype(jnp.int32))
 
                         def knot(j, accs):
                             r, g, b, a = accs
@@ -520,7 +519,9 @@ def _layout(ny_list, ky_hints):
 
 
 def _pack_luts(luts, domains, knots, n_channels):
-    """Frame-state classification tables for the kernel (SMEM packs)."""
+    """Frame-state classification tables for the kernel (SMEM packs,
+    plus the knot-position rows as a VMEM array so the kernel derives
+    its two-sided window with one vector compare+reduce)."""
     n = luts[0].shape[0]
     if knots is not None:
         # compressed classification: (C, 6) [domain lo, hi, base rgba] +
@@ -537,6 +538,7 @@ def _pack_luts(luts, domains, knots, n_channels):
              jnp.asarray(ksd, jnp.float32)], axis=2,
         )  # (C, M, 5)
         cum_pack = jnp.asarray(knots.cum, jnp.float32)
+        pos_pack = jnp.asarray(kpos, jnp.float32)[:, None, :]  # (C, 1, M)
     else:
         tau_flags = ()
         # pack per-channel lut + domain into one SMEM array: (C, N, 6)
@@ -555,7 +557,8 @@ def _pack_luts(luts, domains, knots, n_channels):
                 jnp.concatenate([lut[:1], lut[1:] - lut[:-1]], axis=0)
             )
         cum_pack = jnp.zeros((n_channels, 1, 8), jnp.float32)
-    return lut_pack, d_pack, cum_pack, tau_flags, n
+        pos_pack = jnp.zeros((n_channels, 1, 8), jnp.float32)
+    return lut_pack, d_pack, cum_pack, pos_pack, tau_flags, n
 
 
 def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
@@ -913,7 +916,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
         n_levels = len(prep.lvl) // per_lvl
     s_ = prep.y_pos_t.shape[1]
 
-    lut_pack, d_pack, cum_pack, tau_flags, n = _pack_luts(
+    lut_pack, d_pack, cum_pack, pos_pack, tau_flags, n = _pack_luts(
         luts, domains, knots, n_channels)
     params = jnp.stack(
         [jnp.asarray(dz, jnp.float32),
@@ -1036,6 +1039,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lut pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # d pack
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cum prefix
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # knot positions
             pl.BlockSpec(memory_space=pltpu.SMEM),  # live
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act-all per tile
@@ -1054,9 +1058,9 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             for _ in range(4)
         ),
         interpret=interpret,
-    )(params, lut_pack, d_pack, cum_pack, live.astype(jnp.float32), act_f,
-      act_all_f, prep.orgy_eff, cws, *prep.lvl, *prep.wy, prep.y_pos_t,
-      sec, *pt_ins, *stop_ins)
+    )(params, lut_pack, d_pack, cum_pack, pos_pack,
+      live.astype(jnp.float32), act_f, act_all_f, prep.orgy_eff, cws,
+      *prep.lvl, *prep.wy, prep.y_pos_t, sec, *pt_ins, *stop_ins)
     return jnp.stack([r, g, b]), t
 
 
