@@ -16,12 +16,15 @@ Pipeline split (per chunk of S slabs):
   kernel (grid over (col, row) tiles, rows fastest; hoisted tents flip
   to rows-outer so the per-row-tile tent blocks stay VMEM-resident
   across the column sweep):
-    * per slab: per-level y-tent weight blocks (tr, KY_l) — hoisted
-      host-built blocks by default (the build is camera-only and
-      column-tile-invariant) — contracted
-      (tr, KY_l) @ (KY_l, (C+1)*tc) on the MXU against lane-fused
-      [channels | mask] mids and summed over levels — one dot per
-      level per slab yields every channel's swv and the mask sw
+    * per slab: y-tent weights contracted against the mid blocks on
+      the MXU.  Default (concat_levels): the levels' blocks arrive
+      pre-concatenated along the contraction axis and the combined
+      tent builds in one fused expression over static per-lane level
+      maps — ONE (tr, sum KY_l) @ (sum KY_l, tc) dot per component per
+      pass (small per-level K underutilizes the MXU's 128-deep
+      pipeline).  Per-level grouping (concat_levels=False) keeps one
+      dot per level; fuse_mids additionally lane-fuses
+      [channels | mask] into (KY, (C+1)*tc) blocks
     * classification (two-sided-windowed PWL knots or the dense
       range-limited LUT loop) + opacity correction (optical-depth exp
       for tau-fitted strips, pow otherwise), skipped for tiles with no
@@ -79,7 +82,9 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  tau: Tuple[bool, ...] = (), has_pt: bool = False,
                  fused: bool = True, hoist_wy: bool = False,
                  concat: bool = False,
-                 static_cws: Tuple[float, ...] = ()):
+                 static_cws: Tuple[float, ...] = (),
+                 fold: bool = False,
+                 nx_list: Tuple[int, ...] = ()):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -108,7 +113,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                        precision=prec)
 
     def kernel(params_ref, lut_ref, d_ref, cum_ref, pos_ref, live_ref,
-               act_ref, act_all_ref, orgy_ref, cw_ref, *refs):
+               act_ref, act_all_ref, orgy_ref, cw_ref, orgx_ref, *refs):
         # refs: per level ONE fused mid (hi_lo: a (hi, lo) pair) whose
         # lane axis interleaves [v_0 | .. | v_{C-1} | m] per column tile
         # (windowed levels: (1, S, KY, (C+1)*tc) blocks; full levels:
@@ -129,7 +134,14 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         # the per-level KYs; the kernel's per-level y-tent weights are
         # concatenated to match, so each slab pays one dot per
         # component per pass instead of one per level (small-K dots
-        # underutilize the MXU's 128-deep pipeline)
+        # underutilize the MXU's 128-deep pipeline).
+        # fold mode: the blocks are LATTICE-space z-resampled mids
+        # (ky, nx) per level per component — the x resample happens
+        # in-kernel as a first contraction (ky, nx) @ wx (nx, tc), so
+        # HBM never sees screen-width mids at all (the per-level
+        # (S, ny, W) x-resampled mids were ~20x these blocks' bytes)
+        if fold:
+            per_lvl = (n_channels + 1) * (2 if hi_lo else 1)
         n_groups = 1 if concat else n_levels
         lvl_refs = []
         k = 0
@@ -147,8 +159,13 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             wy_refs = refs[k : k + n_levels]
             k += n_levels
         ypos_ref = refs[k]
-        sec_ref = refs[k + 1]
-        k += 2
+        k += 1
+        xpos_ref = None
+        if fold:
+            xpos_ref = refs[k]
+            k += 1
+        sec_ref = refs[k]
+        k += 1
         pt_ref = None
         if has_pt:
             # previous chunks' per-pixel transmittance: the compositing
@@ -171,9 +188,10 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         tr = ypos_ref.shape[0]
         tc = sec_ref.shape[1]
         # grid order: (col_tiles, row_tiles) with rows fastest normally;
-        # hoisted tents flip to (row_tiles, col_tiles) with cols fastest
-        # so the per-row-tile tent blocks load once per row tile
-        if hoist_wy:
+        # hoisted tents and fold mode flip to (row_tiles, col_tiles)
+        # with cols fastest so the per-row-tile blocks (tent blocks /
+        # lattice mids, column-invariant) load once per row tile
+        if hoist_wy or fold:
             rt_id = pl.program_id(0)
             ct_id = pl.program_id(1)
         else:
@@ -232,6 +250,71 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             q = yp[:, None] * icw - (base + lane.astype(jnp.float32))
             return jnp.maximum(0.0, 1.0 - jnp.abs(q))
 
+        def _wx(li, xp):
+            # fold mode: per-level x-tent weights over the tile's
+            # columns — (nx_l, tc) with the lattice axis on sublanes so
+            # it feeds the first contraction's RHS directly.  Out-of-
+            # range columns get zero weight, exactly like the host
+            # x-resample's tent matrix.
+            nx = nx_list[li]
+            qx = xp / cw_ref[li] - orgx_ref[li] - 0.5  # (tc,)
+            kk = jax.lax.broadcasted_iota(
+                jnp.int32, (nx, tc), 0
+            ).astype(jnp.float32)
+            return jnp.maximum(0.0, 1.0 - jnp.abs(qx[None, :] - kk))
+
+        def _interp_fold(s, yp):
+            # two-stage contraction per slab: per level
+            # P_l = M_l (ky_l, nx_l) @ wx_l (nx_l, tc), levels
+            # concatenated along sublanes, then field = wy (tr, sumKY)
+            # @ P (sumKY, tc).  hi_lo splits both M (prepared) and P
+            # (in-kernel); wx/wy run single-bf16 there (their error
+            # largely cancels in the swv/sw ratio, as in the base lane)
+            xpos_all = xpos_ref[:]  # (tc, S)
+            sid_x = jax.lax.broadcasted_iota(
+                jnp.int32, xpos_all.shape, 1)
+            xp = jnp.sum(jnp.where(sid_x == s, xpos_all, 0.0), axis=1)
+            wy = _wy_cat(yp)
+            wxs = [_wx(li, xp) for li in range(n_levels)]
+
+            def first_dot(li, comp):
+                if hi_lo:
+                    rh = lvl_refs[li][2 * comp]
+                    rl = lvl_refs[li][2 * comp + 1]
+                    ah = rh[0, s] if windowed[li] else rh[s]
+                    al = rl[0, s] if windowed[li] else rl[s]
+                    wxb = wxs[li].astype(jnp.bfloat16)
+                    return (
+                        jnp.dot(ah, wxb,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(al, wxb,
+                                  preferred_element_type=jnp.float32)
+                    )
+                ref = lvl_refs[li][comp]
+                a = ref[0, s] if windowed[li] else ref[s]
+                return jnp.dot(a, wxs[li].astype(a.dtype),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+            fields = []
+            for comp in range(n_channels + 1):
+                p_cat = jnp.concatenate(
+                    [first_dot(li, comp) for li in range(n_levels)],
+                    axis=0,
+                )  # (sumKY, tc) f32
+                if hi_lo:
+                    ph = p_cat.astype(jnp.bfloat16)
+                    pl_ = (p_cat - ph.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    fields.append(mxu_dot(wy, (ph, pl_)))
+                else:
+                    fields.append(mxu_dot(wy, p_cat))
+            sw = fields[n_channels]
+            ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
+            if has_stop:
+                ok = ok & (t_slab_ref[s] < t_stop_ref[:])
+            return fields, sw, ok
+
         def _interp(s):
             if hoist_wy:
                 yp = None
@@ -240,6 +323,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 # no unaligned dynamic lane indexing)
                 yp = jnp.sum(
                     jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
+            if fold:
+                return _interp_fold(s, yp)
 
             # per-level y-tent weights over the tile's window; zero-pad
             # rows in the mids make out-of-range weights harmless.
@@ -304,7 +389,10 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             return jax.lax.cond(do, work, lambda c: c, carry)
 
         def _classify(s, payload, sw, ok, carry, w_s):
-                acc, wys = payload
+                if fold:
+                    fields = payload
+                else:
+                    acc, wys = payload
                 # per-slab channel merge in the reference's channel order
                 # (exabrick.cu:1169-1179)
                 slab_a = jnp.zeros((tr, tc), jnp.float32)
@@ -312,7 +400,9 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    if fused:
+                    if fold:
+                        swv = fields[ch]
+                    elif fused:
                         swv = acc[:, ch * tc:(ch + 1) * tc]
                     else:
                         swv = jnp.zeros((tr, tc), jnp.float32)
@@ -499,6 +589,10 @@ class ChunkPrep(NamedTuple):
     vmax: Optional[jax.Array]
     y_pos_t: jax.Array
     wy: tuple = ()
+    # fold_x mode: (W, S) slab-plane x coordinates + (L,) lattice x
+    # origins for the in-kernel x-tent build (None otherwise)
+    xpos_t: Optional[jax.Array] = None
+    orgx: Optional[jax.Array] = None
 
 
 def _layout(ny_list, ky_hints):
@@ -568,20 +662,48 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                   ky_hints: Tuple[int, ...] | None = None,
                   fuse_mids: bool = True, tf_cull=None,
                   hoist_wy: bool = False,
-                  concat_levels: bool = False) -> ChunkPrep:
+                  concat_levels: bool = False,
+                  fold_x: bool = False, x_geom=None) -> ChunkPrep:
     """Build the camera-only kernel inputs for one chunk: pad/interleave
     the mids, slice per-row-tile y windows, split hi_lo pairs, derive the
-    geometric tile-activity tables and the TF-cull value bounds."""
+    geometric tile-activity tables and the TF-cull value bounds.
+
+    ``fold_x``: the mids are LATTICE-space z-resampled blocks
+    (S, ny, nx) and the x resample happens in-kernel; ``x_geom`` must be
+    ((S, W) slab-plane x coordinates, per-level lattice x origins).
+    Implies per-level non-fused blocks (no interleave, no level
+    concat)."""
     n_levels = len(mids)
     n_channels = len(mids[0][0])
     hi_lo = dot_precision == "hi_lo"
     s_ = y_pos.shape[0]
+    if fold_x:
+        if x_geom is None:
+            raise ValueError("fold_x requires x_geom")
+        # lattice-space blocks stay per level per component: levels
+        # have different lane counts (nx), and the kernel lane-fuses
+        # nothing (components contract separately against shared wx);
+        # the kernel builds its own tents (no hoisting)
+        fuse_mids = False
+        concat_levels = False
+        hoist_wy = False
 
     mid_vs_l = [
         [_pad8_rows(mvs[ch]) for ch in range(n_channels)]
         for mvs, _ in mids
     ]
     mid_m_l = [_pad8_rows(mm) for _, mm in mids]
+    if fold_x:
+        # lane-align the lattice x axis (Mosaic lane = 128); zero
+        # columns contribute nothing to either contraction, and the
+        # kernel's x-tent weights there multiply only zeros
+        def _pad128(a):
+            padl = (-a.shape[2]) % 128
+            return a if padl == 0 else jnp.pad(
+                a, ((0, 0), (0, 0), (0, padl)))
+
+        mid_vs_l = [[_pad128(v) for v in vs] for vs in mid_vs_l]
+        mid_m_l = [_pad128(m) for m in mid_m_l]
     ny_list = tuple(m.shape[1] for m in mid_m_l)
 
     tr, tc = tile_shape(height, width, tiles, adaptive_stride)
@@ -683,7 +805,6 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         # per-row-tile copies when any level is windowed — cheap,
         # because only small-ny levels stay unwindowed.
         any_win = any(windowed)
-        ktot = sum(ky_list)
         n_parts = len(level_parts[0])
         lvl_inputs = []
         for pi in range(n_parts):
@@ -692,27 +813,22 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                     [level_parts[li][pi] for li in range(n_levels)],
                     axis=1))
                 continue
-            wlast = level_parts[0][pi].shape[-1]
-            comb = jnp.zeros(
-                (n_rt, s_, ktot, wlast), level_parts[0][pi].dtype)
-            off = 0
-            for li in range(n_levels):
-                a = level_parts[li][pi]
-                ky = ky_list[li]
-                if windowed[li]:
-                    k0 = k0_list[li]
-                    for r in range(n_rt):
-                        sl = jax.lax.dynamic_slice_in_dim(
-                            a, k0[r], ky, axis=1)
-                        comb = jax.lax.dynamic_update_slice(
-                            comb, sl[None], (r, 0, off, 0))
-                else:
-                    comb = jax.lax.dynamic_update_slice(
-                        comb,
-                        jnp.broadcast_to(a[None], (n_rt,) + a.shape),
-                        (0, 0, off, 0))
-                off += ky
-            lvl_inputs.append(comb)
+
+            def row_tile(r):
+                # the level windows tile the combined K axis exactly, so
+                # the whole (S, Ktot, Wcat) row-tile block materializes
+                # in one concatenate over the window slices (full levels
+                # repeat their rows per row tile)
+                return jnp.concatenate([
+                    jax.lax.dynamic_slice_in_dim(
+                        level_parts[li][pi], k0_list[li][r],
+                        ky_list[li], axis=1)
+                    if windowed[li] else level_parts[li][pi]
+                    for li in range(n_levels)
+                ], axis=1)
+
+            lvl_inputs.append(
+                jnp.stack([row_tile(r) for r in range(n_rt)]))
     else:
         lvl_inputs = [p for parts in level_parts for p in parts]
 
@@ -721,15 +837,55 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     # range overlaps an occupied lattice point's tent support (and whose
     # columns hold non-zero x-resampled mask) — inactive tiles skip the
     # tent build and both MXU contractions in the kernel.
+    if fold_x:
+        # per-tile x windows for the lattice-space occupancy projection
+        x_pos_g, origins_x = x_geom
+        x_pos_g = jnp.asarray(x_pos_g, jnp.float32)  # (S, W)
+        orgx = jnp.stack(
+            [jnp.asarray(o, jnp.float32) for o in origins_x])
+        xpp = x_pos_g if pad_c == 0 else jnp.concatenate(
+            [x_pos_g, jnp.repeat(x_pos_g[:, -1:], pad_c, axis=1)],
+            axis=1)
+        xt = xpp.reshape(s_, n_ct, tc)
+        x_lo_t = xt.min(-1)  # (S, Ct)
+        x_hi_t = xt.max(-1)
     acts_l = []  # per level (S, R, Ct)
     for li in range(n_levels):
-        mm_p = mid_m_l[li] if pad_c == 0 else jnp.pad(
-            mid_m_l[li], ((0, 0), (0, 0), (0, pad_c))
-        )
         ny = ny_list[li]
-        occ = (
-            mm_p.reshape(s_, ny, n_ct, tc).astype(jnp.float32) > 0
-        ).any(-1)  # (S, ny, Ct)
+        if fold_x:
+            # project the lattice mask through each tile's x window:
+            # occupied iff any lattice column within tent reach of the
+            # tile's x span holds mask (the analog of "non-zero
+            # x-resampled mask in the tile's lanes")
+            m = mid_m_l[li]  # (S, ny, nx)
+            nx = m.shape[2]
+            csx = jnp.cumsum(
+                (m.astype(jnp.float32) > 0).astype(jnp.int32), axis=2)
+            csx = jnp.concatenate(
+                [jnp.zeros_like(csx[..., :1]), csx], axis=2)
+            cw_v = cws[li]
+            qxlo = x_lo_t / cw_v - orgx[li] - 0.5  # (S, Ct)
+            qxhi = x_hi_t / cw_v - orgx[li] - 0.5
+            kx0 = jnp.clip(
+                jnp.floor(qxlo).astype(jnp.int32) - 1, 0, nx)
+            kx1 = jnp.clip(
+                jnp.floor(qxhi).astype(jnp.int32) + 2, 0, nx)
+            lo_x = jnp.take_along_axis(
+                csx,
+                jnp.broadcast_to(kx0[:, None], (s_, ny, n_ct)), axis=2,
+            )
+            hi_x = jnp.take_along_axis(
+                csx,
+                jnp.broadcast_to(kx1[:, None], (s_, ny, n_ct)), axis=2,
+            )
+            occ = hi_x - lo_x > 0  # (S, ny, Ct)
+        else:
+            mm_p = mid_m_l[li] if pad_c == 0 else jnp.pad(
+                mid_m_l[li], ((0, 0), (0, 0), (0, pad_c))
+            )
+            occ = (
+                mm_p.reshape(s_, ny, n_ct, tc).astype(jnp.float32) > 0
+            ).any(-1)  # (S, ny, Ct)
         cs = jnp.cumsum(occ.astype(jnp.int32), axis=1)
         cs = jnp.concatenate([jnp.zeros_like(cs[:, :1]), cs], axis=1)
         cw_v = cws[li]
@@ -797,6 +953,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     return ChunkPrep(
         lvl=tuple(lvl_inputs), orgy_eff=orgy_eff, acts_l=tuple(acts_l),
         vmin=vmin_all, vmax=vmax_all, y_pos_t=y_pos.T, wy=wy_blocks,
+        xpos_t=(xpp.T if fold_x else None),
+        orgx=(orgx if fold_x else None),
     )
 
 
@@ -906,6 +1064,13 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     block per part, so the per-level ``ky_list`` (the static y-window
     row counts prepare_chunk derived) must be passed explicitly."""
     hi_lo = dot_precision == "hi_lo"
+    fold = prep.xpos_t is not None
+    if fold:
+        fuse_mids = False
+        concat_levels = False
+        if len(prep.wy) > 0:
+            raise ValueError("fold mode is incompatible with hoisted "
+                             "tents (the kernel builds its own tents)")
     per_lvl = ((n_channels + 1) if not fuse_mids else 1) * (
         2 if hi_lo else 1)
     if concat_levels:
@@ -927,20 +1092,24 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
 
     tr, tc = tile_shape(height, width, tiles, adaptive_stride)
     hoist = len(prep.wy) > 0
-    # hoisted tents flip the grid to rows-outer so the per-row-tile tent
-    # blocks (index invariant along the column sweep) load once per row
-    # tile instead of once per step
-    if hoist:
+    # hoisted tents and fold mode flip the grid to rows-outer so the
+    # per-row-tile blocks (tent blocks / lattice mids, index-invariant
+    # along the column sweep) load once per row tile instead of once
+    # per step
+    if hoist or fold:
         grid = (pl.cdiv(height, tr), pl.cdiv(width, tc))
 
         def imap_win(i, j):
-            return (i, 0, 0, j)
+            return (i, 0, 0, 0) if fold else (i, 0, 0, j)
 
         def imap_full(i, j):
-            return (0, 0, j)
+            return (0, 0, 0) if fold else (0, 0, j)
 
         def imap_ypos(i, j):
             return (i, 0)
+
+        def imap_xpos(i, j):
+            return (j, 0)
 
         def imap_tile(i, j):
             return (i, j)
@@ -987,17 +1156,24 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     else:
         ky_list = []
         windowed = []
+        nx_list = []
         for li in range(n_levels):
             blk = prep.lvl[li * per_lvl]
             win = blk.ndim == 4
             ky = blk.shape[2] if win else blk.shape[1]
             ky_list.append(ky)
             windowed.append(win)
+            # fold mode: lattice-space blocks carry the level's own lane
+            # count (nx, 128-padded by prepare_chunk) and are column-tile
+            # invariant (whole-lane blocks, loaded once per row tile)
+            lane = blk.shape[-1] if fold else wcat
+            if fold:
+                nx_list.append(lane)
             if win:
-                spec = pl.BlockSpec((1, s_, ky, wcat), imap_win,
+                spec = pl.BlockSpec((1, s_, ky, lane), imap_win,
                                     memory_space=pltpu.VMEM)
             else:
-                spec = pl.BlockSpec((s_, ky, wcat), imap_full,
+                spec = pl.BlockSpec((s_, ky, lane), imap_full,
                                     memory_space=pltpu.VMEM)
             lvl_specs.extend([spec] * per_lvl)
     wy_specs = [
@@ -1023,6 +1199,15 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                     jnp.asarray(t_stop_img, jnp.float32)]
         stop_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), None]
 
+    orgx_in = (prep.orgx if fold
+               else jnp.zeros((len(cell_widths),), jnp.float32))
+    xpos_ins = []
+    xpos_specs = []
+    if fold:
+        xpos_ins = [prep.xpos_t]
+        xpos_specs = [pl.BlockSpec((tc, s_), imap_xpos,
+                                   memory_space=pltpu.VMEM)]
+
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, tuple(ky_list), tuple(windowed), n_channels,
                      n_texels=n if knots is not None else 0,
@@ -1032,7 +1217,9 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      fused=fuse_mids, hoist_wy=hoist,
                      concat=concat_levels,
                      static_cws=(tuple(float(c) for c in cell_widths)
-                                 if concat_levels else ())),
+                                 if (concat_levels or fold) else ()),
+                     fold=fold,
+                     nx_list=(tuple(nx_list) if fold else ())),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -1045,9 +1232,11 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # act-all per tile
             pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy eff (L, R)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cw
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # orgx (fold)
             *lvl_specs,
             *wy_specs,
             pl.BlockSpec((tr, s_), imap_ypos, memory_space=pltpu.VMEM),
+            *xpos_specs,
             tile2,
             *pt_specs,
             *([stop_specs[0], tile2] if stop_ins else []),
@@ -1060,7 +1249,8 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
         interpret=interpret,
     )(params, lut_pack, d_pack, cum_pack, pos_pack,
       live.astype(jnp.float32), act_f, act_all_f, prep.orgy_eff, cws,
-      *prep.lvl, *prep.wy, prep.y_pos_t, sec, *pt_ins, *stop_ins)
+      orgx_in, *prep.lvl, *prep.wy, prep.y_pos_t, *xpos_ins, sec,
+      *pt_ins, *stop_ins)
     return jnp.stack([r, g, b]), t
 
 
@@ -1075,6 +1265,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 fuse_mids: bool = True,
                 hoist_wy: bool = False,
                 concat_levels: bool = False,
+                fold_x: bool = False, x_geom=None,
                 interpret: bool | None = None):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
 
@@ -1101,7 +1292,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         tiles=tiles, dot_precision=dot_precision,
         adaptive_stride=adaptive_stride, ky_hints=ky_hints,
         fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
-        concat_levels=concat_levels,
+        concat_levels=concat_levels, fold_x=fold_x, x_geom=x_geom,
     )
     act_f, act_all_f = combine_activity(
         prep, live, luts, domains, cell_widths,

@@ -658,9 +658,18 @@ class SlabConfig:
     # the per-level y-windows) instead of one small-K dot per level —
     # small K underutilizes the MXU's 128-deep pipeline.  Output agrees
     # to float rounding (the K-sum accumulates in one pass instead of
-    # per-level partials); the host concatenation re-materializes the
-    # mids once per pose, which the camera cache absorbs.
-    concat_levels: bool = False
+    # per-level partials).  Default ON: interleaved A/B at 1080p
+    # measured 64^3 +7% orbit / +8% cached and 256^3 +6% cached; the
+    # one cost is 256^3 orbit -5% (the per-frame host concatenation of
+    # large mids), which the camera cache absorbs at a static pose.
+    concat_levels: bool = True
+    # fold the x resample into the kernel as a first MXU contraction
+    # (ky, nx) @ wx (nx, tc): HBM sees LATTICE-space z-resampled blocks
+    # (S, ny, nx) instead of screen-width x-resampled mids (S, ny, W) —
+    # ~W/nx x fewer block bytes read per frame, and the orbit path stops
+    # materializing the big mids entirely.  Implies per-level non-fused
+    # blocks (fuse_mids/concat_levels/hoist_tents ignored in the kernel).
+    fold_x: bool = False
     # single-channel megakernel lane (pallas_sweep.py): y-interpolation +
     # classification + compositing fused in VMEM
     megakernel: bool = True
@@ -993,7 +1002,16 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             (t for t in (512, 256, 128) if width % t == 0), 128
         )
         budget = 7 * 1024 * 1024
-        per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
+        if cfg.fold_x:
+            # fold mode keeps whole lattice-x blocks VMEM-resident per
+            # slab: per level rows x (nx padded to the 128 lane)
+            lanes_tot = sum(
+                rows_resident(li, m) * (-(-m.shape[2] // 128) * 128)
+                for li, m in enumerate(grids.masks)
+            )
+            per_slab_bytes = (1 + cfg.num_channels) * lanes_tot * 4
+        else:
+            per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
         if cfg.hoist_tents:
             # hoisted tent blocks are also VMEM-resident per slab:
             # tr x KY lanes (padded to 128) per level
@@ -1058,6 +1076,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         x_pos = ox + scale[:, None] * rx[None, :]  # (S, W)
         mids = []
         orgs_y = []
+        orgs_x = []
         cws_l = []
         _, tc_x = _tile_shape(
             h, w, (cfg.tile_rows, cfg.tile_cols), cfg.adaptive_stride,
@@ -1094,7 +1113,14 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                   else min(int(kx_hints[li]), nx))
             if kx is not None and 4 * kx > 3 * nx:
                 kx = None
-            if kx is None:
+            if cfg.fold_x:
+                # fold_x: keep the lattice x axis — the kernel's first
+                # MXU contraction applies the x tent itself
+                orgs_x.append(org[2])
+
+                def xres(sv):
+                    return sv
+            elif kx is None:
                 k = jnp.arange(nx, dtype=f32)
                 wx = jnp.maximum(
                     0.0, 1.0 - jnp.abs(qx[..., None] - k)
@@ -1184,7 +1210,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                      jnp.maximum(r0[..., 1], r1[..., 1])], -1,
                 ))
             tf_cull = (vr_rows, grids.y_bin)
-        return mids, orgs_y, cws_l, tf_cull
+        x_geom = (x_pos, orgs_x) if cfg.fold_x else None
+        return mids, orgs_y, cws_l, tf_cull, x_geom
 
     if return_products:
         # one-time per camera pose: every chunk's FINAL kernel inputs
@@ -1201,7 +1228,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             occ_s = [o[ci0 * s_chunk:(ci0 + 1) * s_chunk]
                      for o in lvl_occ_p]
             scale = (z_s - oz) / rz
-            mids, orgs_y, cws_l, tf_cull = mega_chunk_products(
+            mids, orgs_y, cws_l, tf_cull, x_geom = mega_chunk_products(
                 z_s, occ_s, scale)
             y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
             prep = prepare_chunk(
@@ -1212,6 +1239,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 ky_hints=ky_hints, fuse_mids=cfg.fuse_mids,
                 tf_cull=tf_cull, hoist_wy=cfg.hoist_tents,
                 concat_levels=cfg.concat_levels,
+                fold_x=cfg.fold_x, x_geom=x_geom,
             )
             per_chunk.append((prep, scale))
         return tuple(per_chunk)
@@ -1348,7 +1376,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
                 scale = (z_s - oz) / rz
                 y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
-                mids, orgs_y, cws_l, tf_cull = mega_chunk_products(
+                mids, orgs_y, cws_l, tf_cull, x_geom = mega_chunk_products(
                     z_s, occ_s, scale
                 )
 
@@ -1366,6 +1394,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     fuse_mids=cfg.fuse_mids,
                     hoist_wy=cfg.hoist_tents,
                     concat_levels=cfg.concat_levels,
+                    fold_x=cfg.fold_x, x_geom=x_geom,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
                 )

@@ -802,8 +802,13 @@ def test_hoisted_tents_bit_identical(amr_fixture):
     fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=1.0,
                           opacity_scale=0.8)
     extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    # pin concat_levels off: the hoisted blocks mirror the per-level
+    # in-kernel tent build (the concat lane builds its combined tent
+    # with different-but-equivalent arithmetic, so bit-identity is
+    # only promised against the per-level grouping)
     base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
-                      extent_z=extent, adaptive_stride=True)
+                      extent_z=extent, adaptive_stride=True,
+                      concat_levels=False)
     cfg_h = dataclasses.replace(base, hoist_tents=True)
 
     plain = np.asarray(render_slabs_camera(grids, fs, base, cam, w, h))
@@ -848,6 +853,45 @@ def test_concat_levels_agrees_and_caches(amr_fixture):
         assert np.abs(got - plain).max() < 1e-5
 
     cfg = dataclasses.replace(base, concat_levels=True)
+    cache = {}
+    cached = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
+                                            camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    live = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h))
+    assert np.array_equal(cached, live)
+
+
+def test_fold_x_agrees_and_caches(amr_fixture):
+    """fold_x keeps LATTICE-space z-resampled blocks in HBM and applies
+    the x tent in-kernel as a first MXU contraction — same math order as
+    the host path (wz, wx, wy), so agreement is to float rounding:
+    ~1e-6 at HIGHEST precision, within hi_lo's own rounding otherwise.
+    The cached-pose path must reproduce the live fold path
+    bit-for-bit."""
+    scene, bricks, grids = _build(
+        amr_fixture,
+        # coarse 16^3 + fine 8^3 brick: a windowed/full level mix
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n",
+    )
+    w = h = 24
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         14.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    for prec, tol in (("highest", 1e-5), ("hi_lo", 2e-4)):
+        base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                          extent_z=extent, adaptive_stride=True,
+                          tile_rows=8, dot_precision=prec)
+        plain = np.asarray(render_slabs_camera(grids, fs, base, cam, w, h))
+        assert plain[:, 3].max() > 0.5
+        fold_cfg = dataclasses.replace(base, fold_x=True)
+        got = np.asarray(render_slabs_camera(grids, fs, fold_cfg, cam, w, h))
+        assert np.abs(got - plain).max() < tol
+
+    cfg = dataclasses.replace(
+        SlabConfig(num_channels=1, nslabs=16, chunk=4, extent_z=extent,
+                   adaptive_stride=True, tile_rows=8), fold_x=True)
     cache = {}
     cached = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
                                             camera_cache=cache))
