@@ -84,7 +84,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  concat: bool = False,
                  static_cws: Tuple[float, ...] = (),
                  fold: bool = False,
-                 nx_list: Tuple[int, ...] = ()):
+                 nx_list: Tuple[int, ...] = (),
+                 knot_unroll: int = 4):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -446,15 +447,27 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                         m_hi = jnp.sum(
                             (pos_row < u_max).astype(jnp.int32))
 
-                        def knot(j, accs):
+                        # unrolled knot loop (knot_unroll knots per
+                        # iteration): the dynamic-trip-count loop pays
+                        # per-iteration scalar/branch overhead comparable
+                        # to its 6-op vector body.  Over-running the
+                        # window top is exact: knots at or past u_max
+                        # have relu(u - p) = 0 everywhere, and d_ref
+                        # carries 4 zero-contribution pad rows (pos = n).
+                        uw = max(1, min(int(knot_unroll), 5))
+
+                        def knot_u(i, accs):
                             r, g, b, a = accs
-                            ramp = jnp.maximum(u - d_ref[ch, j, 0], 0.0)
-                            return (
-                                r + ramp * d_ref[ch, j, 1],
-                                g + ramp * d_ref[ch, j, 2],
-                                b + ramp * d_ref[ch, j, 3],
-                                a + ramp * d_ref[ch, j, 4],
-                            )
+                            j0 = m_lo + i * uw
+                            for o in range(uw):
+                                j = j0 + o
+                                ramp = jnp.maximum(
+                                    u - d_ref[ch, j, 0], 0.0)
+                                r = r + ramp * d_ref[ch, j, 1]
+                                g = g + ramp * d_ref[ch, j, 2]
+                                b = b + ramp * d_ref[ch, j, 3]
+                                a = a + ramp * d_ref[ch, j, 4]
+                            return (r, g, b, a)
 
                         base = [
                             jnp.full_like(u, lut_ref[ch, 2 + c])
@@ -463,7 +476,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                             for c in range(4)
                         ]
                         r, g, b, a = jax.lax.fori_loop(
-                            m_lo, m_hi, knot, tuple(base)
+                            0, (m_hi - m_lo + uw - 1) // uw,
+                            knot_u, tuple(base),
                         )
                     else:
                         k_lo = jnp.clip(
@@ -631,6 +645,12 @@ def _pack_luts(luts, domains, knots, n_channels):
             [jnp.asarray(kpos, jnp.float32)[..., None],
              jnp.asarray(ksd, jnp.float32)], axis=2,
         )  # (C, M, 5)
+        # 4 extra zero-contribution rows (pos=n => relu ramp is 0 for
+        # every u <= n-1) so the kernel's unrolled knot loop may
+        # over-run the window top by up to 3 entries
+        c_n = d_pack.shape[0]
+        pad = jnp.zeros((c_n, 4, 5), jnp.float32).at[:, :, 0].set(float(n))
+        d_pack = jnp.concatenate([d_pack, pad], axis=1)  # (C, M+4, 5)
         cum_pack = jnp.asarray(knots.cum, jnp.float32)
         pos_pack = jnp.asarray(kpos, jnp.float32)[:, None, :]  # (C, 1, M)
     else:
@@ -1057,7 +1077,8 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
               tiles=(0, 0), dot_precision: str = "highest",
               adaptive_stride: bool = False, prev_trans=None,
               fuse_mids: bool = True, concat_levels: bool = False,
-              ky_list=None, interpret: bool | None = None):
+              ky_list=None, interpret: bool | None = None,
+              knot_unroll: int = 4):
     """Dispatch the megakernel for one chunk from prepared inputs.
     Static layout (KY, windowed, level count) is inferred from the
     prepared block shapes; ``concat_levels`` preps carry one combined
@@ -1219,7 +1240,8 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      static_cws=(tuple(float(c) for c in cell_widths)
                                  if (concat_levels or fold) else ()),
                      fold=fold,
-                     nx_list=(tuple(nx_list) if fold else ())),
+                     nx_list=(tuple(nx_list) if fold else ()),
+                     knot_unroll=knot_unroll),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
@@ -1266,7 +1288,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 hoist_wy: bool = False,
                 concat_levels: bool = False,
                 fold_x: bool = False, x_geom=None,
-                interpret: bool | None = None):
+                interpret: bool | None = None,
+                knot_unroll: int = 4):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
 
     mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
@@ -1309,4 +1332,5 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         dot_precision=dot_precision, adaptive_stride=adaptive_stride,
         prev_trans=prev_trans, fuse_mids=fuse_mids,
         concat_levels=concat_levels, ky_list=ky_list, interpret=interpret,
+        knot_unroll=knot_unroll,
     )

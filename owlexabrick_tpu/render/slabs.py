@@ -670,6 +670,12 @@ class SlabConfig:
     # materializing the big mids entirely.  Implies per-level non-fused
     # blocks (fuse_mids/concat_levels/hoist_tents ignored in the kernel).
     fold_x: bool = False
+    # knots applied per iteration of the kernel's compressed
+    # classification loop: the dynamic-trip-count fori pays scalar/branch
+    # overhead per iteration comparable to one knot's 6-op vector body,
+    # and over-running the window top is exact (relu ramps past u_max
+    # are 0), so unrolling quarters the overhead at identical output
+    knot_unroll: int = 4
     # single-channel megakernel lane (pallas_sweep.py): y-interpolation +
     # classification + compositing fused in VMEM
     megakernel: bool = True
@@ -1395,6 +1401,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     hoist_wy=cfg.hoist_tents,
                     concat_levels=cfg.concat_levels,
                     fold_x=cfg.fold_x, x_geom=x_geom,
+                    knot_unroll=cfg.knot_unroll,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
                 )
@@ -1532,6 +1539,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                                 if cfg.carry_termination else None),
                     fuse_mids=cfg.fuse_mids,
                     concat_levels=cfg.concat_levels, ky_list=kyl,
+                    knot_unroll=cfg.knot_unroll,
                 )
                 if cfg.carry_termination:
                     color = color + chunk_rgb
