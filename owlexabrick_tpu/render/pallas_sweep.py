@@ -683,7 +683,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                   fuse_mids: bool = True, tf_cull=None,
                   hoist_wy: bool = False,
                   concat_levels: bool = False,
-                  fold_x: bool = False, x_geom=None) -> ChunkPrep:
+                  fold_x: bool = False, x_geom=None,
+                  late_x: bool = False, x_late=None) -> ChunkPrep:
     """Build the camera-only kernel inputs for one chunk: pad/interleave
     the mids, slice per-row-tile y windows, split hi_lo pairs, derive the
     geometric tile-activity tables and the TF-cull value bounds.
@@ -692,11 +693,30 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     (S, ny, nx) and the x resample happens in-kernel; ``x_geom`` must be
     ((S, W) slab-plane x coordinates, per-level lattice x origins).
     Implies per-level non-fused blocks (no interleave, no level
-    concat)."""
+    concat).
+
+    ``late_x``: the mids are LATTICE-space z-resampled blocks and the x
+    resample is applied HERE, after the per-row-tile y-window slicing,
+    writing the final windowed kernel blocks directly — the full-width
+    (S, ny, W) mids never materialize in HBM (they cost ~W/nx x the
+    lattice bytes, plus the interleave/window re-copies).  Output is
+    bit-identical to the base path: slicing along non-contracted axes
+    commutes with both resample einsums.  ``x_late`` must be
+    (per-level x-tent entries, (S, W) x coordinates, per-level lattice
+    x origins); entries are ("full", wx (S, W, nx)) or
+    ("win", KX, [(k0, wx_tile (S, tcw, KX)) per column tile])."""
     n_levels = len(mids)
     n_channels = len(mids[0][0])
     hi_lo = dot_precision == "hi_lo"
     s_ = y_pos.shape[0]
+    if late_x:
+        if x_late is None:
+            raise ValueError("late_x requires x_late")
+        if fold_x:
+            raise ValueError("late_x and fold_x are mutually exclusive")
+        if fuse_mids:
+            raise ValueError("late_x supports only non-fused mids")
+        x_entries, x_pos_late, origins_x_late = x_late
     if fold_x:
         if x_geom is None:
             raise ValueError("fold_x requires x_geom")
@@ -807,8 +827,54 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
 
         # concat mode defers windowing to the combined-buffer build
         # below (one write instead of window-stack + concatenate)
-        win_fn = window if (win and not concat_levels) else None
-        if fuse_mids:
+        win_fn = window if (win and not concat_levels and not late_x) else None
+        if late_x:
+            # window-then-resample: slice the LATTICE rows per row tile
+            # (8x fewer bytes than windowing screen-width mids at
+            # W >> nx), then one x-tent einsum writes the final windowed
+            # block.  Exact: the window slices ride non-contracted axes
+            # of both einsums.
+            entry = x_entries[li]
+            prec_x = {
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST,
+                "default": None,
+                "hi_lo": jax.lax.Precision.HIGH,
+            }[dot_precision]
+
+            def xapply(a, entry=entry, prec_x=prec_x):
+                spec = "rsyk,swk->rsyw" if a.ndim == 4 else "syk,swk->syw"
+                if entry[0] == "full":
+                    out = jnp.einsum(
+                        spec, a, entry[1].astype(a.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision=prec_x)
+                else:
+                    kx = entry[1]
+                    out = jnp.concatenate([
+                        jnp.einsum(
+                            spec,
+                            jax.lax.dynamic_slice_in_dim(
+                                a, k0x, kx, axis=a.ndim - 1),
+                            wx_t.astype(a.dtype),
+                            preferred_element_type=jnp.float32,
+                            precision=prec_x)
+                        for k0x, wx_t in entry[2]
+                    ], axis=-1)
+                return out.astype(a.dtype)
+
+            def rows_of(a, win=win, k0=k0, ky=ky):
+                if not win:
+                    return a
+                return jnp.stack([
+                    jax.lax.dynamic_slice_in_dim(a, k0[r], ky, axis=1)
+                    for r in range(n_rt)
+                ])
+
+            for ch in range(n_channels):
+                emit(xapply(rows_of(mid_vs_l[li][ch])))
+            emit(xapply(rows_of(mid_m_l[li])))
+        elif fuse_mids:
             emit(_interleave(li), win_fn=win_fn)
         else:
             for ch in range(n_channels):
@@ -832,6 +898,21 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 lvl_inputs.append(jnp.concatenate(
                     [level_parts[li][pi] for li in range(n_levels)],
                     axis=1))
+                continue
+            if late_x:
+                # late_x parts are already per-row-tile windowed
+                # (R, S, ky, W); full levels broadcast their rows per
+                # row tile, then one concatenate builds the combined
+                # K axis
+                def bc(li, pi=pi):
+                    a = level_parts[li][pi]
+                    if windowed[li]:
+                        return a
+                    return jnp.broadcast_to(
+                        a[None], (n_rt,) + a.shape)
+
+                lvl_inputs.append(jnp.concatenate(
+                    [bc(li) for li in range(n_levels)], axis=2))
                 continue
 
             def row_tile(r):
@@ -857,9 +938,13 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     # range overlaps an occupied lattice point's tent support (and whose
     # columns hold non-zero x-resampled mask) — inactive tiles skip the
     # tent build and both MXU contractions in the kernel.
-    if fold_x:
+    lattice_occ = fold_x or late_x
+    if lattice_occ:
         # per-tile x windows for the lattice-space occupancy projection
-        x_pos_g, origins_x = x_geom
+        if fold_x:
+            x_pos_g, origins_x = x_geom
+        else:
+            x_pos_g, origins_x = x_pos_late, origins_x_late
         x_pos_g = jnp.asarray(x_pos_g, jnp.float32)  # (S, W)
         orgx = jnp.stack(
             [jnp.asarray(o, jnp.float32) for o in origins_x])
@@ -872,7 +957,7 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     acts_l = []  # per level (S, R, Ct)
     for li in range(n_levels):
         ny = ny_list[li]
-        if fold_x:
+        if lattice_occ:
             # project the lattice mask through each tile's x window:
             # occupied iff any lattice column within tent reach of the
             # tile's x span holds mask (the analog of "non-zero
@@ -886,10 +971,14 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             cw_v = cws[li]
             qxlo = x_lo_t / cw_v - orgx[li] - 0.5  # (S, Ct)
             qxhi = x_hi_t / cw_v - orgx[li] - 0.5
+            # exact tent support: weight > 0 iff |q - k| < 1 strictly,
+            # so k in [floor(qxlo), ceil(qxhi)] — floor-1/floor+2 would
+            # also count the zero-weight boundary columns and perturb
+            # the adaptive-stride grouping vs the lane-exact base test
             kx0 = jnp.clip(
-                jnp.floor(qxlo).astype(jnp.int32) - 1, 0, nx)
+                jnp.floor(qxlo).astype(jnp.int32), 0, nx)
             kx1 = jnp.clip(
-                jnp.floor(qxhi).astype(jnp.int32) + 2, 0, nx)
+                jnp.ceil(qxhi).astype(jnp.int32) + 1, 0, nx)
             lo_x = jnp.take_along_axis(
                 csx,
                 jnp.broadcast_to(kx0[:, None], (s_, ny, n_ct)), axis=2,
@@ -1288,6 +1377,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 hoist_wy: bool = False,
                 concat_levels: bool = False,
                 fold_x: bool = False, x_geom=None,
+                late_x: bool = False, x_late=None,
                 interpret: bool | None = None,
                 knot_unroll: int = 4):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
@@ -1316,6 +1406,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         adaptive_stride=adaptive_stride, ky_hints=ky_hints,
         fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
         concat_levels=concat_levels, fold_x=fold_x, x_geom=x_geom,
+        late_x=late_x, x_late=x_late,
     )
     act_f, act_all_f = combine_activity(
         prep, live, luts, domains, cell_widths,

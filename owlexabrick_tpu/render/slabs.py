@@ -670,6 +670,19 @@ class SlabConfig:
     # materializing the big mids entirely.  Implies per-level non-fused
     # blocks (fuse_mids/concat_levels/hoist_tents ignored in the kernel).
     fold_x: bool = False
+    # window-then-resample camera products — tried, measured 2x SLOWER
+    # on the orbit path, OFF by default: keep the z-resampled blocks in
+    # LATTICE space (S, ny, nx), slice the per-row-tile y windows there,
+    # and apply the x tents as the LAST einsum, writing the final
+    # windowed kernel blocks directly.  The full-width (S, ny, W) mid
+    # write disappears, but the y windows OVERLAP ~4x between row tiles
+    # (ky=112 x 9 tiles vs ny=240 at 256^3), so the x einsum re-runs on
+    # every overlapped row and its duplicated FLOPs + transposes dwarf
+    # the one saved pass (benchmarks/ab_latex.py: 256^3 orbit 9.7 vs
+    # 18.3 FPS; cached unchanged).  Bit-identical output
+    # (tests/test_slabs.py::test_late_x_bit_identical); kept as the
+    # documented experiment.  Ignored when fuse_mids or fold_x is set.
+    late_x: bool = False
     # knots applied per iteration of the kernel's compressed
     # classification loop: the dynamic-trip-count fori pays scalar/branch
     # overhead per iteration comparable to one knot's 6-op vector body,
@@ -985,6 +998,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     # fused megakernel; those configurations use the einsum lane
     mega = (cfg.megakernel and not cfg.gradient_shading_dvr
             and t_start is None)
+    # window-then-resample products (see SlabConfig.late_x); only the
+    # non-fused megakernel layouts carry it
+    late = cfg.late_x and not cfg.fold_x and not cfg.fuse_mids
     if mega:
         # cap the chunk so the megakernel's mid blocks ((1+C) x S x KY x tc
         # floats, double-buffered by the pipeline) fit VMEM with headroom;
@@ -1084,6 +1100,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         orgs_y = []
         orgs_x = []
         cws_l = []
+        x_entries = []  # late_x: per-level x-tent data for prepare_chunk
         _, tc_x = _tile_shape(
             h, w, (cfg.tile_rows, cfg.tile_cols), cfg.adaptive_stride,
         )
@@ -1119,10 +1136,37 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                   else min(int(kx_hints[li]), nx))
             if kx is not None and 4 * kx > 3 * nx:
                 kx = None
-            if cfg.fold_x:
-                # fold_x: keep the lattice x axis — the kernel's first
-                # MXU contraction applies the x tent itself
+            if cfg.fold_x or late:
+                # lattice-space blocks: fold_x applies the x tent inside
+                # the kernel every (slab, row-tile, col-tile); late_x
+                # applies it once in prepare_chunk, after the y-window
+                # slicing (window-then-resample)
                 orgs_x.append(org[2])
+                if late:
+                    if kx is None:
+                        k = jnp.arange(nx, dtype=f32)
+                        wx = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(qx[..., None] - k)
+                        )  # (S, W, nx)
+                        x_entries.append(("full", wx))
+                    else:
+                        xwin = []
+                        for ct in range(n_ct_x):
+                            i0 = ct * tc_x
+                            i1 = min(w, i0 + tc_x)
+                            qx_t = qx[:, i0:i1]  # (S, tcw)
+                            k0 = jnp.clip(
+                                jnp.floor(qx_t.min()).astype(jnp.int32)
+                                - 1, 0, nx - kx,
+                            )
+                            kk = (jnp.arange(kx, dtype=f32)
+                                  + k0.astype(f32))
+                            wx_t = jnp.maximum(
+                                0.0,
+                                1.0 - jnp.abs(qx_t[..., None] - kk),
+                            )  # (S, tcw, kx)
+                            xwin.append((k0, wx_t))
+                        x_entries.append(("win", kx, xwin))
 
                 def xres(sv):
                     return sv
@@ -1217,7 +1261,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 ))
             tf_cull = (vr_rows, grids.y_bin)
         x_geom = (x_pos, orgs_x) if cfg.fold_x else None
-        return mids, orgs_y, cws_l, tf_cull, x_geom
+        x_late = (x_entries, x_pos, orgs_x) if late else None
+        return mids, orgs_y, cws_l, tf_cull, x_geom, x_late
 
     if return_products:
         # one-time per camera pose: every chunk's FINAL kernel inputs
@@ -1234,8 +1279,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             occ_s = [o[ci0 * s_chunk:(ci0 + 1) * s_chunk]
                      for o in lvl_occ_p]
             scale = (z_s - oz) / rz
-            mids, orgs_y, cws_l, tf_cull, x_geom = mega_chunk_products(
-                z_s, occ_s, scale)
+            mids, orgs_y, cws_l, tf_cull, x_geom, x_late = \
+                mega_chunk_products(z_s, occ_s, scale)
             y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
             prep = prepare_chunk(
                 mids, orgs_y, cws_l, y_pos, h, w,
@@ -1246,6 +1291,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 tf_cull=tf_cull, hoist_wy=cfg.hoist_tents,
                 concat_levels=cfg.concat_levels,
                 fold_x=cfg.fold_x, x_geom=x_geom,
+                late_x=late, x_late=x_late,
             )
             per_chunk.append((prep, scale))
         return tuple(per_chunk)
@@ -1382,9 +1428,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
                 scale = (z_s - oz) / rz
                 y_pos = oy + scale[:, None] * ry[None, :]  # (S, H)
-                mids, orgs_y, cws_l, tf_cull, x_geom = mega_chunk_products(
-                    z_s, occ_s, scale
-                )
+                mids, orgs_y, cws_l, tf_cull, x_geom, x_late = \
+                    mega_chunk_products(z_s, occ_s, scale)
 
                 stop = None
                 if t_stop is not None:
@@ -1401,6 +1446,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     hoist_wy=cfg.hoist_tents,
                     concat_levels=cfg.concat_levels,
                     fold_x=cfg.fold_x, x_geom=x_geom,
+                    late_x=late, x_late=x_late,
                     knot_unroll=cfg.knot_unroll,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),

@@ -632,6 +632,67 @@ def test_y_window_hints_exact(amr_fixture):
     np.testing.assert_array_equal(a2, b2)
 
 
+def test_late_x_bit_identical(amr_fixture):
+    """Window-then-resample camera products (SlabConfig.late_x) are
+    bit-exact vs the base pipeline in every layout: the y-window slices
+    ride non-contracted axes of both resample einsums, so applying the
+    x tents after the slicing is algebraically the same contraction per
+    output element.  Covers windowed + full levels, concat on/off,
+    adaptive stride (whose grouping consumes the lattice-projected
+    activity tables), and the cached-products path."""
+    from owlexabrick_tpu.render.slabs import compress_pwl, render_slabs
+
+    text = (
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n"
+    )
+    scene, bricks, grids = _build(amr_fixture, text)
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         10.0, 32, 32)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    lut = np.concatenate(
+        [fs.xf_lut[0, :, :3], fs.xf_lut[0, :, 3:4] * 0.8], axis=1
+    )
+    kn = compress_pwl([lut])
+    f = jax.jit(
+        render_slabs,
+        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints"),
+    )
+    args = (grids, fs)
+    cargs = (jnp.asarray(pos), jnp.asarray(dir00), jnp.asarray(du),
+             jnp.asarray(dv), 32, 32)
+    for concat in (True, False):
+        for stride in (True, False):
+            cfg0 = SlabConfig(
+                num_channels=1, nslabs=int(np.ceil(extent / 0.7)),
+                tile_rows=8, flip=True, concat_levels=concat,
+                adaptive_stride=stride,
+            )
+            # hints force the windowed layout on the 16-row level while
+            # the 8^3 level stays full — both emit paths exercise
+            base = np.asarray(f(
+                *args, dataclasses.replace(cfg0, late_x=False), *cargs,
+                knots=kn, ky_hints=(8, 8), kx_hints=(8, 8)))
+            late = np.asarray(f(
+                *args, dataclasses.replace(cfg0, late_x=True), *cargs,
+                knots=kn, ky_hints=(8, 8), kx_hints=(8, 8)))
+            assert base[:, 3].max() > 0.2
+            np.testing.assert_array_equal(late, base)
+
+    # cached-products path builds the same ChunkPrep through late_x
+    cfg = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                     extent_z=extent, adaptive_stride=True, late_x=True)
+    cache = {}
+    first = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24,
+                                           camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    live_base = np.asarray(render_slabs_camera(
+        grids, fs, dataclasses.replace(cfg, late_x=False), cam, 24, 24))
+    np.testing.assert_array_equal(first, live_base)
+
+
 def test_banded_reuse_cache(amr_fixture):
     """Interactive banded mode: per-band host grids are scattered once
     and cached — the second frame pays only upload + render, and the
