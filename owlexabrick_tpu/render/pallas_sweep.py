@@ -35,6 +35,21 @@ Pipeline split (per chunk of S slabs):
 HBM sees only the per-level (windowed) mids and the four output images
 — no (S, H, W) intermediates.
 
+DMA-window mode (``SlabConfig.dma_mids``, default): the y windows are
+not materialized at all — HBM keeps ONE unwindowed f32 mid per (level,
+component) and the kernel copies its own (S, KY_l, tc) windows into
+double-buffered VMEM scratch (``pltpu.make_async_copy`` with dynamic
+8-aligned row offsets from ``ChunkPrep.k0y``), concatenated along the
+contraction axis so each slab still pays one dot per component.  The
+hi/lo split happens in-register at dot time.  This deletes the window
+stacks, the hi_lo split pass, and the level-concat pass from the camera
+products — on the moving-camera path those were ~60% of the per-frame
+product bytes — and shrinks the static-pose cache ~4x (it stores plain
+mids, not R overlapping window copies).  Output agrees with the copy
+pipeline to float rounding (the K partition differs, so MXU sums
+accumulate in a different order; threshold pixels at the 0.98
+saturation collapse can flip, same class as concat_levels).
+
 The per-chunk work splits into three stages so a static camera pose
 caches everything camera-dependent (render_slabs_camera's
 ``camera_cache``): ``prepare_chunk`` (camera-only: pad/interleave/
@@ -46,6 +61,7 @@ adaptive-stride weights) -> ``run_chunk`` (the Pallas dispatch).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -85,7 +101,10 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  static_cws: Tuple[float, ...] = (),
                  fold: bool = False,
                  nx_list: Tuple[int, ...] = (),
-                 knot_unroll: int = 4):
+                 knot_unroll: int = 4,
+                 dma: bool = False,
+                 grid_rc: Tuple[int, int] = (0, 0),
+                 dma_sync: bool = False):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -141,14 +160,33 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         # in-kernel as a first contraction (ky, nx) @ wx (nx, tc), so
         # HBM never sees screen-width mids at all (the per-level
         # (S, ny, W) x-resampled mids were ~20x these blocks' bytes)
-        if fold:
-            per_lvl = (n_channels + 1) * (2 if hi_lo else 1)
-        n_groups = 1 if concat else n_levels
-        lvl_refs = []
-        k = 0
-        for li in range(n_groups):
-            lvl_refs.append(refs[k : k + per_lvl])
-            k += per_lvl
+        # dma mode: HBM keeps one UNWINDOWED f32 mid per (level,
+        # component); the kernel copies its own (S, KY_l, tc) y-window
+        # into double-buffered VMEM scratch (concatenated along the
+        # contraction axis) with dynamic row offsets from k0_ref — the
+        # per-row-tile window stacks, hi_lo split passes, and level
+        # concatenation never touch HBM at all (the hi/lo split happens
+        # in-register at dot time).  Same dot shape as concat mode.
+        if dma:
+            k0_ref = refs[0]
+            refs = refs[1:]
+            per_lvl = n_channels + 1
+            n_groups = 1
+            hbm_refs = []
+            k = 0
+            for li in range(n_levels):
+                hbm_refs.append(refs[k : k + per_lvl])
+                k += per_lvl
+            lvl_refs = []
+        else:
+            if fold:
+                per_lvl = (n_channels + 1) * (2 if hi_lo else 1)
+            n_groups = 1 if concat else n_levels
+            lvl_refs = []
+            k = 0
+            for li in range(n_groups):
+                lvl_refs.append(refs[k : k + per_lvl])
+                k += per_lvl
         wy_refs = ()
         if hoist_wy:
             # host-hoisted per-(row-tile, slab) y-tent weight blocks
@@ -179,7 +217,12 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             t_slab_ref = refs[k]
             t_stop_ref = refs[k + 1]
             k += 2
-        r_ref, g_ref, b_ref, t_ref = refs[k:]
+        if dma:
+            r_ref, g_ref, b_ref, t_ref = refs[k : k + 4]
+            scr_refs = refs[k + 4 : k + 4 + (n_channels + 1)]
+            dma_sem = refs[k + 4 + (n_channels + 1)]
+        else:
+            r_ref, g_ref, b_ref, t_ref = refs[k:]
         n = n_texels if compressed else lut_ref.shape[1]
         dz = params_ref[0]
         n_rows = params_ref[1].astype(jnp.int32)
@@ -192,7 +235,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         # hoisted tents and fold mode flip to (row_tiles, col_tiles)
         # with cols fastest so the per-row-tile blocks (tent blocks /
         # lattice mids, column-invariant) load once per row tile
-        if hoist_wy or fold:
+        if hoist_wy or fold or dma:
             rt_id = pl.program_id(0)
             ct_id = pl.program_id(1)
         else:
@@ -205,11 +248,81 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         inb = (rows < n_rows) & (cols < n_cols)
         sec = sec_ref[:]
 
+        cur_slot = 0
+        if dma:
+            # window DMAs, double-buffered across grid steps: wait for
+            # this step's windows (started by the previous step), then
+            # kick off the next step's into the other slot.  The copies
+            # run unconditionally — exactly like the BlockSpec pipeline
+            # they replace — so saturation skips only compute.
+            n_rt_g, n_ct_g = grid_rc
+            total_steps = n_rt_g * n_ct_g
+            step = rt_id * n_ct_g + ct_id
+            cur_slot = jax.lax.rem(step, 2)
+            k_off = []
+            o = 0
+            for ky in ky_list:
+                k_off.append(o)
+                o += ky
+
+            def _dma(slot, r_i, c_i, ci_, li):
+                # window starts are 8-aligned by construction
+                # (prepare_chunk rounds them down); multiple_of lets
+                # Mosaic prove the sublane tiling
+                k0v = pl.multiple_of(k0_ref[li, r_i], 8)
+                return pltpu.make_async_copy(
+                    hbm_refs[li][ci_].at[
+                        :, pl.ds(k0v, ky_list[li]),
+                        pl.ds(c_i * tc, tc)],
+                    scr_refs[ci_].at[
+                        slot, :,
+                        pl.ds(k_off[li], ky_list[li]), :],
+                    dma_sem.at[slot, ci_, li],
+                )
+
+            def _start_all(slot, r_i, c_i):
+                for ci_ in range(n_channels + 1):
+                    for li in range(n_levels):
+                        _dma(slot, r_i, c_i, ci_, li).start()
+
+            if dma_sync:
+                # debug lane: no cross-step pipelining
+                cur_slot = 0
+                _start_all(0, rt_id, ct_id)
+                for ci_ in range(n_channels + 1):
+                    for li in range(n_levels):
+                        _dma(0, rt_id, ct_id, ci_, li).wait()
+            else:
+                @pl.when(step == 0)
+                def _():
+                    _start_all(cur_slot, rt_id, ct_id)
+
+                for ci_ in range(n_channels + 1):
+                    for li in range(n_levels):
+                        _dma(cur_slot, rt_id, ct_id, ci_, li).wait()
+
+                nstep = step + 1
+
+                @pl.when(nstep < total_steps)
+                def _():
+                    _start_all(jax.lax.rem(nstep, 2), nstep // n_ct_g,
+                               jax.lax.rem(nstep, n_ct_g))
+
         ypos_all = ypos_ref[:]  # (tr, S)
         slab_ids = jax.lax.broadcasted_iota(jnp.int32, ypos_all.shape, 1)
 
         def _mid_block(li, comp, s):
             # fused: one ref per level (comp ignored); else per component
+            if dma:
+                # the DMA'd scratch holds f32; the hi/lo split happens
+                # here in-register (bit-identical to the host split the
+                # prepared blocks carried)
+                a = scr_refs[comp][cur_slot, s]
+                if hi_lo:
+                    ah = a.astype(jnp.bfloat16)
+                    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return ah, al
+                return a
             if hi_lo:
                 rh = lvl_refs[li][2 * comp]
                 rl = lvl_refs[li][2 * comp + 1]
@@ -334,7 +447,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             # else one dot per component, swv deferred to _classify.
             # concat: the per-level tents concatenate along the
             # contraction axis to match the pre-concatenated mid blocks
-            if concat and not hoist_wy:
+            if (concat or dma) and not hoist_wy:
                 wys = [_wy_cat(yp)]
             else:
                 per_wy = [
@@ -607,6 +720,24 @@ class ChunkPrep(NamedTuple):
     # origins for the in-kernel x-tent build (None otherwise)
     xpos_t: Optional[jax.Array] = None
     orgx: Optional[jax.Array] = None
+    # dma_mids mode: (L, R) int32 per-(level, row-tile) window start
+    # rows (8-aligned); lvl holds UNWINDOWED f32 (S, ny8, Wp) mids and
+    # the kernel DMAs its own windows (None otherwise)
+    k0y: Optional[jax.Array] = None
+
+
+def _dma_layout(ny_list, ky_hints):
+    """Static per-level DMA-window row counts: the hint plus an 8-row
+    alignment margin (window starts are rounded down to sublane
+    multiples for efficient copies), capped at the level's full rows.
+    Unlike _layout there is no halving gate — a DMA window is a read
+    descriptor, not an HBM copy, so even a near-full window costs
+    nothing extra."""
+    ky_list = []
+    for li, ny in enumerate(ny_list):
+        ky = ny if ky_hints is None else min(int(ky_hints[li]) + 8, ny)
+        ky_list.append(ky)
+    return tuple(ky_list)
 
 
 def _layout(ny_list, ky_hints):
@@ -684,7 +815,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                   hoist_wy: bool = False,
                   concat_levels: bool = False,
                   fold_x: bool = False, x_geom=None,
-                  late_x: bool = False, x_late=None) -> ChunkPrep:
+                  late_x: bool = False, x_late=None,
+                  dma_mids: bool = False) -> ChunkPrep:
     """Build the camera-only kernel inputs for one chunk: pad/interleave
     the mids, slice per-row-tile y windows, split hi_lo pairs, derive the
     geometric tile-activity tables and the TF-cull value bounds.
@@ -717,6 +849,9 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         if fuse_mids:
             raise ValueError("late_x supports only non-fused mids")
         x_entries, x_pos_late, origins_x_late = x_late
+    if dma_mids and (fold_x or late_x or fuse_mids or hoist_wy):
+        raise ValueError(
+            "dma_mids supports only the plain non-fused layout")
     if fold_x:
         if x_geom is None:
             raise ValueError("fold_x requires x_geom")
@@ -779,13 +914,49 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     y_lo_t = yt.min(-1)  # (S, R)
     y_hi_t = yt.max(-1)
 
+    k0y_arr = None
+    if dma_mids:
+        # DMA-window mode: HBM keeps the plain f32 mids; only the
+        # per-(level, row-tile) window START rows are computed here
+        # (8-aligned so the kernel's copies land on sublane boundaries;
+        # the +8 in _dma_layout covers the round-down).  No window
+        # stacks, no hi_lo split pass, no interleave, no level concat —
+        # those were pure HBM data movement the kernel now does as
+        # reads.
+        ky_dma = _dma_layout(ny_list, ky_hints)
+        orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
+        k0_rows = []
+        for li in range(n_levels):
+            ny = ny_list[li]
+            ky = ky_dma[li]
+            cw_v = cws[li]
+            qlo_t = (y_lo_t / cw_v - orgy[li] - 0.5).min(0) - 1.0  # (R,)
+            k0 = jnp.floor(qlo_t).astype(jnp.int32)
+            k0 = jnp.clip((k0 // 8) * 8, 0, ny - ky)
+            k0_rows.append(k0)
+            orgy_eff = orgy_eff.at[li].set(
+                orgy[li] + k0.astype(jnp.float32))
+        k0y_arr = jnp.stack(k0_rows)  # (L, R)
+
+        def _padw(a):
+            padl = n_ct * tc - a.shape[2]
+            return a if padl == 0 else jnp.pad(
+                a, ((0, 0), (0, 0), (0, padl)))
+
+        lvl_inputs = []
+        for li in range(n_levels):
+            for ch in range(n_channels):
+                lvl_inputs.append(_padw(mid_vs_l[li][ch]))
+            lvl_inputs.append(_padw(mid_m_l[li]))
+
     # y-windowing: slice each level's mids to the rows each row tile can
     # reach (over the whole chunk); KY static from ky_hints
     ky_list, windowed = _layout(ny_list, ky_hints)
     level_parts = []  # per level, the kernel parts in emit order
     k0_list: list = []  # per level, the window start per row tile
-    orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
-    for li in range(n_levels):
+    if not dma_mids:
+        orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
+    for li in (range(n_levels) if not dma_mids else ()):
         ny = ny_list[li]
         ky = ky_list[li]
         win = windowed[li]
@@ -881,7 +1052,9 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 emit(mid_vs_l[li][ch], win_fn=win_fn)
             emit(mid_m_l[li], win_fn=win_fn)
 
-    if concat_levels:
+    if dma_mids:
+        pass  # lvl_inputs already holds the plain per-level mids
+    elif concat_levels:
         # pre-concatenate the levels' blocks along the contraction axis
         # so each slab pays ONE kernel dot per component per pass
         # (small per-level K underutilizes the MXU).  Each level's
@@ -1064,6 +1237,7 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         vmin=vmin_all, vmax=vmax_all, y_pos_t=y_pos.T, wy=wy_blocks,
         xpos_t=(xpp.T if fold_x else None),
         orgx=(orgx if fold_x else None),
+        k0y=k0y_arr,
     )
 
 
@@ -1175,20 +1349,34 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     row counts prepare_chunk derived) must be passed explicitly."""
     hi_lo = dot_precision == "hi_lo"
     fold = prep.xpos_t is not None
+    dma = prep.k0y is not None
     if fold:
         fuse_mids = False
         concat_levels = False
         if len(prep.wy) > 0:
             raise ValueError("fold mode is incompatible with hoisted "
                              "tents (the kernel builds its own tents)")
-    per_lvl = ((n_channels + 1) if not fuse_mids else 1) * (
-        2 if hi_lo else 1)
-    if concat_levels:
+    if dma:
+        fuse_mids = False
+        concat_levels = False
         if ky_list is None:
-            raise ValueError("concat_levels requires the static ky_list")
-        n_levels = len(ky_list)
-    else:
+            raise ValueError("dma_mids requires the static ky_list "
+                             "(_dma_layout)")
+        if len(prep.wy) > 0:
+            raise ValueError("dma_mids is incompatible with hoisted "
+                             "tents")
+        per_lvl = n_channels + 1
         n_levels = len(prep.lvl) // per_lvl
+    else:
+        per_lvl = ((n_channels + 1) if not fuse_mids else 1) * (
+            2 if hi_lo else 1)
+        if concat_levels:
+            if ky_list is None:
+                raise ValueError(
+                    "concat_levels requires the static ky_list")
+            n_levels = len(ky_list)
+        else:
+            n_levels = len(prep.lvl) // per_lvl
     s_ = prep.y_pos_t.shape[1]
 
     lut_pack, d_pack, cum_pack, pos_pack, tau_flags, n = _pack_luts(
@@ -1206,7 +1394,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     # per-row-tile blocks (tent blocks / lattice mids, index-invariant
     # along the column sweep) load once per row tile instead of once
     # per step
-    if hoist or fold:
+    if hoist or fold or dma:
         grid = (pl.cdiv(height, tr), pl.cdiv(width, tc))
 
         def imap_win(i, j):
@@ -1246,7 +1434,15 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
 
     # rebuild static layout + block specs from the prepared shapes
     lvl_specs = []
-    if concat_levels:
+    if dma:
+        # unwindowed mids stay in HBM; the kernel issues its own window
+        # copies (dynamic row offsets from prep.k0y)
+        ky_list = tuple(int(k) for k in ky_list)
+        windowed = (True,) * n_levels
+        lvl_specs.extend(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+            * (n_levels * per_lvl))
+    elif concat_levels:
         # one combined block per part: K = sum of the per-level KYs
         ky_list = tuple(int(k) for k in ky_list)
         blk = prep.lvl[0]
@@ -1317,6 +1513,17 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
         xpos_ins = [prep.xpos_t]
         xpos_specs = [pl.BlockSpec((tc, s_), imap_xpos,
                                    memory_space=pltpu.VMEM)]
+    k0y_ins = []
+    k0y_specs = []
+    scratch_shapes = []
+    if dma:
+        k0y_ins = [prep.k0y]
+        k0y_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ktot_dma = sum(ky_list)
+        scratch_shapes = [
+            pltpu.VMEM((2, s_, ktot_dma, tc), prep.lvl[0].dtype)
+            for _ in range(n_channels + 1)
+        ] + [pltpu.SemaphoreType.DMA((2, n_channels + 1, n_levels))]
 
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, tuple(ky_list), tuple(windowed), n_channels,
@@ -1327,11 +1534,18 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      fused=fuse_mids, hoist_wy=hoist,
                      concat=concat_levels,
                      static_cws=(tuple(float(c) for c in cell_widths)
-                                 if (concat_levels or fold) else ()),
+                                 if (concat_levels or fold or dma)
+                                 else ()),
                      fold=fold,
                      nx_list=(tuple(nx_list) if fold else ()),
-                     knot_unroll=knot_unroll),
+                     knot_unroll=knot_unroll,
+                     dma=dma,
+                     grid_rc=((pl.cdiv(height, tr), pl.cdiv(width, tc))
+                              if dma else (0, 0)),
+                     dma_sync=bool(int(
+                         os.environ.get("OWLEXA_DMA_SYNC", "0")))),
         grid=grid,
+        scratch_shapes=scratch_shapes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lut pack
@@ -1344,6 +1558,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # orgy eff (L, R)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cw
             pl.BlockSpec(memory_space=pltpu.SMEM),  # orgx (fold)
+            *k0y_specs,
             *lvl_specs,
             *wy_specs,
             pl.BlockSpec((tr, s_), imap_ypos, memory_space=pltpu.VMEM),
@@ -1360,8 +1575,8 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
         interpret=interpret,
     )(params, lut_pack, d_pack, cum_pack, pos_pack,
       live.astype(jnp.float32), act_f, act_all_f, prep.orgy_eff, cws,
-      orgx_in, *prep.lvl, *prep.wy, prep.y_pos_t, *xpos_ins, sec,
-      *pt_ins, *stop_ins)
+      orgx_in, *k0y_ins, *prep.lvl, *prep.wy, prep.y_pos_t, *xpos_ins,
+      sec, *pt_ins, *stop_ins)
     return jnp.stack([r, g, b]), t
 
 
@@ -1378,6 +1593,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 concat_levels: bool = False,
                 fold_x: bool = False, x_geom=None,
                 late_x: bool = False, x_late=None,
+                dma_mids: bool = False,
                 interpret: bool | None = None,
                 knot_unroll: int = 4):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
@@ -1406,14 +1622,17 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         adaptive_stride=adaptive_stride, ky_hints=ky_hints,
         fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
         concat_levels=concat_levels, fold_x=fold_x, x_geom=x_geom,
-        late_x=late_x, x_late=x_late,
+        late_x=late_x, x_late=x_late, dma_mids=dma_mids,
     )
     act_f, act_all_f = combine_activity(
         prep, live, luts, domains, cell_widths,
         adaptive_stride=adaptive_stride,
     )
     ky_list = None
-    if concat_levels:
+    if dma_mids:
+        ny_list = tuple(-(-m.shape[1] // 8) * 8 for _, m in mids)
+        ky_list = _dma_layout(ny_list, ky_hints)
+    elif concat_levels:
         ny_list = tuple(-(-m.shape[1] // 8) * 8 for _, m in mids)
         ky_list, _ = _layout(ny_list, ky_hints)
     return run_chunk(

@@ -683,6 +683,18 @@ class SlabConfig:
     # (tests/test_slabs.py::test_late_x_bit_identical); kept as the
     # documented experiment.  Ignored when fuse_mids or fold_x is set.
     late_x: bool = False
+    # DMA-window mids: HBM keeps ONE unwindowed f32 mid per (level,
+    # component) and the kernel copies its own (S, KY, tc) y-windows
+    # into double-buffered VMEM scratch with dynamic row offsets —
+    # windows become read descriptors instead of HBM copies.  Deletes
+    # the per-row-tile window stacks, the hi_lo split pass, and the
+    # level-concat pass from the camera products (the hi/lo split moves
+    # in-register at dot time), which were the bulk of the per-frame
+    # moving-camera (orbit) cost; the static-pose cache also shrinks
+    # ~4x (it stores the plain mids, not R overlapping window copies).
+    # Bit-identical output.  Ignored when fuse_mids / fold_x /
+    # hoist_tents / late_x is set.
+    dma_mids: bool = True
     # knots applied per iteration of the kernel's compressed
     # classification loop: the dynamic-trip-count fori pays scalar/branch
     # overhead per iteration comparable to one knot's 6-op vector body,
@@ -1001,6 +1013,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     # window-then-resample products (see SlabConfig.late_x); only the
     # non-fused megakernel layouts carry it
     late = cfg.late_x and not cfg.fold_x and not cfg.fuse_mids
+    # DMA-window mids (see SlabConfig.dma_mids)
+    dma = (cfg.dma_mids and not cfg.fold_x and not cfg.fuse_mids
+           and not cfg.hoist_tents and not late)
     if mega:
         # cap the chunk so the megakernel's mid blocks ((1+C) x S x KY x tc
         # floats, double-buffered by the pipeline) fit VMEM with headroom;
@@ -1010,10 +1025,13 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         # window rows resident, so deep volumes keep deep chunks.
         def rows_resident(li, m):
             # mirror the kernel's windowing gate (pallas_sweep: windows
-            # only pay off when they at least halve the rows)
+            # only pay off when they at least halve the rows; the DMA
+            # layout instead always windows, +8 alignment margin)
             ny8 = -(-m.shape[1] // 8) * 8
             if ky_hints is None:
                 return ny8
+            if dma:
+                return min(int(ky_hints[li]) + 8, ny8)
             ky = min(int(ky_hints[li]), ny8)
             return ky if 2 * ky <= ny8 else ny8
 
@@ -1291,7 +1309,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 tf_cull=tf_cull, hoist_wy=cfg.hoist_tents,
                 concat_levels=cfg.concat_levels,
                 fold_x=cfg.fold_x, x_geom=x_geom,
-                late_x=late, x_late=x_late,
+                late_x=late, x_late=x_late, dma_mids=dma,
             )
             per_chunk.append((prep, scale))
         return tuple(per_chunk)
@@ -1446,7 +1464,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     hoist_wy=cfg.hoist_tents,
                     concat_levels=cfg.concat_levels,
                     fold_x=cfg.fold_x, x_geom=x_geom,
-                    late_x=late, x_late=x_late,
+                    late_x=late, x_late=x_late, dma_mids=dma,
                     knot_unroll=cfg.knot_unroll,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
@@ -1552,7 +1570,14 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         cws_list = [float(1 << L) for L in grids.levels]
         domains_list = [fs.xf_domain[c] for c in range(cfg.num_channels)]
         kyl = None
-        if cfg.concat_levels:
+        if dma:
+            from .pallas_sweep import _dma_layout
+
+            ny_list = tuple(
+                -(-int(m.shape[1]) // 8) * 8 for m in grids.masks
+            )
+            kyl = _dma_layout(ny_list, ky_hints)
+        elif cfg.concat_levels:
             # static per-level contraction rows (mirrors prepare_chunk's
             # layout derivation — concat preps carry one combined block)
             ny_list = tuple(
@@ -2137,6 +2162,8 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         tr_, _ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
                          cfg.adaptive_stride)
         n_rt_ = -(-h_ // tr_)
+        dma_ = (cfg.dma_mids and not cfg.fold_x and not cfg.fuse_mids
+                and not cfg.hoist_tents and not cfg.late_x)
         lay = []
         for li, m in enumerate(grids.masks):
             ny = -(-int(m.shape[1]) // 8) * 8
@@ -2145,7 +2172,10 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         any_win = any(w for _, _, w in lay)
         rows_sum = 0
         for ky, ny, win in lay:
-            if win:
+            if dma_:
+                # DMA-window preps store the plain unwindowed mids
+                rows_sum += ny
+            elif win:
                 rows_sum += n_rt_ * ky
             elif cfg.concat_levels and any_win:
                 # concat broadcasts full levels to per-row-tile copies

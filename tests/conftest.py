@@ -19,6 +19,21 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of XLA CPU executables; past a
+    load threshold the LLVM JIT segfaults inside backend_compile (the
+    crash point moves with the cumulative count, not any one test —
+    seen in test_sampler first, later in test_oblique_cameras /
+    test_property as the suite grew).  Dropping the live caches at
+    module boundaries keeps the resident executable count bounded; the
+    recompiles cost far less than the suite's render time."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

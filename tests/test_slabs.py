@@ -693,6 +693,64 @@ def test_late_x_bit_identical(amr_fixture):
     np.testing.assert_array_equal(first, live_base)
 
 
+def test_dma_mids_bit_identical(amr_fixture):
+    """DMA-window mids (SlabConfig.dma_mids): the kernel copies its own
+    y-windows from plain HBM mids instead of consuming pre-windowed /
+    hi_lo-split / concatenated blocks.  On CPU (interpret mode, ordered
+    f32 accumulation) the output is bit-exact vs the copy pipeline in
+    every layout: the DMA windows contain the same nonzero-weight rows
+    plus exact zero-weight padding.  (On the MXU the differing K
+    partition reorders sums at ulp level — documented in
+    pallas_sweep.py's module docstring.)"""
+    from owlexabrick_tpu.render.slabs import compress_pwl, render_slabs
+
+    text = (
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n"
+    )
+    scene, bricks, grids = _build(amr_fixture, text)
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         10.0, 32, 32)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    lut = np.concatenate(
+        [fs.xf_lut[0, :, :3], fs.xf_lut[0, :, 3:4] * 0.8], axis=1
+    )
+    kn = compress_pwl([lut])
+    f = jax.jit(
+        render_slabs,
+        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints"),
+    )
+    cargs = (jnp.asarray(pos), jnp.asarray(dir00), jnp.asarray(du),
+             jnp.asarray(dv), 32, 32)
+    for stride in (True, False):
+        for knots in (kn, None):
+            cfg0 = SlabConfig(
+                num_channels=1, nslabs=int(np.ceil(extent / 0.7)),
+                tile_rows=8, flip=True, adaptive_stride=stride,
+            )
+            base = np.asarray(f(
+                grids, fs, dataclasses.replace(cfg0, dma_mids=False),
+                *cargs, knots=knots, ky_hints=(8, 8), kx_hints=(8, 8)))
+            dmar = np.asarray(f(
+                grids, fs, dataclasses.replace(cfg0, dma_mids=True),
+                *cargs, knots=knots, ky_hints=(8, 8), kx_hints=(8, 8)))
+            assert base[:, 3].max() > 0.2
+            np.testing.assert_array_equal(dmar, base)
+
+    # cached-products path: DMA preps store the plain mids + k0y and
+    # reproduce the live path bit-for-bit
+    cfg = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                     extent_z=extent, adaptive_stride=True, dma_mids=True)
+    cache = {}
+    first = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24,
+                                           camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    live = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24))
+    np.testing.assert_array_equal(first, live)
+
+
 def test_banded_reuse_cache(amr_fixture):
     """Interactive banded mode: per-band host grids are scattered once
     and cached — the second frame pays only upload + render, and the
@@ -863,13 +921,15 @@ def test_hoisted_tents_bit_identical(amr_fixture):
     fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=1.0,
                           opacity_scale=0.8)
     extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
-    # pin concat_levels off: the hoisted blocks mirror the per-level
-    # in-kernel tent build (the concat lane builds its combined tent
-    # with different-but-equivalent arithmetic, so bit-identity is
-    # only promised against the per-level grouping)
+    # pin concat_levels AND dma_mids off: the hoisted blocks mirror the
+    # per-level in-kernel tent build (the concat lane builds its
+    # combined tent with different-but-equivalent arithmetic, and the
+    # DMA lane's K partition reorders the MXU/SIMD accumulation, so
+    # bit-identity is only promised against the per-level copy-pipeline
+    # grouping)
     base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
                       extent_z=extent, adaptive_stride=True,
-                      concat_levels=False)
+                      concat_levels=False, dma_mids=False)
     cfg_h = dataclasses.replace(base, hoist_tents=True)
 
     plain = np.asarray(render_slabs_camera(grids, fs, base, cam, w, h))
