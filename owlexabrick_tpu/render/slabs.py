@@ -747,6 +747,15 @@ class SlabConfig:
     # estimated size fits this budget (progressive accumulation at a
     # fixed pose then pays only the Pallas kernel per frame)
     camera_cache_max_mb: int = 4096
+    # hi/lo mid einsums: run the camera-product x-resample as TWO
+    # single-bf16 MXU passes over a bf16 (hi, lo) split of the
+    # z-resampled blocks, against single-bf16 tent weights — the
+    # product-stage twin of the kernel's hi_lo dots (the shared tent
+    # rounding error largely cancels in the swv/sw ratio, same
+    # argument as the kernel's single-bf16 wy).  Applies only when
+    # dot_precision == "hi_lo"; "high"/"highest" keep bf16x3/f32 mids
+    # as the accuracy references.
+    mid_hi_lo: bool = False
     # adaptive z-stride: where a tile's finest contributing AMR level is
     # coarse, one slab stands in for a group of up to 8 with its step
     # weight scaled accordingly — the slab form of the reference's
@@ -1138,9 +1147,42 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 "highest": jax.lax.Precision.HIGHEST,
                 "default": None,
                 # hi_lo applies to the kernel dots; the mid
-                # einsums keep bf16x3 (~f32) accuracy
+                # einsums keep bf16x3 (~f32) accuracy unless
+                # mid_hi_lo moves the x pass to the 2-pass split
                 "hi_lo": jax.lax.Precision.HIGH,
             }[cfg.dot_precision])
+            hilo_x = (cfg.mid_hi_lo and not cfg.bf16_interp
+                      and cfg.dot_precision == "hi_lo")
+
+            def x_split(sv, hilo=hilo_x):
+                """Pre-split the z-resampled block for the x pass:
+                a bf16 (hi, lo) pair under mid_hi_lo (one split per
+                level, shared by every column-tile window), else the
+                f32 block itself."""
+                if not hilo:
+                    return (sv,)
+                svh = sv.astype(jnp.bfloat16)
+                svl = (sv - svh.astype(f32)).astype(jnp.bfloat16)
+                return (svh, svl)
+
+            def x_dot(parts, wx_, spec, prec=prec,
+                      slicer=(lambda a: a)):
+                """One x-resample contraction: HIGH bf16x3 on the f32
+                block, or (mid_hi_lo) two single-bf16 passes over the
+                (hi, lo) split against bf16 tents — exact block
+                reconstruction to ~2^-16; the shared tent rounding
+                largely cancels in the swv/sw ratio (the kernel's
+                single-bf16 wy argument)."""
+                if len(parts) == 1:
+                    return jnp.einsum(spec, slicer(parts[0]), wx_,
+                                      preferred_element_type=f32,
+                                      precision=prec)
+                wxb = wx_.astype(jnp.bfloat16)
+                hi = jnp.einsum(spec, slicer(parts[0]), wxb,
+                                preferred_element_type=f32)
+                lo = jnp.einsum(spec, slicer(parts[1]), wxb,
+                                preferred_element_type=f32)
+                return hi + lo
 
             # column-tiled x-resample: the x tent matrix has
             # <= 2 nonzero entries per column, so a tc-column
@@ -1195,11 +1237,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 )  # (S, W, nx)
 
                 def xres(sv, wx=wx):
-                    return jnp.einsum(
-                        "syx,swx->syw", sv, wx,
-                        preferred_element_type=f32,
-                        precision=prec,
-                    )
+                    return x_dot(x_split(sv), wx, "syx,swx->syw")
             else:
                 xwin = []
                 for ct in range(n_ct_x):
@@ -1218,14 +1256,13 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     xwin.append((k0, wx_t))
 
                 def xres(sv, xwin=xwin, kx=kx):
+                    parts = x_split(sv)
                     pieces = [
-                        jnp.einsum(
-                            "syk,swk->syw",
-                            lax.dynamic_slice_in_dim(
-                                sv, k0, kx, axis=2),
-                            wx_t,
-                            preferred_element_type=f32,
-                            precision=prec,
+                        x_dot(
+                            parts, wx_t, "syk,swk->syw",
+                            slicer=(lambda a, k0=k0:
+                                    lax.dynamic_slice_in_dim(
+                                        a, k0, kx, axis=2)),
                         )
                         for k0, wx_t in xwin
                     ]
