@@ -1,14 +1,15 @@
 #!/usr/bin/env python
 """Localize the per-frame camera-products cost (the orbit-vs-cached gap).
 
-Times the jitted ``return_products=True`` pass alone, plus timing-only
-ablations (outputs are WRONG for the ablated lanes — this measures cost
-shares, not fidelity):
+Times FULL orbit frames (products + kernel in one graph, no camera
+cache) with timing-only ablations of the product stage — outputs are
+WRONG for the ablated lanes; this measures cost shares, not fidelity:
 
-  full      the real products pass (what every orbit frame pays)
-  kx8       x windows forced to 8 lattice columns: the x-resample einsum
-            + tent builds become ~free -> their share of `full`
-  nocull    space_skipping=False: drops the TF-cull vrange rows
+  full        the real orbit frame (reproduces orbit_breakdown)
+  kx8         x windows forced to 8 lattice columns: the x-resample
+              einsums + tent builds become ~free -> their share
+  nocull      space_skipping=False: drops the TF-cull vrange rows
+              (changes kernel gating too — read with that in mind)
   kx8_nocull  both
 
 Usage: python benchmarks/products_ablate.py [volume] [frames] [rounds]
@@ -32,7 +33,9 @@ def main():
     from owlexabrick_tpu.render.camera import Camera
     from owlexabrick_tpu.render.frame import make_frame_state
     from owlexabrick_tpu.render.slabs import (
+        NUM_XF_VALUES,
         SlabConfig,
+        compress_pwl,
         kx_hints_for_camera,
         ky_hints_for_camera,
         permute_camera,
@@ -67,29 +70,46 @@ def main():
     kx8 = tuple(8 for _ in xhints)
     print(f"# ky_hints={hints} kx_hints={xhints}", file=sys.stderr)
 
+    scale = float(fs.xf_opacity_scale)
+    luts_np = [np.concatenate(
+        [fs.xf_lut[c, :, :3], fs.xf_lut[c, :, 3:4] * scale], axis=1)
+        for c in range(cfg.num_channels)]
+    knots = compress_pwl(luts_np, fit_tol=cfg.xf_fit_quantum / 255.0)
+
     f = jax.jit(render_slabs, static_argnames=(
         "cfg", "width", "height", "ky_hints", "kx_hints",
         "return_products"))
 
-    def make(cfg_, xh):
-        def call():
-            prods = f(grids, fs, cfg_, pos, dir00, du, dv, width, height,
-                      ky_hints=hints, kx_hints=xh, return_products=True)
-            return prods
+    from owlexabrick_tpu.render import slabs as slabs_mod
 
+    def make(cfg_, xh, mid_prec=None):
         def run():
-            outs = [call() for _ in range(frames)]
-            leaves = [jax.tree.leaves(o)[0] for o in outs]
-            np.asarray(jnp.stack([l.ravel()[0] for l in leaves]).sum())
+            slabs_mod._MID_PRECISION_OVERRIDE = mid_prec
+            try:
+                outs = [f(grids, fs, cfg_, pos, dir00, du, dv,
+                          width, height, knots=knots, ky_hints=hints,
+                          kx_hints=xh)
+                        for _ in range(frames)]
+                np.asarray(jnp.stack([o[:1, 0] for o in outs]).sum())
+            finally:
+                slabs_mod._MID_PRECISION_OVERRIDE = None
 
         return run
 
     nocull = dataclasses.replace(cfg, space_skipping=False)
+    # the precision lanes vary an unused-in-render_slabs static field so
+    # each override value compiles its own graph (jit keys on cfg)
     lanes = {
         "full": make(cfg, xhints),
         "kx8": make(cfg, kx8),
         "nocull": make(nocull, xhints),
         "kx8_nocull": make(nocull, kx8),
+        # mid-einsum MXU pass count: 1 / 3 / 6 bf16 passes — if the
+        # product einsums bound the orbit frame, time scales with this
+        "midprec1": make(dataclasses.replace(
+            cfg, camera_cache_max_mb=1001), xhints, "default"),
+        "midprec6": make(dataclasses.replace(
+            cfg, camera_cache_max_mb=1006), xhints, "highest"),
     }
     best = {k: np.inf for k in lanes}
     for k, run in lanes.items():

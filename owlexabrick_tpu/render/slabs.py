@@ -771,6 +771,10 @@ class SlabConfig:
     extent_z: float = 0.0
 
 
+# benchmarks-only override of the camera-product einsum precision
+# (None = follow cfg.dot_precision); see products_ablate.py
+_MID_PRECISION_OVERRIDE = None
+
 _BOUNDS_CACHE: dict = {}
 
 
@@ -1151,6 +1155,16 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 # mid_hi_lo moves the x pass to the 2-pass split
                 "hi_lo": jax.lax.Precision.HIGH,
             }[cfg.dot_precision])
+            if _MID_PRECISION_OVERRIDE is not None:
+                # debug knob for benchmarks/products_ablate.py: vary the
+                # mid-einsum MXU pass count (1/3/6) independently of the
+                # kernel dots.  Callers must also vary an unused static
+                # cfg field to dodge the jit cache.
+                prec = {
+                    "default": None,
+                    "high": jax.lax.Precision.HIGH,
+                    "highest": jax.lax.Precision.HIGHEST,
+                }[_MID_PRECISION_OVERRIDE]
             hilo_x = (cfg.mid_hi_lo and not cfg.bf16_interp
                       and cfg.dot_precision == "hi_lo")
 
