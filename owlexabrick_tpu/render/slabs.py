@@ -756,6 +756,20 @@ class SlabConfig:
     # dot_precision == "hi_lo"; "high"/"highest" keep bf16x3/f32 mids
     # as the accuracy references.
     mid_hi_lo: bool = False
+    # Python-unroll the moving-camera (orbit) chunk loop like the cached
+    # path does — tried, measured SLOWER, OFF by default: the hypothesis
+    # was that the lax.while_loop's dynamic slab-table slices and the
+    # (3+1, H, W) carry threaded through a cond per iteration block XLA
+    # from fusing across chunks; the statically unrolled chain (same
+    # per-chunk early-termination gate — alpha only grows, so gating
+    # each chunk on saturation is equivalent to the loop stopping) is
+    # bit-identical but measured 19.8 vs 22.4 FPS on the 256^3 orbit
+    # lane (benchmarks/ab_unrollloop.py, interleaved best-of-3): the
+    # 22-chunk straight-line graph costs more in buffer pressure than
+    # the loop costs in carry copies.  The orbit gap is the product
+    # einsums' HBM materialization, not loop structure.  Megakernel
+    # lane only; kept as the documented experiment.
+    unroll_chunks: bool = False
     # adaptive z-stride: where a tile's finest contributing AMR level is
     # coarse, one slab stands in for a group of up to 8 with its step
     # weight scaled accordingly — the slab form of the reference's
@@ -1475,16 +1489,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             )
         return sw, swv, dsw, dswv
 
-    def chunk_body(state):
-        ci, color, alpha = state
-        sl = ci * s_chunk
-        z_s = lax.dynamic_slice_in_dim(z_planes_p, sl, s_chunk)
-        a_s = lax.dynamic_slice_in_dim(act_p, sl, s_chunk)
-        occ_s = [
-            lax.dynamic_slice_in_dim(o, sl, s_chunk) for o in lvl_occ_p
-        ]
-        front = (z_s - oz) / rz > 1e-6  # (S,)
-        live = a_s & front
+    def make_active(z_s, occ_s, live):
+        """Per-chunk integration body closed over one chunk's slab
+        tables — shared by the while_loop (dynamic slices) and the
+        unrolled (static slices) chunk loops."""
 
         def active_chunk(color_alpha):
             color, alpha = color_alpha
@@ -1598,8 +1606,20 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             alpha = 1.0 - (1.0 - alpha) * chunk_trans
             return color, alpha
 
+        return active_chunk
+
+    def chunk_body(state):
+        ci, color, alpha = state
+        sl = ci * s_chunk
+        z_s = lax.dynamic_slice_in_dim(z_planes_p, sl, s_chunk)
+        a_s = lax.dynamic_slice_in_dim(act_p, sl, s_chunk)
+        occ_s = [
+            lax.dynamic_slice_in_dim(o, sl, s_chunk) for o in lvl_occ_p
+        ]
+        live = a_s & ((z_s - oz) / rz > 1e-6)
         color, alpha = lax.cond(
-            live.any(), active_chunk, lambda ca: ca, (color, alpha)
+            live.any(), make_active(z_s, occ_s, live),
+            lambda ca: ca, (color, alpha),
         )
         return ci + 1, color, alpha
 
@@ -1674,6 +1694,24 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             color, alpha = lax.cond(
                 live.any() & (alpha.min() < TERMINATION_THRESHOLD),
                 do, lambda ca: ca, (color, alpha),
+            )
+    elif cfg.unroll_chunks and mega:
+        # moving-camera frames with a statically unrolled chunk chain:
+        # same per-chunk early-termination gate as chunk_cond (alpha
+        # only grows, so gating each chunk on saturation is equivalent
+        # to the while_loop stopping), but XLA sees one straight-line
+        # graph and can overlap chunk products with kernel dispatches
+        color, alpha = color0, alpha0
+        for ci0 in range(n_chunks):
+            sl = ci0 * s_chunk
+            z_s = z_planes_p[sl:sl + s_chunk]
+            a_s = act_p[sl:sl + s_chunk]
+            occ_s = [o[sl:sl + s_chunk] for o in lvl_occ_p]
+            live = a_s & ((z_s - oz) / rz > 1e-6)
+            color, alpha = lax.cond(
+                live.any() & (alpha.min() < TERMINATION_THRESHOLD),
+                make_active(z_s, occ_s, live),
+                lambda ca: ca, (color, alpha),
             )
     else:
         _, color, alpha = lax.while_loop(
