@@ -71,6 +71,8 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cached = len(sys.argv) > 3 and sys.argv[3] == "1"
+    # argv[4]: kernel-mids mode — "" (einsum path), "highest", "hi_lo"
+    kmid = sys.argv[4] if len(sys.argv) > 4 else ""
     width, height = 1920, 1080
 
     grids_host, meta = slab_scene_grids("blobs", n)
@@ -84,7 +86,9 @@ def main():
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
     cfg = SlabConfig(num_channels=1, nslabs=int(np.ceil(extent)),
                      chunk=12, extent_z=extent, adaptive_stride=True,
-                     camera_cache_max_mb=8192)
+                     camera_cache_max_mb=8192,
+                     kernel_mids=bool(kmid),
+                     kernel_mids_precision=(kmid or "highest"))
 
     cache = {} if cached else None
 

@@ -893,10 +893,11 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         # for tile j, so the kernel's y-contraction is ONE
         # (tr, KY) @ (KY, (C+1)*tc) MXU dot per level per slab
         comps = mid_vs_l[li] + [mid_m_l[li]]
-        if pad_c:
-            comps = [
-                jnp.pad(c_, ((0, 0), (0, 0), (0, pad_c))) for c_ in comps
-            ]
+        comps = [
+            c_ if c_.shape[2] == n_ct * tc else jnp.pad(
+                c_, ((0, 0), (0, 0), (0, n_ct * tc - c_.shape[2])))
+            for c_ in comps
+        ]
         ny = comps[0].shape[1]
         st = jnp.stack(
             [c_.reshape(s_, ny, n_ct, tc) for c_ in comps], axis=3
@@ -1162,8 +1163,11 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             )
             occ = hi_x - lo_x > 0  # (S, ny, Ct)
         else:
-            mm_p = mid_m_l[li] if pad_c == 0 else jnp.pad(
-                mid_m_l[li], ((0, 0), (0, 0), (0, pad_c))
+            # pad from the actual lane count: kernel-produced mids
+            # (slabs.py kernel_mids) arrive pre-padded to n_ct*tc
+            padl = n_ct * tc - mid_m_l[li].shape[2]
+            mm_p = mid_m_l[li] if padl == 0 else jnp.pad(
+                mid_m_l[li], ((0, 0), (0, 0), (0, padl))
             )
             occ = (
                 mm_p.reshape(s_, ny, n_ct, tc).astype(jnp.float32) > 0

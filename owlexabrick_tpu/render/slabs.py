@@ -777,6 +777,30 @@ class SlabConfig:
     # (exabrick.cu:1129).  Quadrature coarsens exactly where the
     # reference's does; megakernel lane only.
     adaptive_stride: bool = False
+    # 2-tap z resample: the z tent matrix has <= 2 nonzero entries per
+    # slab and the tap index is one scalar per slab, so the dense
+    # (S, KZ) @ (KZ, ny, nx) einsum re-derives two plane reads with
+    # ~KZ/2 x wasted MXU passes; a 2S-row gather + FMA does the same
+    # lerp in f32 (slightly MORE accurate than the bf16x3 HIGH einsum,
+    # same tent semantics incl. boundary zeros).  Megakernel products
+    # only; False restores the einsum (the bit-reference for the
+    # products-precision ablations).
+    z_twotap: bool = True
+    # Pallas x-resample mids (render/pallas_mids.py): build the x tents
+    # and run the x contraction INSIDE a kernel per (slab, column-tile)
+    # — the dense tent matrices (whose broadcast build materialized
+    # ~15 GB of HLO output bytes per frame at 256^3, PERFORMANCE.md
+    # note 20) and the windowed-einsum temps never touch HBM; HBM sees
+    # only the z-lerped lattice blocks in and the padded mids out.
+    # Applies per level when the blocks fit the VMEM budget (large
+    # scale-scene levels fall back to the einsum).  Ignored under
+    # fold_x / late_x (they relayout the mids).
+    kernel_mids: bool = False
+    # dot precision for the kernel-mids contraction: "highest" (full
+    # f32, at or above the einsum path's bf16x3 HIGH accuracy) or
+    # "hi_lo" (two single-bf16 passes over an in-register (hi, lo)
+    # split — the product twin of the sweep kernel's hi_lo dots)
+    kernel_mids_precision: str = "highest"
     # static sweep extent along z (bounds_hi[0]-bounds_lo[0]); when set,
     # each chunk's z-interpolation contracts only the ~chunk*dz/cw lattice
     # rows its tent weights can touch (a dynamic slice) instead of the
@@ -1156,8 +1180,11 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             org = grids.origins[li]
             nz, ny, nx = m.shape
             qz = z_s / cw - org[0] - 0.5
-            wz_fn, vol_z, _kz = z_weights_slice(qz, li)
-            wz = wz_fn()  # (S, nz or KZ)
+            if cfg.z_twotap:
+                wz, vol_z = None, None
+            else:
+                wz_fn, vol_z, _kz = z_weights_slice(qz, li)
+                wz = wz_fn()  # (S, nz or KZ)
             qx = x_pos / cw - org[2] - 0.5  # (S, W)
 
             prec = (None if cfg.bf16_interp else {
@@ -1296,19 +1323,75 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     ]
                     return jnp.concatenate(pieces, axis=2)
 
-            def mid(vol, xres=xres, wz=wz, vol_z=vol_z, prec=prec):
-                sv = jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
-                                preferred_element_type=f32,
-                                precision=prec)
-                return xres(sv)
+            if cfg.z_twotap:
+                # 2-tap z lerp: the z tent has <= 2 nonzero weights per
+                # slab and the tap index is a SCALAR per slab, so the
+                # dense (S, KZ) @ (KZ, ny, nx) contraction wastes ~KZ/2 x
+                # MXU FLOPs reproducing two plane reads.  A 2S-row
+                # gather + FMA is the TPU-right primitive here (row
+                # gathers of wide rows are cheap; the per-lane x taps
+                # keep their windowed einsum and the per-sublane y taps
+                # keep the in-kernel MXU dot).  Weights match
+                # _tent_matrix exactly: (1-frac, frac) at floor(qz),
+                # floor(qz)+1, zero outside [0, nz-1].
+                k0z = jnp.floor(qz).astype(jnp.int32)  # (S,)
+                frz = qz - k0z.astype(f32)
+                wz0 = jnp.where(
+                    (k0z >= 0) & (k0z < nz), 1.0 - frz, 0.0
+                )[:, None, None]
+                wz1 = jnp.where(
+                    (k0z + 1 >= 0) & (k0z + 1 < nz), frz, 0.0
+                )[:, None, None]
+                i0z = jnp.clip(k0z, 0, nz - 1)
+                i1z = jnp.clip(k0z + 1, 0, nz - 1)
+
+                def zres(vol):
+                    return (wz0 * jnp.take(vol, i0z, axis=0)
+                            + wz1 * jnp.take(vol, i1z, axis=0))
+            else:
+                def zres(vol, wz=wz, vol_z=vol_z, prec=prec):
+                    return jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
+                                      preferred_element_type=f32,
+                                      precision=prec)
+
+            def mid(vol, xres=xres, zres=zres):
+                return xres(zres(vol))
 
             gate = occ_s[li].any().astype(f32)
             mdt = jnp.bfloat16 if cfg.bf16_interp else f32
-            mids.append((
-                [(mid(grids.vals[li][c]) * gate).astype(mdt)
-                 for c in range(cfg.num_channels)],
-                (mid(m) * gate).astype(mdt),
-            ))
+            use_kmid = False
+            if cfg.kernel_mids and not cfg.fold_x and not late:
+                from .pallas_mids import (
+                    kernel_mids_vmem_bytes, xresample_mids,
+                )
+
+                use_kmid = kernel_mids_vmem_bytes(
+                    ny, nx, tc_x, cfg.num_channels + 1
+                ) < 10 * 2 ** 20
+            if use_kmid:
+                # fused x stage: tent build + contraction in VMEM
+                # (render/pallas_mids.py); pad columns at -2 so their
+                # tent weights vanish and the padded mids come out
+                # exactly zero, like prepare_chunk's zero pad
+                wp = n_ct_x * tc_x
+                qx_p = (qx if wp == w else jnp.pad(
+                    qx, ((0, 0), (0, wp - w)), constant_values=-2.0))
+                zvs = [zres(grids.vals[li][c]) * gate
+                       for c in range(cfg.num_channels)]
+                zvs.append(zres(m) * gate)
+                outs = xresample_mids(
+                    zvs, qx_p, tc_x,
+                    precision=cfg.kernel_mids_precision,
+                    out_dtype=mdt,
+                )
+                mids.append((outs[:cfg.num_channels],
+                             outs[cfg.num_channels]))
+            else:
+                mids.append((
+                    [(mid(grids.vals[li][c]) * gate).astype(mdt)
+                     for c in range(cfg.num_channels)],
+                    (mid(m) * gate).astype(mdt),
+                ))
             orgs_y.append(org[1])
             cws_l.append(cw)
 

@@ -751,6 +751,65 @@ def test_dma_mids_bit_identical(amr_fixture):
     np.testing.assert_array_equal(first, live)
 
 
+def test_kernel_mids_agrees(amr_fixture):
+    """Pallas x-resample mids (SlabConfig.kernel_mids): the x tent build
+    + contraction move into a kernel per (slab, column-tile)
+    (render/pallas_mids.py).  Same tent semantics as the dense einsum —
+    max(0, 1-|qx-k|), k in [0, nx) — so output agrees to f32 rounding
+    ("highest"; sum order inside one dot may differ from the einsum's)
+    and to ~1e-4 for the two-pass bf16 "hi_lo" split.  Pre-padded mids
+    (rows to 8, columns to the tile multiple) reproduce prepare_chunk's
+    zero pads exactly."""
+    from owlexabrick_tpu.render.slabs import render_slabs
+
+    text = (
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n"
+    )
+    scene, bricks, grids = _build(amr_fixture, text)
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         10.0, 32, 32)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    f = jax.jit(
+        render_slabs,
+        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints"),
+    )
+    cargs = (jnp.asarray(pos), jnp.asarray(dir00), jnp.asarray(du),
+             jnp.asarray(dv), 32, 32)
+    for stride in (True, False):
+        cfg0 = SlabConfig(
+            num_channels=1, nslabs=int(np.ceil(extent / 0.7)),
+            tile_rows=8, flip=True, adaptive_stride=stride,
+        )
+        base = np.asarray(f(
+            grids, fs, dataclasses.replace(cfg0, kernel_mids=False),
+            *cargs, ky_hints=(8, 8), kx_hints=(8, 8)))
+        assert base[:, 3].max() > 0.2
+        km = np.asarray(f(
+            grids, fs, dataclasses.replace(cfg0, kernel_mids=True),
+            *cargs, ky_hints=(8, 8), kx_hints=(8, 8)))
+        np.testing.assert_allclose(km, base, atol=5e-5)
+        km2 = np.asarray(f(
+            grids, fs, dataclasses.replace(
+                cfg0, kernel_mids=True, kernel_mids_precision="hi_lo"),
+            *cargs, ky_hints=(8, 8), kx_hints=(8, 8)))
+        np.testing.assert_allclose(km2, base, atol=2e-3)
+
+    # cached-products path: kernel mids flow through prepare_chunk's
+    # pads as no-ops and reproduce the live path bit-for-bit
+    cfg = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                     extent_z=extent, adaptive_stride=True,
+                     kernel_mids=True)
+    cache = {}
+    first = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24,
+                                           camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    live = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24))
+    np.testing.assert_array_equal(first, live)
+
+
 def test_banded_reuse_cache(amr_fixture):
     """Interactive banded mode: per-band host grids are scattered once
     and cached — the second frame pays only upload + render, and the
