@@ -103,6 +103,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  nx_list: Tuple[int, ...] = (),
                  knot_unroll: int = 4,
                  dma: bool = False,
+                 lattice: bool = False,
                  grid_rc: Tuple[int, int] = (0, 0),
                  dma_sync: bool = False):
     compressed = n_texels > 0
@@ -167,7 +168,11 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         # per-row-tile window stacks, hi_lo split passes, and level
         # concatenation never touch HBM at all (the hi/lo split happens
         # in-register at dot time).  Same dot shape as concat mode.
-        if dma:
+        # lattice mode: same HBM-ref unpack as dma (plain per-level
+        # per-component blocks + k0 window starts), but the blocks are
+        # LATTICE-space (S, ny, nx128) and the kernel runs fold's
+        # two-stage contraction out of per-(component, level) scratch
+        if dma or lattice:
             k0_ref = refs[0]
             refs = refs[1:]
             per_lvl = n_channels + 1
@@ -200,7 +205,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         ypos_ref = refs[k]
         k += 1
         xpos_ref = None
-        if fold:
+        if fold or lattice:
             xpos_ref = refs[k]
             k += 1
         sec_ref = refs[k]
@@ -221,6 +226,11 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             r_ref, g_ref, b_ref, t_ref = refs[k : k + 4]
             scr_refs = refs[k + 4 : k + 4 + (n_channels + 1)]
             dma_sem = refs[k + 4 + (n_channels + 1)]
+        elif lattice:
+            r_ref, g_ref, b_ref, t_ref = refs[k : k + 4]
+            n_scr = (n_channels + 1) * n_levels
+            scr_refs = refs[k + 4 : k + 4 + n_scr]  # [comp * L + li]
+            dma_sem = refs[k + 4 + n_scr]
         else:
             r_ref, g_ref, b_ref, t_ref = refs[k:]
         n = n_texels if compressed else lut_ref.shape[1]
@@ -235,7 +245,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         # hoisted tents and fold mode flip to (row_tiles, col_tiles)
         # with cols fastest so the per-row-tile blocks (tent blocks /
         # lattice mids, column-invariant) load once per row tile
-        if hoist_wy or fold or dma:
+        if hoist_wy or fold or dma or lattice:
             rt_id = pl.program_id(0)
             ct_id = pl.program_id(1)
         else:
@@ -307,6 +317,53 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 def _():
                     _start_all(jax.lax.rem(nstep, 2), nstep // n_ct_g,
                                jax.lax.rem(nstep, n_ct_g))
+
+        if lattice:
+            # y-window copies shared across the column sweep: lattice
+            # blocks are column-tile invariant (full lanes), so each
+            # (level, component) window copies ONCE per row tile —
+            # double-buffered on row-tile parity, with rt+1's windows
+            # prefetched while rt's column sweep computes.  dma mode
+            # instead copies per (rt, ct) step because its windows
+            # carry a column slice.
+            n_rt_g, n_ct_g = grid_rc
+            cur_slot = jax.lax.rem(rt_id, 2)
+
+            def _dma_lat(slot, r_i, ci_, li):
+                # window starts are 8-aligned by construction
+                k0v = pl.multiple_of(k0_ref[li, r_i], 8)
+                return pltpu.make_async_copy(
+                    hbm_refs[li][ci_].at[:, pl.ds(k0v, ky_list[li]), :],
+                    scr_refs[ci_ * n_levels + li].at[slot],
+                    dma_sem.at[slot, ci_, li],
+                )
+
+            def _start_lat(slot, r_i):
+                for ci_ in range(n_channels + 1):
+                    for li in range(n_levels):
+                        _dma_lat(slot, r_i, ci_, li).start()
+
+            if dma_sync:
+                # debug lane: copy + wait at every step
+                cur_slot = 0
+                _start_lat(0, rt_id)
+                for ci_ in range(n_channels + 1):
+                    for li in range(n_levels):
+                        _dma_lat(0, rt_id, ci_, li).wait()
+            else:
+                @pl.when((rt_id == 0) & (ct_id == 0))
+                def _():
+                    _start_lat(0, 0)
+
+                @pl.when(ct_id == 0)
+                def _():
+                    for ci_ in range(n_channels + 1):
+                        for li in range(n_levels):
+                            _dma_lat(cur_slot, rt_id, ci_, li).wait()
+
+                @pl.when((ct_id == 0) & (rt_id + 1 < n_rt_g))
+                def _():
+                    _start_lat(jax.lax.rem(rt_id + 1, 2), rt_id + 1)
 
         ypos_all = ypos_ref[:]  # (tr, S)
         slab_ids = jax.lax.broadcasted_iota(jnp.int32, ypos_all.shape, 1)
@@ -392,6 +449,25 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             wxs = [_wx(li, xp) for li in range(n_levels)]
 
             def first_dot(li, comp):
+                if lattice:
+                    # DMA'd scratch holds f32 lattice windows; hi/lo
+                    # splits here in-register (same numerics as the
+                    # dma-mode y-dot split)
+                    a = scr_refs[comp * n_levels + li][cur_slot, s]
+                    if hi_lo:
+                        ah = a.astype(jnp.bfloat16)
+                        al = (a - ah.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        wxb = wxs[li].astype(jnp.bfloat16)
+                        return (
+                            jnp.dot(ah, wxb,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(al, wxb,
+                                      preferred_element_type=jnp.float32)
+                        )
+                    return jnp.dot(a, wxs[li].astype(a.dtype),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
                 if hi_lo:
                     rh = lvl_refs[li][2 * comp]
                     rl = lvl_refs[li][2 * comp + 1]
@@ -437,7 +513,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 # no unaligned dynamic lane indexing)
                 yp = jnp.sum(
                     jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
-            if fold:
+            if fold or lattice:
                 return _interp_fold(s, yp)
 
             # per-level y-tent weights over the tile's window; zero-pad
@@ -503,7 +579,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             return jax.lax.cond(do, work, lambda c: c, carry)
 
         def _classify(s, payload, sw, ok, carry, w_s):
-                if fold:
+                if fold or lattice:
                     fields = payload
                 else:
                     acc, wys = payload
@@ -514,7 +590,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    if fold:
+                    if fold or lattice:
                         swv = fields[ch]
                     elif fused:
                         swv = acc[:, ch * tc:(ch + 1) * tc]
@@ -816,7 +892,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                   concat_levels: bool = False,
                   fold_x: bool = False, x_geom=None,
                   late_x: bool = False, x_late=None,
-                  dma_mids: bool = False) -> ChunkPrep:
+                  dma_mids: bool = False,
+                  lattice_mids: bool = False) -> ChunkPrep:
     """Build the camera-only kernel inputs for one chunk: pad/interleave
     the mids, slice per-row-tile y windows, split hi_lo pairs, derive the
     geometric tile-activity tables and the TF-cull value bounds.
@@ -849,6 +926,18 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         if fuse_mids:
             raise ValueError("late_x supports only non-fused mids")
         x_entries, x_pos_late, origins_x_late = x_late
+    if lattice_mids:
+        # fold_x's lattice blocks + dma_mids' window copies: HBM keeps
+        # (S, ny, nx128) z-resampled blocks per (level, component); the
+        # kernel DMAs each level's (S, KY, nx128) y-window once per row
+        # tile and runs the x tents + first contraction in-kernel
+        if fold_x or late_x or fuse_mids or hoist_wy:
+            raise ValueError(
+                "lattice_mids supports only the plain non-fused layout")
+        if x_geom is None:
+            raise ValueError("lattice_mids requires x_geom")
+        concat_levels = False
+        dma_mids = False
     if dma_mids and (fold_x or late_x or fuse_mids or hoist_wy):
         raise ValueError(
             "dma_mids supports only the plain non-fused layout")
@@ -868,7 +957,7 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         for mvs, _ in mids
     ]
     mid_m_l = [_pad8_rows(mm) for _, mm in mids]
-    if fold_x:
+    if fold_x or lattice_mids:
         # lane-align the lattice x axis (Mosaic lane = 128); zero
         # columns contribute nothing to either contraction, and the
         # kernel's x-tent weights there multiply only zeros
@@ -916,14 +1005,14 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     y_hi_t = yt.max(-1)
 
     k0y_arr = None
-    if dma_mids:
-        # DMA-window mode: HBM keeps the plain f32 mids; only the
-        # per-(level, row-tile) window START rows are computed here
-        # (8-aligned so the kernel's copies land on sublane boundaries;
-        # the +8 in _dma_layout covers the round-down).  No window
-        # stacks, no hi_lo split pass, no interleave, no level concat —
-        # those were pure HBM data movement the kernel now does as
-        # reads.
+    if dma_mids or lattice_mids:
+        # DMA-window mode: HBM keeps the plain f32 mids (lattice mode:
+        # the z-resampled lattice blocks); only the per-(level,
+        # row-tile) window START rows are computed here (8-aligned so
+        # the kernel's copies land on sublane boundaries; the +8 in
+        # _dma_layout covers the round-down).  No window stacks, no
+        # hi_lo split pass, no interleave, no level concat — those were
+        # pure HBM data movement the kernel now does as reads.
         ky_dma = _dma_layout(ny_list, ky_hints)
         orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
         k0_rows = []
@@ -940,6 +1029,9 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         k0y_arr = jnp.stack(k0_rows)  # (L, R)
 
         def _padw(a):
+            # lattice blocks keep their own (128-padded) lane count
+            if lattice_mids:
+                return a
             padl = n_ct * tc - a.shape[2]
             return a if padl == 0 else jnp.pad(
                 a, ((0, 0), (0, 0), (0, padl)))
@@ -955,9 +1047,10 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     ky_list, windowed = _layout(ny_list, ky_hints)
     level_parts = []  # per level, the kernel parts in emit order
     k0_list: list = []  # per level, the window start per row tile
-    if not dma_mids:
+    if not (dma_mids or lattice_mids):
         orgy_eff = jnp.broadcast_to(orgy[:, None], (n_levels, n_rt))
-    for li in (range(n_levels) if not dma_mids else ()):
+    for li in (range(n_levels) if not (dma_mids or lattice_mids)
+               else ()):
         ny = ny_list[li]
         ky = ky_list[li]
         win = windowed[li]
@@ -1053,8 +1146,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 emit(mid_vs_l[li][ch], win_fn=win_fn)
             emit(mid_m_l[li], win_fn=win_fn)
 
-    if dma_mids:
-        pass  # lvl_inputs already holds the plain per-level mids
+    if dma_mids or lattice_mids:
+        pass  # lvl_inputs already holds the plain per-level blocks
     elif concat_levels:
         # pre-concatenate the levels' blocks along the contraction axis
         # so each slab pays ONE kernel dot per component per pass
@@ -1112,10 +1205,10 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     # range overlaps an occupied lattice point's tent support (and whose
     # columns hold non-zero x-resampled mask) — inactive tiles skip the
     # tent build and both MXU contractions in the kernel.
-    lattice_occ = fold_x or late_x
+    lattice_occ = fold_x or late_x or lattice_mids
     if lattice_occ:
         # per-tile x windows for the lattice-space occupancy projection
-        if fold_x:
+        if fold_x or lattice_mids:
             x_pos_g, origins_x = x_geom
         else:
             x_pos_g, origins_x = x_pos_late, origins_x_late
@@ -1239,8 +1332,8 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     return ChunkPrep(
         lvl=tuple(lvl_inputs), orgy_eff=orgy_eff, acts_l=tuple(acts_l),
         vmin=vmin_all, vmax=vmax_all, y_pos_t=y_pos.T, wy=wy_blocks,
-        xpos_t=(xpp.T if fold_x else None),
-        orgx=(orgx if fold_x else None),
+        xpos_t=(xpp.T if (fold_x or lattice_mids) else None),
+        orgx=(orgx if (fold_x or lattice_mids) else None),
         k0y=k0y_arr,
     )
 
@@ -1354,7 +1447,26 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     hi_lo = dot_precision == "hi_lo"
     fold = prep.xpos_t is not None
     dma = prep.k0y is not None
-    if fold:
+    lattice = fold and dma  # lattice_mids preps carry xpos AND k0y
+    nx_list = ()
+    if lattice:
+        fold = False
+        dma = False
+        fuse_mids = False
+        concat_levels = False
+        if ky_list is None:
+            raise ValueError("lattice_mids requires the static ky_list "
+                             "(_dma_layout)")
+        if len(prep.wy) > 0:
+            raise ValueError("lattice_mids is incompatible with "
+                             "hoisted tents")
+        per_lvl = n_channels + 1
+        n_levels = len(prep.lvl) // per_lvl
+        nx_list = tuple(
+            int(prep.lvl[li * per_lvl].shape[2])
+            for li in range(n_levels)
+        )
+    elif fold:
         fuse_mids = False
         concat_levels = False
         if len(prep.wy) > 0:
@@ -1371,7 +1483,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                              "tents")
         per_lvl = n_channels + 1
         n_levels = len(prep.lvl) // per_lvl
-    else:
+    elif not lattice:
         per_lvl = ((n_channels + 1) if not fuse_mids else 1) * (
             2 if hi_lo else 1)
         if concat_levels:
@@ -1398,7 +1510,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     # per-row-tile blocks (tent blocks / lattice mids, index-invariant
     # along the column sweep) load once per row tile instead of once
     # per step
-    if hoist or fold or dma:
+    if hoist or fold or dma or lattice:
         grid = (pl.cdiv(height, tr), pl.cdiv(width, tc))
 
         def imap_win(i, j):
@@ -1438,7 +1550,15 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
 
     # rebuild static layout + block specs from the prepared shapes
     lvl_specs = []
-    if dma:
+    if lattice:
+        # lattice blocks stay in HBM; the kernel issues its own
+        # (S, KY, nx) y-window copies once per row tile
+        ky_list = tuple(int(k) for k in ky_list)
+        windowed = (True,) * n_levels
+        lvl_specs.extend(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+            * (n_levels * per_lvl))
+    elif dma:
         # unwindowed mids stay in HBM; the kernel issues its own window
         # copies (dynamic row offsets from prep.k0y)
         ky_list = tuple(int(k) for k in ky_list)
@@ -1509,11 +1629,11 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                     jnp.asarray(t_stop_img, jnp.float32)]
         stop_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), None]
 
-    orgx_in = (prep.orgx if fold
+    orgx_in = (prep.orgx if (fold or lattice)
                else jnp.zeros((len(cell_widths),), jnp.float32))
     xpos_ins = []
     xpos_specs = []
-    if fold:
+    if fold or lattice:
         xpos_ins = [prep.xpos_t]
         xpos_specs = [pl.BlockSpec((tc, s_), imap_xpos,
                                    memory_space=pltpu.VMEM)]
@@ -1528,6 +1648,18 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             pltpu.VMEM((2, s_, ktot_dma, tc), prep.lvl[0].dtype)
             for _ in range(n_channels + 1)
         ] + [pltpu.SemaphoreType.DMA((2, n_channels + 1, n_levels))]
+    elif lattice:
+        # per-(component, level) scratch: levels keep their own lane
+        # counts (nx128), so no cross-level concatenation here — the
+        # first (x) contraction is per level anyway
+        k0y_ins = [prep.k0y]
+        k0y_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        scratch_shapes = [
+            pltpu.VMEM((2, s_, ky_list[li], nx_list[li]),
+                       prep.lvl[0].dtype)
+            for _ in range(n_channels + 1)
+            for li in range(n_levels)
+        ] + [pltpu.SemaphoreType.DMA((2, n_channels + 1, n_levels))]
 
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, tuple(ky_list), tuple(windowed), n_channels,
@@ -1538,14 +1670,17 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      fused=fuse_mids, hoist_wy=hoist,
                      concat=concat_levels,
                      static_cws=(tuple(float(c) for c in cell_widths)
-                                 if (concat_levels or fold or dma)
+                                 if (concat_levels or fold or dma
+                                     or lattice)
                                  else ()),
                      fold=fold,
-                     nx_list=(tuple(nx_list) if fold else ()),
+                     nx_list=(tuple(nx_list) if (fold or lattice)
+                              else ()),
                      knot_unroll=knot_unroll,
                      dma=dma,
+                     lattice=lattice,
                      grid_rc=((pl.cdiv(height, tr), pl.cdiv(width, tc))
-                              if dma else (0, 0)),
+                              if (dma or lattice) else (0, 0)),
                      dma_sync=bool(int(
                          os.environ.get("OWLEXA_DMA_SYNC", "0")))),
         grid=grid,
@@ -1598,6 +1733,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 fold_x: bool = False, x_geom=None,
                 late_x: bool = False, x_late=None,
                 dma_mids: bool = False,
+                lattice_mids: bool = False,
                 interpret: bool | None = None,
                 knot_unroll: int = 4):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
@@ -1627,13 +1763,14 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
         concat_levels=concat_levels, fold_x=fold_x, x_geom=x_geom,
         late_x=late_x, x_late=x_late, dma_mids=dma_mids,
+        lattice_mids=lattice_mids,
     )
     act_f, act_all_f = combine_activity(
         prep, live, luts, domains, cell_widths,
         adaptive_stride=adaptive_stride,
     )
     ky_list = None
-    if dma_mids:
+    if dma_mids or lattice_mids:
         ny_list = tuple(-(-m.shape[1] // 8) * 8 for _, m in mids)
         ky_list = _dma_layout(ny_list, ky_hints)
     elif concat_levels:

@@ -695,6 +695,21 @@ class SlabConfig:
     # Bit-identical output.  Ignored when fuse_mids / fold_x /
     # hoist_tents / late_x is set.
     dma_mids: bool = True
+    # lattice-block mids: fold_x's in-kernel x stage + dma_mids' window
+    # copies.  HBM keeps LATTICE-space z-resampled blocks (S, ny, nx)
+    # per (level, component) — ~W/nx x smaller than screen-width mids —
+    # and the kernel (a) DMAs each level's (S, KY, nx) y-window into
+    # per-level VMEM scratch ONCE per row tile (shared across the
+    # column sweep; fold_x instead re-streamed blocks through the
+    # BlockSpec pipeline), and (b) builds the x tents + first
+    # contraction (KY, nx) @ (nx, tc) in-kernel per (slab, column
+    # tile), which is tiny next to the y dot (fold_x's 4x loss was
+    # HIGHEST-precision x dots; hi_lo/high run 1-3 bf16 passes).  The
+    # screen-width mids — the orbit path's dominant HBM write+read
+    # traffic (PERFORMANCE.md note 23) — never exist.  Takes
+    # precedence over dma_mids; ignored when fuse_mids / fold_x /
+    # hoist_tents / late_x is set.
+    lattice_mids: bool = False
     # knots applied per iteration of the kernel's compressed
     # classification loop: the dynamic-trip-count fori pays scalar/branch
     # overhead per iteration comparable to one knot's 6-op vector body,
@@ -1064,9 +1079,12 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     # window-then-resample products (see SlabConfig.late_x); only the
     # non-fused megakernel layouts carry it
     late = cfg.late_x and not cfg.fold_x and not cfg.fuse_mids
-    # DMA-window mids (see SlabConfig.dma_mids)
-    dma = (cfg.dma_mids and not cfg.fold_x and not cfg.fuse_mids
+    # lattice-block mids (see SlabConfig.lattice_mids)
+    lat = (cfg.lattice_mids and not cfg.fold_x and not cfg.fuse_mids
            and not cfg.hoist_tents and not late)
+    # DMA-window mids (see SlabConfig.dma_mids)
+    dma = (cfg.dma_mids and not lat and not cfg.fold_x
+           and not cfg.fuse_mids and not cfg.hoist_tents and not late)
     if mega:
         # cap the chunk so the megakernel's mid blocks ((1+C) x S x KY x tc
         # floats, double-buffered by the pipeline) fit VMEM with headroom;
@@ -1081,7 +1099,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             ny8 = -(-m.shape[1] // 8) * 8
             if ky_hints is None:
                 return ny8
-            if dma:
+            if dma or lat:
                 return min(int(ky_hints[li]) + 8, ny8)
             ky = min(int(ky_hints[li]), ny8)
             return ky if 2 * ky <= ny8 else ny8
@@ -1093,9 +1111,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             (t for t in (512, 256, 128) if width % t == 0), 128
         )
         budget = 7 * 1024 * 1024
-        if cfg.fold_x:
-            # fold mode keeps whole lattice-x blocks VMEM-resident per
-            # slab: per level rows x (nx padded to the 128 lane)
+        if cfg.fold_x or lat:
+            # fold/lattice modes keep whole lattice-x blocks
+            # VMEM-resident per slab: per level rows x (nx padded to
+            # the 128 lane); lattice windows the rows DMA-style (+8)
             lanes_tot = sum(
                 rows_resident(li, m) * (-(-m.shape[2] // 128) * 128)
                 for li, m in enumerate(grids.masks)
@@ -1251,9 +1270,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                   else min(int(kx_hints[li]), nx))
             if kx is not None and 4 * kx > 3 * nx:
                 kx = None
-            if cfg.fold_x or late:
-                # lattice-space blocks: fold_x applies the x tent inside
-                # the kernel every (slab, row-tile, col-tile); late_x
+            if cfg.fold_x or lat or late:
+                # lattice-space blocks: fold_x/lattice_mids apply the x
+                # tent inside the kernel per (slab, col-tile); late_x
                 # applies it once in prepare_chunk, after the y-window
                 # slicing (window-then-resample)
                 orgs_x.append(org[2])
@@ -1360,7 +1379,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             gate = occ_s[li].any().astype(f32)
             mdt = jnp.bfloat16 if cfg.bf16_interp else f32
             use_kmid = False
-            if cfg.kernel_mids and not cfg.fold_x and not late:
+            if cfg.kernel_mids and not cfg.fold_x and not lat and not late:
                 from .pallas_mids import (
                     kernel_mids_vmem_bytes, xresample_mids,
                 )
@@ -1426,7 +1445,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                      jnp.maximum(r0[..., 1], r1[..., 1])], -1,
                 ))
             tf_cull = (vr_rows, grids.y_bin)
-        x_geom = (x_pos, orgs_x) if cfg.fold_x else None
+        x_geom = (x_pos, orgs_x) if (cfg.fold_x or lat) else None
         x_late = (x_entries, x_pos, orgs_x) if late else None
         return mids, orgs_y, cws_l, tf_cull, x_geom, x_late
 
@@ -1458,6 +1477,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 concat_levels=cfg.concat_levels,
                 fold_x=cfg.fold_x, x_geom=x_geom,
                 late_x=late, x_late=x_late, dma_mids=dma,
+                lattice_mids=lat,
             )
             per_chunk.append((prep, scale))
         return tuple(per_chunk)
@@ -1607,6 +1627,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     concat_levels=cfg.concat_levels,
                     fold_x=cfg.fold_x, x_geom=x_geom,
                     late_x=late, x_late=x_late, dma_mids=dma,
+                    lattice_mids=lat,
                     knot_unroll=cfg.knot_unroll,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
@@ -1724,7 +1745,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         cws_list = [float(1 << L) for L in grids.levels]
         domains_list = [fs.xf_domain[c] for c in range(cfg.num_channels)]
         kyl = None
-        if dma:
+        if dma or lat:
             from .pallas_sweep import _dma_layout
 
             ny_list = tuple(
@@ -2334,28 +2355,43 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         tr_, _ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
                          cfg.adaptive_stride)
         n_rt_ = -(-h_ // tr_)
-        dma_ = (cfg.dma_mids and not cfg.fold_x and not cfg.fuse_mids
-                and not cfg.hoist_tents and not cfg.late_x)
+        lat_ = (cfg.lattice_mids and not cfg.fold_x
+                and not cfg.fuse_mids and not cfg.hoist_tents
+                and not cfg.late_x)
+        dma_ = (cfg.dma_mids and not lat_ and not cfg.fold_x
+                and not cfg.fuse_mids and not cfg.hoist_tents
+                and not cfg.late_x)
         lay = []
         for li, m in enumerate(grids.masks):
             ny = -(-int(m.shape[1]) // 8) * 8
             ky = ny if hints is None else min(int(hints[li]), ny)
             lay.append((ky, ny, 2 * ky <= ny))
         any_win = any(w for _, _, w in lay)
-        rows_sum = 0
-        for ky, ny, win in lay:
-            if dma_:
-                # DMA-window preps store the plain unwindowed mids
-                rows_sum += ny
-            elif win:
-                rows_sum += n_rt_ * ky
-            elif cfg.concat_levels and any_win:
-                # concat broadcasts full levels to per-row-tile copies
-                rows_sum += n_rt_ * ny
-            else:
-                rows_sum += ny
         itemsize = 2 if cfg.bf16_interp else 4
-        est = ns_pad * rows_sum * w_ * itemsize * (1 + cfg.num_channels)
+        if lat_:
+            # lattice-block preps store (S, ny, nx128) per component —
+            # no screen-width mids at all
+            cells_sum = sum(
+                (-(-int(m.shape[1]) // 8) * 8)
+                * (-(-int(m.shape[2]) // 128) * 128)
+                for m in grids.masks
+            )
+            est = ns_pad * cells_sum * itemsize * (1 + cfg.num_channels)
+        else:
+            rows_sum = 0
+            for ky, ny, win in lay:
+                if dma_:
+                    # DMA-window preps store the plain unwindowed mids
+                    rows_sum += ny
+                elif win:
+                    rows_sum += n_rt_ * ky
+                elif cfg.concat_levels and any_win:
+                    # concat broadcasts full levels to per-row-tile copies
+                    rows_sum += n_rt_ * ny
+                else:
+                    rows_sum += ny
+            est = (ns_pad * rows_sum * w_ * itemsize
+                   * (1 + cfg.num_channels))
         if est > cfg.camera_cache_max_mb * 1e6:
             # record the decline so callers (bench.py) can label the
             # measurement honestly instead of assuming a cached pose

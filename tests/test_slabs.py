@@ -810,6 +810,61 @@ def test_kernel_mids_agrees(amr_fixture):
     np.testing.assert_array_equal(first, live)
 
 
+def test_lattice_mids_agrees(amr_fixture):
+    """Lattice-block mids (SlabConfig.lattice_mids): HBM keeps
+    z-resampled lattice blocks, the kernel DMAs per-row-tile y-windows
+    and runs the x tents + first contraction in-kernel (fold_x's math +
+    dma_mids' copies).  Same tent semantics as the einsum path, so
+    output agrees to f32 rounding at "highest" (sum order inside the
+    dots differs) and to ~1e-3 under the in-register hi_lo splits; the
+    cached-products path reproduces the live path bit-for-bit."""
+    from owlexabrick_tpu.render.slabs import render_slabs
+
+    text = (
+        "0 0 0 16 16 16 0 0 1 2 3 4 5 6 7\n"
+        "0 0 16 8 8 8 1 3 4 5 6 3 4 5 6\n"
+    )
+    scene, bricks, grids = _build(amr_fixture, text)
+    cam = Camera.look_at([8.0, 8.0, 80.0], [8.0, 8.0, 16.0], [0, 1, 0],
+                         10.0, 32, 32)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=0.7, opacity_scale=0.8)
+    extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    pos, dir00, du, dv = permute_camera(cam, 2)
+    f = jax.jit(
+        render_slabs,
+        static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints"),
+    )
+    cargs = (jnp.asarray(pos), jnp.asarray(dir00), jnp.asarray(du),
+             jnp.asarray(dv), 32, 32)
+    for stride in (True, False):
+        for prec, tol in (("highest", 5e-5), ("hi_lo", 2e-3)):
+            cfg0 = SlabConfig(
+                num_channels=1, nslabs=int(np.ceil(extent / 0.7)),
+                tile_rows=8, flip=True, adaptive_stride=stride,
+                dot_precision=prec,
+            )
+            base = np.asarray(f(
+                grids, fs, dataclasses.replace(cfg0, lattice_mids=False),
+                *cargs, ky_hints=(8, 8), kx_hints=(8, 8)))
+            assert base[:, 3].max() > 0.2
+            latt = np.asarray(f(
+                grids, fs, dataclasses.replace(cfg0, lattice_mids=True),
+                *cargs, ky_hints=(8, 8), kx_hints=(8, 8)))
+            np.testing.assert_allclose(latt, base, atol=tol)
+
+    # cached-products path: prepared lattice blocks reproduce the live
+    # path bit-for-bit (both run the same kernel on the same blocks)
+    cfg = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                     extent_z=extent, adaptive_stride=True,
+                     lattice_mids=True)
+    cache = {}
+    first = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24,
+                                           camera_cache=cache))
+    assert "key" in cache and cache["products"] is not None
+    live = np.asarray(render_slabs_camera(grids, fs, cfg, cam, 24, 24))
+    np.testing.assert_array_equal(first, live)
+
+
 def test_banded_reuse_cache(amr_fixture):
     """Interactive banded mode: per-band host grids are scattered once
     and cached — the second frame pays only upload + render, and the
