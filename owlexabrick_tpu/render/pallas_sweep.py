@@ -1661,6 +1661,16 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             for li in range(n_levels)
         ] + [pltpu.SemaphoreType.DMA((2, n_channels + 1, n_levels))]
 
+    # Lattice mode keeps whole (S, KY, nx) level blocks double-buffered
+    # in scratch plus per-slab x-tent/p_cat temps, which overflows
+    # Mosaic's default 16 MB scoped-vmem stack at useful chunk depths
+    # (measured 18.1 MB at 9 slabs / 256^3).  v5e/v5p carry 128 MB of
+    # VMEM; raise the scoped limit for this layout rather than starving
+    # the chunk (shallow chunks re-pay the fixed per-launch cost).
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        if lattice else None
+    )
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, tuple(ky_list), tuple(windowed), n_channels,
                      n_texels=n if knots is not None else 0,
@@ -1707,6 +1717,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             *([stop_specs[0], tile2] if stop_ins else []),
         ],
         out_specs=(tile2, tile2, tile2, tile2),
+        compiler_params=compiler_params,
         out_shape=tuple(
             jax.ShapeDtypeStruct((height, width), jnp.float32)
             for _ in range(4)

@@ -1114,12 +1114,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         if cfg.fold_x or lat:
             # fold/lattice modes keep whole lattice-x blocks
             # VMEM-resident per slab: per level rows x (nx padded to
-            # the 128 lane); lattice windows the rows DMA-style (+8)
+            # the 128 lane); lattice windows the rows DMA-style (+8).
+            # Lattice's in-kernel temps (per-slab x tents, p_cat, wy)
+            # also scale with the chunk (~2 MB/slab total scoped vmem
+            # measured at 256^3), so the kernel raises Mosaic's scoped
+            # limit to 64 MB (pallas_sweep) and the chunk budget here
+            # only bounds the double-buffered block scratch.
             lanes_tot = sum(
                 rows_resident(li, m) * (-(-m.shape[2] // 128) * 128)
                 for li, m in enumerate(grids.masks)
             )
             per_slab_bytes = (1 + cfg.num_channels) * lanes_tot * 4
+            if lat:
+                budget = 20 * 1024 * 1024
         else:
             per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
         if cfg.hoist_tents:
