@@ -356,6 +356,12 @@ def main():
         # Prior-session full evidence: SCALE_RUN_r03.md.
         n_est = int(os.environ.get("BENCH_SCALE_N", 1024))
         est_s = 4.6e9 * (n_est / 1024.0) ** 3 / 3.5e6 + 300.0
+        if not os.path.exists(
+            os.path.join(".bench_cache", f"scale_{n_est}_2.pkl")
+        ):
+            # cold build: ~2800 s of 1-vCPU host work at 1024^3
+            # (SCALE_RUN_r03.md build table), scaling ~n^3
+            est_s += 2800.0 * (n_est / 1024.0) ** 3
         remaining = budget_s - (time.time() - t_start)
         if remaining < est_s:
             print(f"# scale1024 skipped: est {est_s:.0f}s upload+render"
