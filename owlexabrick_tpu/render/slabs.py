@@ -1208,6 +1208,16 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             qz = z_s / cw - org[0] - 0.5
             if cfg.z_twotap:
                 wz, vol_z = None, None
+                # window the taps exactly like the einsum path windows
+                # its contraction: jnp.take against the FULL level
+                # volume makes XLA treat every chunk as a gather over
+                # the whole array (measured 10x at the 1024^3 scale
+                # scene: 0.30 vs 3.22 FPS with the taps windowed /
+                # einsum'd), while a dynamic_slice window bounds the
+                # reads to the ~kz planes the chunk can touch.
+                kz_w = z_window(li)
+                k_lo_z = (None if kz_w is None else jnp.clip(
+                    jnp.floor(qz.min()).astype(jnp.int32), 0, nz - kz_w))
             else:
                 wz_fn, vol_z, _kz = z_weights_slice(qz, li)
                 wz = wz_fn()  # (S, nz or KZ)
@@ -1368,12 +1378,34 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 wz1 = jnp.where(
                     (k0z + 1 >= 0) & (k0z + 1 < nz), frz, 0.0
                 )[:, None, None]
-                i0z = jnp.clip(k0z, 0, nz - 1)
-                i1z = jnp.clip(k0z + 1, 0, nz - 1)
+                if k_lo_z is None:
+                    i0z = jnp.clip(k0z, 0, nz - 1)
+                    i1z = jnp.clip(k0z + 1, 0, nz - 1)
 
-                def zres(vol):
-                    return (wz0 * jnp.take(vol, i0z, axis=0)
-                            + wz1 * jnp.take(vol, i1z, axis=0))
+                    def zres(vol):
+                        return (wz0 * jnp.take(vol, i0z, axis=0)
+                                + wz1 * jnp.take(vol, i1z, axis=0))
+                else:
+                    # tap indices relative to the chunk's z window
+                    # (z_window sizes kz so every in-volume tap of this
+                    # chunk fits; the masks below drop out-of-window
+                    # taps exactly as the windowed tent matrix would)
+                    r0 = k0z - k_lo_z
+                    r1 = r0 + 1
+                    wz0 = jnp.where(
+                        ((r0 >= 0) & (r0 < kz_w))[:, None, None],
+                        wz0, 0.0)
+                    wz1 = jnp.where(
+                        ((r1 >= 0) & (r1 < kz_w))[:, None, None],
+                        wz1, 0.0)
+                    i0z = jnp.clip(r0, 0, kz_w - 1)
+                    i1z = jnp.clip(r1, 0, kz_w - 1)
+
+                    def zres(vol):
+                        vw = lax.dynamic_slice_in_dim(
+                            vol, k_lo_z, kz_w, axis=0)
+                        return (wz0 * jnp.take(vw, i0z, axis=0)
+                                + wz1 * jnp.take(vw, i1z, axis=0))
             else:
                 def zres(vol, wz=wz, vol_z=vol_z, prec=prec):
                     return jnp.einsum("sz,zyx->syx", wz, vol_z(vol),
