@@ -372,7 +372,7 @@ def main():
                 name="scale1024", skipped="budget",
                 evidence="SCALE_RUN_r03.md",
                 prior_session=dict(
-                    fps=2.26, fps_iqr=0.0, n_cells=63544167,
+                    fps=3.50, fps_iqr=0.0, n_cells=63544167,
                     n_bricks=369716, grid_gb=4.42, hbm_resident=True),
             ))
     if "scale1024" in rows_wanted and not (
