@@ -132,19 +132,25 @@ def _emit(state):
         "metric": state.get("metric", "dvr_fps_1080p_synthetic64"),
         "value": round(fps, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3),
         "rows": state["rows"],
     }
     # rounds 1-2 recorded the per-frame-recompute rate under this
     # metric; since round 3 `value` is the static-pose rate (camera
     # products cached — the same 50 identical protocol frames, less
-    # redundant work).  value_orbit is the round-1/2-comparable number.
+    # redundant work).  value_orbit is the round-1/2-comparable number,
+    # so vs_baseline (the continuous driver series) derives from IT;
+    # vs_baseline_cached tracks the cached-pose value.
     if head.get("fps_orbit") is not None:
         out["value_orbit"] = head["fps_orbit"]
+        out["vs_baseline"] = round(head["fps_orbit"] / 30.0, 3)
+        out["vs_baseline_cached"] = round(fps / 30.0, 3)
         out["metric_note"] = (
             "value = static-pose (cached camera products); "
-            "value_orbit = per-frame recompute, comparable to r01/r02"
+            "value_orbit = per-frame recompute, comparable to r01/r02; "
+            "vs_baseline follows value_orbit (continuous series)"
         )
+    else:
+        out["vs_baseline"] = round(fps / 30.0, 3)
     if state.get("platform"):
         out["platform"] = state["platform"]
     print(json.dumps(out), flush=True)
@@ -225,10 +231,24 @@ def main():
         "blobs256": ("blobs", 256),
         "exajet256": ("exajet", 256),
     }
-    for name in rows_wanted:
-        if name not in specs:
+
+    def small_rows(subset=None):
+      nonlocal headline, screenshot_frame
+      for name in rows_wanted:
+        if name not in specs or (subset is not None and name not in subset):
             continue
         kind, n = specs[name]
+        # adaptive reps: never let the small rows starve the budget —
+        # a late row runs fewer repetitions instead of pushing the
+        # whole bench past the deadline (VERDICT r03 weak #1)
+        remaining = budget_s - (time.time() - t_start)
+        if remaining < 120:
+            rows.append(dict(name=name, skipped="budget",
+                             remaining_s=round(remaining)))
+            print(f"# {name} skipped: {remaining:.0f}s left",
+                  file=sys.stderr, flush=True)
+            continue
+        reps_eff = reps if remaining > 900 else max(1, reps - 3)
         try:
             grids, meta = _scene_grids(kind, n)
             cam, fs, cfg = _cam_fs_cfg(
@@ -244,7 +264,7 @@ def main():
             med_orbit, iqr_orbit, vals_orbit = _sustained(
                 lambda: render_slabs_camera(
                     grids, fs, cfg, cam, width, height),
-                frames, reps,
+                frames, reps_eff,
             )
             # static-pose rate: per-chunk camera products cached once
             # per pose (what progressive accumulation / TF editing at a
@@ -260,7 +280,7 @@ def main():
                 lambda: render_slabs_camera(
                     grids, fs, cfg, cam, width, height,
                     camera_cache=cache),
-                frames, reps,
+                frames, reps_eff,
             )
             # warm pose switch: with compiles warm, moving the camera
             # and re-rendering through the same cache (products
@@ -349,19 +369,19 @@ def main():
             rows.append(dict(name=name, error=str(e)[:200]))
 
     # ---- reference-scale row -----------------------------------------
-    if "scale1024" in rows_wanted:
+    def scale_row():
         # the dev tunnel uploads the ~4.4 GB grids at ~3.5 MB/s; skip
         # the row (recording why) when the remaining budget cannot fit
         # it, so a harness timeout never swallows the finished rows.
         # Prior-session full evidence: SCALE_RUN_r03.md.
-        n_est = int(os.environ.get("BENCH_SCALE_N", 1024))
-        est_s = 4.6e9 * (n_est / 1024.0) ** 3 / 3.5e6 + 300.0
+        n = int(os.environ.get("BENCH_SCALE_N", 1024))
+        est_s = 4.6e9 * (n / 1024.0) ** 3 / 3.5e6 + 300.0
         if not os.path.exists(
-            os.path.join(".bench_cache", f"scale_{n_est}_2.pkl")
+            os.path.join(".bench_cache", f"scale_{n}_2.pkl")
         ):
             # cold build: ~2800 s of 1-vCPU host work at 1024^3
             # (SCALE_RUN_r03.md build table), scaling ~n^3
-            est_s += 2800.0 * (n_est / 1024.0) ** 3
+            est_s += 2800.0 * (n / 1024.0) ** 3
         remaining = budget_s - (time.time() - t_start)
         if remaining < est_s:
             print(f"# scale1024 skipped: est {est_s:.0f}s upload+render"
@@ -375,16 +395,20 @@ def main():
                     fps=3.50, fps_iqr=0.0, n_cells=63544167,
                     n_bricks=369716, grid_gb=4.42, hbm_resident=True),
             ))
-    if "scale1024" in rows_wanted and not (
-        rows and rows[-1].get("skipped")
-    ):
+            return
+        # the provisional row goes in BEFORE the load: a harness kill at
+        # any stage still records how far the row got instead of nothing
+        # (VERDICT r03 missing #1 — the r03 kill landed mid-load and the
+        # emitted JSON had no scale row at all)
+        row = dict(name="scale1024",
+                   status="in_progress: loading scene cache")
+        rows.append(row)
         try:
             from owlexabrick_tpu.bench_scene import (
                 load_or_build_scale_scene,
             )
             from owlexabrick_tpu.render.slabs import render_slabs_banded
 
-            n = int(os.environ.get("BENCH_SCALE_N", 1024))
             bricks, scalars, grids_host, meta = load_or_build_scale_scene(
                 n, 2)
             print(f"# scale1024: {meta['n_cells']/1e6:.1f}M cells, "
@@ -392,10 +416,13 @@ def main():
                   f"{meta['grid_bytes']/1e9:.2f} GB "
                   f"({meta.get('cache_load_s', 'cold build')}s load)",
                   file=sys.stderr, flush=True)
+            row["status"] = "in_progress: uploading grids"
             t0 = time.time()
             grids = jax.tree.map(jnp.asarray, grids_host)
             np.asarray(grids.zranges[:1])
             upload_s = time.time() - t0
+            row["status"] = "in_progress: compiling"
+            row["upload_s"] = round(upload_s, 1)
             cam, fs, cfg = _cam_fs_cfg(
                 grids, n, width, height, meta["value_max"], stride)
             t0 = time.time()
@@ -404,6 +431,7 @@ def main():
                                     camera_cache=scache)
             np.asarray(r[:4])
             compile_s = time.time() - t0
+            row["status"] = "in_progress: measuring"
             sframes = min(frames, 10)
             med, iqr, vals = _sustained(
                 lambda: render_slabs_camera(
@@ -411,22 +439,32 @@ def main():
                     camera_cache=scache),
                 sframes, max(2, reps - 2),
             )
-            row = dict(
-                name="scale1024", scene=f"exajet2w{n}",
+            row.update(
+                scene=f"exajet2w{n}",
                 fps=round(med, 2), fps_iqr=round(iqr, 2), reps=vals,
-                # the product cache declines at this scale (the stacked
-                # mids exceed camera_cache_max_mb), so unlike the other
-                # rows this fps is the per-frame-recompute rate
+                # whether the (tiered) product cache engaged at this
+                # scale; when it declined, fps is the per-frame-recompute
+                # rate
                 cached_pose=("key" in scache) or scache.get(
                     "declined", "not engaged"),
                 mray_s=round(med * width * height / 1e6, 1),
                 nslabs=cfg.nslabs, compile_s=round(compile_s, 1),
-                upload_s=round(upload_s, 1),
                 hbm_peak_mb=_hbm_peak_mb(), **meta,
             )
             print(f"# scale1024 resident: {med:.2f} FPS (IQR {iqr:.2f}, "
                   f"reps {vals}), {row['nslabs']} slabs, peak HBM "
                   f"{row['hbm_peak_mb']} MB, upload {upload_s:.1f}s",
+                  file=sys.stderr, flush=True)
+            # moving-camera rate (per-frame product recompute), a short
+            # batch — at ~3-5 FPS each frame is ~0.2-0.3 s
+            med_o, iqr_o, vals_o = _sustained(
+                lambda: render_slabs_camera(
+                    grids, fs, cfg, cam, width, height),
+                min(frames, 6), 2,
+            )
+            row.update(fps_orbit=round(med_o, 2),
+                       fps_orbit_iqr=round(iqr_o, 2), reps_orbit=vals_o)
+            print(f"# scale1024 orbit: {med_o:.2f} FPS (IQR {iqr_o:.2f})",
                   file=sys.stderr, flush=True)
 
             # banded-streaming proof: the same frame via out-of-core
@@ -468,14 +506,35 @@ def main():
                     row["banded_steady_s"] = round(steady_s, 1)
                     print(f"# scale1024 banded steady: {steady_s:.1f}s "
                           f"(upload+render)", file=sys.stderr, flush=True)
-            rows.append(row)
+            row["status"] = "complete"
+            # free the ~4.4 GB of device grids (and the cached products)
+            # before the following rows allocate theirs
+            del grids, scache, r
         except Exception as e:  # pragma: no cover
             import traceback
 
             traceback.print_exc()
             print(f"# row scale1024 failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
-            rows.append(dict(name="scale1024", error=str(e)[:200]))
+            row["error"] = str(e)[:200]
+
+    # ---- row order: the scale row is the flagship capability claim;
+    # when its scene cache exists it runs right after the fast headline
+    # row so a harness deadline cannot swallow it (VERDICT r03 task 1).
+    # A cold build (~47 min of host work) would starve everything, so
+    # uncached runs keep the old small-rows-first order.
+    n_scale = int(os.environ.get("BENCH_SCALE_N", 1024))
+    want_scale = "scale1024" in rows_wanted
+    scale_cached = os.path.exists(
+        os.path.join(".bench_cache", f"scale_{n_scale}_2.pkl"))
+    if want_scale and scale_cached:
+        small_rows(subset=["headline"])
+        scale_row()
+        small_rows(subset=["blobs256", "exajet256"])
+    else:
+        small_rows()
+        if want_scale:
+            scale_row()
 
     # ---- screenshot (bench_screenshot, viewer.cpp:297-339) ------------
     if screenshot_frame is not None:
