@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core.constants import (
     NUM_XF_VALUES,
+    EMPTY_CELL_POISON_VALUE,
     REGION_ADVANCE_EPS,
     TERMINATION_THRESHOLD,
 )
@@ -47,8 +48,14 @@ def lookup_xf_scalar(lut: np.ndarray, lo: float, hi: float,
 
 
 def add_basis_functions(scene, brick_id: int, pos: np.ndarray, channel: int,
-                        need_derivative: bool = False):
-    """Returns (sum_weighted_values, sum_weights, sum_derivs, sum_deriv_coeffs)."""
+                        need_derivative: bool = False,
+                        allow_empty_cells: bool = False):
+    """Returns (sum_weighted_values, sum_weights, sum_derivs, sum_deriv_coeffs).
+
+    ``allow_empty_cells``: ALLOW_EMPTY_CELLS parity (CMakeLists.txt:73,
+    OFF by default like the reference) — corners whose scalar equals
+    EMPTY_CELL_POISON_VALUE contribute neither weight nor value
+    (notEmptyCell, exabrick.cu:614-618)."""
     lower = scene.brick_lower[brick_id]
     size = scene.brick_size[brick_id]
     cw = float(scene.brick_cell_width[brick_id])
@@ -81,6 +88,12 @@ def add_basis_functions(scene, brick_id: int, pos: np.ndarray, channel: int,
                 s = float(
                     scene.scalars[channel, begin + ix + size[0] * (iy + size[1] * iz)]
                 )
+                # scalars are stored float32: compare at f32 precision
+                # (the reference's compare is float == float)
+                if allow_empty_cells and np.float32(s) == np.float32(
+                    EMPTY_CELL_POISON_VALUE
+                ):
+                    continue
                 w = wz * wy * wx
                 sw += w
                 swv += w * s
@@ -109,7 +122,8 @@ def sample_point_nearest(scene, region_id: int, pos: np.ndarray, channel: int):
     return True, float(scene.scalars[channel, lin])
 
 
-def sample_point(scene, region_id: int, pos: np.ndarray, channel: int):
+def sample_point(scene, region_id: int, pos: np.ndarray, channel: int,
+                 allow_empty_cells: bool = False):
     """Basis-weighted sample over the region's brick list; returns
     (ok, value)."""
     swv = 0.0
@@ -117,7 +131,9 @@ def sample_point(scene, region_id: int, pos: np.ndarray, channel: int):
     for b in scene.region_bricks[region_id]:
         if b < 0:
             continue
-        v, w, _, _ = add_basis_functions(scene, int(b), pos, channel)
+        v, w, _, _ = add_basis_functions(
+            scene, int(b), pos, channel,
+            allow_empty_cells=allow_empty_cells)
         swv += v
         sw += w
     if sw <= 1e-20:
@@ -126,7 +142,8 @@ def sample_point(scene, region_id: int, pos: np.ndarray, channel: int):
 
 
 def sample_point_with_derivative(scene, region_id: int, pos: np.ndarray,
-                                 channel: int):
+                                 channel: int,
+                                 allow_empty_cells: bool = False):
     swv = 0.0
     sw = 0.0
     sd = np.zeros(3)
@@ -134,7 +151,9 @@ def sample_point_with_derivative(scene, region_id: int, pos: np.ndarray,
     for b in scene.region_bricks[region_id]:
         if b < 0:
             continue
-        v, w, d, dc = add_basis_functions(scene, int(b), pos, channel, True)
+        v, w, d, dc = add_basis_functions(
+            scene, int(b), pos, channel, True,
+            allow_empty_cells=allow_empty_cells)
         swv += v
         sw += w
         sd += d
@@ -159,7 +178,7 @@ def locate_region_point(scene, pos: np.ndarray) -> int:
 
 def gradient_cd(scene, pos: np.ndarray, channel: int, delta: float,
                 basis_method: bool = True, active_check=None,
-                fixed_region: int = -1):
+                fixed_region: int = -1, allow_empty_cells: bool = False):
     """Central differences (gradientCD, exabrick.cu:832-880): per-offset
     relocation by default; ``fixed_region`` >= 0 keeps samples in the
     caller's region (FAST_CENTRAL_DIFFERENCES=ON, exabrick.cu:850-852).
@@ -179,8 +198,12 @@ def gradient_cd(scene, pos: np.ndarray, channel: int, delta: float,
                         and not active_check(rid):
                     rid = -1
             if rid >= 0:
-                fn = sample_point if basis_method else sample_point_nearest
-                ok, v = fn(scene, rid, q, channel)
+                if basis_method:
+                    ok, v = sample_point(
+                        scene, rid, q, channel,
+                        allow_empty_cells=allow_empty_cells)
+                else:
+                    ok, v = sample_point_nearest(scene, rid, q, channel)
                 if ok:
                     s[j] = v
         g[i] = s[1] - s[0]
@@ -225,7 +248,8 @@ def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
                     o, d, region_id: int, t0: float, t1: float,
                     num_channels: int, gradient_shading: bool,
                     basis_method: bool = True,
-                    analytic_gradients: bool = True):
+                    analytic_gradients: bool = True,
+                    allow_empty_cells: bool = False):
     """Front-to-back march of one region interval (exabrick.cu:1116-1185,
     PROPER_DISTANCE_IN_OPACITY_CORRECTION path)."""
     global_dt = float(fs.dt)
@@ -259,16 +283,21 @@ def integrate_brick(scene, fs, pixel_color: np.ndarray, offset: float,
                 else:
                     grad = np.zeros(3)
             elif gradient_shading and not analytic_gradients:
-                ok, value = sample_point(scene, region_id, pos, c)
+                ok, value = sample_point(
+                    scene, region_id, pos, c,
+                    allow_empty_cells=allow_empty_cells)
                 # delta = (finestLevelCellWidth+1)/2 (exabrick.cu:924)
                 grad = gradient_cd(scene, pos, c, (finest_cw + 1.0) * 0.5,
                                    True, act)
             elif gradient_shading:
                 ok, value, grad = sample_point_with_derivative(
-                    scene, region_id, pos, c
+                    scene, region_id, pos, c,
+                    allow_empty_cells=allow_empty_cells,
                 )
             else:
-                ok, value = sample_point(scene, region_id, pos, c)
+                ok, value = sample_point(
+                    scene, region_id, pos, c,
+                    allow_empty_cells=allow_empty_cells)
                 grad = np.zeros(3)
             if ok and actual_dt != 0.0:
                 sample = lookup_xf_scalar(
@@ -318,7 +347,8 @@ def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
                   space_skipping: bool = True,
                   gradient_shading: bool = False,
                   basis_method: bool = True,
-                  analytic_gradients: bool = True) -> np.ndarray:
+                  analytic_gradients: bool = True,
+                  allow_empty_cells: bool = False) -> np.ndarray:
     """Full DVR path of one ray (raygen main loop, exabrick.cu:1662-1699).
     Returns accumulated RGBA (premultiplied by nothing; .w is opacity)."""
     m = np.asarray(scene.voxel_from_world, np.float64)
@@ -339,7 +369,7 @@ def trace_dvr_ray(scene, fs, o_world, d_world, num_channels: int = 1,
         integrate_brick(
             scene, fs, pixel_color, offset, o, d, rid, t0, t1,
             num_channels, gradient_shading, basis_method,
-            analytic_gradients,
+            analytic_gradients, allow_empty_cells,
         )
         if pixel_color[3] >= TERMINATION_THRESHOLD:
             pixel_color = np.array(

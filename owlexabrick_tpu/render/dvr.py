@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.constants import (
+    EMPTY_CELL_POISON_VALUE,
     REGION_ADVANCE_EPS,
     TERMINATION_THRESHOLD,
 )
@@ -75,6 +76,11 @@ class RenderConfig:
     # exabrick.cu:832-880) with per-offset leaf relocation.  Non-basis
     # sampling always uses central differences (exabrick.cu:930-940).
     analytic_gradients: bool = True
+    # ALLOW_EMPTY_CELLS parity (CMakeLists.txt:73, default OFF): cells
+    # whose scalar equals EMPTY_CELL_POISON_VALUE are skipped in the
+    # basis sum (notEmptyCell, exabrick.cu:614-618); pass the same flag
+    # to build_level_grids for the slab fast path
+    allow_empty_cells: bool = False
     # FAST_CENTRAL_DIFFERENCES parity (CMakeLists.txt:80-82, default OFF):
     # in CD mode, keep offset samples in the current region instead of
     # relocating (exabrick.cu:850-852)
@@ -134,10 +140,16 @@ def ray_box(o, d, lo, hi, tmin, tmax):
 # basis-function sampling (vectorized addBasisFunctions, exabrick.cu:620-816)
 # ----------------------------------------------------------------------------
 
-def sample_basis(scene, rid, pos, channel: int, need_grad: bool = False):
+def sample_basis(scene, rid, pos, channel: int, need_grad: bool = False,
+                 allow_empty: bool = False):
     """Sample the basis-weighted field at (P,3) points lying in regions
     (P,) rid.  Returns (ok, value[, grad]) with grad the quotient-rule
-    numerator (exabrick.cu:916-921)."""
+    numerator (exabrick.cu:916-921).
+
+    ``allow_empty``: ALLOW_EMPTY_CELLS parity — corners whose scalar
+    equals EMPTY_CELL_POISON_VALUE contribute neither weight nor value
+    (notEmptyCell, exabrick.cu:614-618); a static flag, so the compare
+    is stripped entirely when off."""
     bids = scene.region_bricks[rid]  # (P, K)
     valid_b = bids >= 0
     b = jnp.clip(bids, 0, None)
@@ -166,6 +178,8 @@ def sample_basis(scene, rid, pos, channel: int, need_grad: bool = False):
     )
     s = scene.scalars[channel][lin]  # (P, K, 8) gather
 
+    if allow_empty:
+        live = live & (s != EMPTY_CELL_POISON_VALUE)
     w = jnp.where(live, w, 0.0)
     sw = w.sum((-1, -2))
     swv = (w * s).sum((-1, -2))
@@ -204,7 +218,7 @@ def sample_nearest(scene, rid, pos, channel: int):
 
 
 def gradient_cd(scene, pos, channel: int, delta, basis_method: bool = True,
-                act_mask=None, fixed_rid=None):
+                act_mask=None, fixed_rid=None, allow_empty: bool = False):
     """Central-difference gradient (gradientCD, exabrick.cu:832-880).
 
     Default: per-offset leaf relocation (FAST_CENTRAL_DIFFERENCES=OFF).
@@ -233,7 +247,8 @@ def gradient_cd(scene, pos, channel: int, delta, basis_method: bool = True,
         if act_mask is not None:
             inside = inside & act_mask[rc]
     if basis_method:
-        ok, v = sample_basis(scene, rc, qf, channel)
+        ok, v = sample_basis(scene, rc, qf, channel,
+                             allow_empty=allow_empty)
     else:
         ok, v = sample_nearest(scene, rc, qf, channel)
     v = jnp.where(inside & ok, v, 0.0).reshape(6, p)
@@ -302,15 +317,20 @@ def _march_region(scene, fs, cfg, o, d, rid, active, t0, t1, offset, rgba,
                 else:
                     grad = None
             elif cfg.gradient_shading_dvr and not cfg.analytic_gradients:
-                ok, value = sample_basis(scene, rid, pos, c)
+                ok, value = sample_basis(scene, rid, pos, c,
+                                         allow_empty=cfg.allow_empty_cells)
                 # delta=(finestLevelCellWidth+1)/2 (exabrick.cu:924)
                 frid = rid if cfg.fast_central_differences else None
                 grad = gradient_cd(scene, pos, c, (finest_cw + 1.0) * 0.5,
-                                   True, act_mask, frid)
+                                   True, act_mask, frid,
+                                   allow_empty=cfg.allow_empty_cells)
             elif cfg.gradient_shading_dvr:
-                ok, value, grad = sample_basis(scene, rid, pos, c, True)
+                ok, value, grad = sample_basis(
+                    scene, rid, pos, c, True,
+                    allow_empty=cfg.allow_empty_cells)
             else:
-                ok, value = sample_basis(scene, rid, pos, c)
+                ok, value = sample_basis(scene, rid, pos, c,
+                                         allow_empty=cfg.allow_empty_cells)
                 grad = None
             sample = lookup_xf(
                 fs.xf_lut[c], fs.xf_domain[c], fs.xf_opacity_scale, value

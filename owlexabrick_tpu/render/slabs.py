@@ -51,7 +51,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.constants import NUM_XF_VALUES, TERMINATION_THRESHOLD
+from ..core.constants import (
+    EMPTY_CELL_POISON_VALUE,
+    NUM_XF_VALUES,
+    TERMINATION_THRESHOLD,
+)
 from ..core.types import Bricks, _pytree_dataclass
 
 Array = Any
@@ -126,11 +130,21 @@ def _compute_zranges(levels, vals, masks, origins, lo_p, hi_p):
 
 def build_level_grids(
     bricks: Bricks, scalars: np.ndarray, axis: int = 2,
-    device: bool = True,
+    device: bool = True, allow_empty_cells: bool = False,
 ) -> LevelGrids:
     """Scatter bricks into dense per-level grids (host-side, offline).
     ``device=False`` keeps the arrays as numpy (for host-side consumers
-    like the AO lattice — avoids TPU-tunnel round trips)."""
+    like the AO lattice — avoids TPU-tunnel round trips).
+
+    ``allow_empty_cells``: ALLOW_EMPTY_CELLS parity (CMakeLists.txt:73;
+    poison skip in the basis sum, exabrick.cu:614-618): cells whose
+    scalars equal EMPTY_CELL_POISON_VALUE in every channel get mask 0
+    (zero basis weight — the slab sweep's Σw then excludes them exactly
+    like the reference's notEmptyCell skip) and value 0 (so the poison
+    magnitude never enters the interpolation matmuls).  Cells poisoned
+    in only SOME channels are not representable by the shared-mask fast
+    path — use the exact wavefront path (RenderConfig.allow_empty_cells)
+    for such data."""
     scalars = np.asarray(scalars, np.float32)
     if scalars.ndim == 1:
         scalars = scalars[None]
@@ -179,8 +193,17 @@ def build_level_grids(
             sl = tuple(
                 slice(start[p], start[p] + size[p]) for p in perm
             )
-            v[(slice(None), *sl)] = np.transpose(blk, (0, 1 + perm[0], 1 + perm[1], 1 + perm[2]))
-            m[sl] = 1.0
+            blk_p = np.transpose(blk, (0, 1 + perm[0], 1 + perm[1], 1 + perm[2]))
+            if allow_empty_cells:
+                # f32 compare: numpy would upcast the f64 constant
+                hole = (blk_p == np.float32(EMPTY_CELL_POISON_VALUE)
+                        ).all(axis=0)
+                blk_p = np.where(hole[None], 0.0, blk_p)
+                v[(slice(None), *sl)] = blk_p
+                m[sl] = np.where(hole, 0.0, 1.0)
+            else:
+                v[(slice(None), *sl)] = blk_p
+                m[sl] = 1.0
         vals.append(v)
         masks.append(m)
         origins.append(np.asarray([org[p] for p in perm], np.float32))
