@@ -95,8 +95,19 @@ def read_bricks(path: str) -> Tuple[Bricks, np.ndarray]:
         raise ValueError(f"{path}: empty bricks file")
     cell_ids = np.concatenate(id_chunks) if id_chunks else np.zeros(0, np.int32)
     total = cell_ids.size
-    if cell_ids.size and (cell_ids.min() < 0 or cell_ids.max() >= total):
+    # reference sanity asserts (exa/ExaBricks.cpp:43-52): IDs must be
+    # non-negative (-1 is the ALLOW_EMPTY_CELLS empty-cell sentinel, cpp:46)
+    if cell_ids.size and cell_ids.min() < -1:
         raise ValueError(f"{path}: cellID out of range [0, {total})")
+    if cell_ids.size and cell_ids.max() >= total:
+        # legitimate after the builder's duplicate removal (finer level
+        # wins, builder.cpp:301-351): surviving IDs still index the
+        # ORIGINAL .cells/.scalars order, which is larger than the
+        # deduped brick total.  The reference's assert is debug-only and
+        # would trip here too; the real bound is the scalar file length,
+        # checked at gather time (gather_scalars).
+        print(f"#exa: note: {path} max cellID {cell_ids.max()} >= "
+              f"brick total {total} (deduplicated scene)")
     bricks = Bricks(
         lower=np.stack(lowers).astype(np.int32),
         size=np.stack(sizes).astype(np.int32),

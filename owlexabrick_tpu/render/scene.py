@@ -8,6 +8,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..core.constants import EMPTY_CELL_POISON_VALUE
 from ..core.types import Bricks, Regions, RegionTree, ScalarField, Scene
 from ..io.config import Config
 from ..regions.build import build_regions
@@ -62,13 +63,19 @@ def gather_scalars(
     one offset per channel — here axis 0 is the channel).
     """
     cell_ids = np.asarray(cell_ids, np.int64)
-    if cell_ids.size and cell_ids.min() < 0:
+    if cell_ids.size and cell_ids.min() < -1:
         raise ValueError("negative cell ID")
+    # -1 is the ALLOW_EMPTY_CELLS empty-cell sentinel
+    # (exa/ExaBricks.cpp:46): its scalar is the poison value, which the
+    # basis sum skips when the flag is on (exabrick.cu:614-618)
+    empty = cell_ids < 0
+    ids = np.where(empty, 0, cell_ids)
     out = np.zeros((len(fields), cell_ids.size), np.float32)
     for c, f in enumerate(fields):
         if cell_ids.size and cell_ids.max() >= f.values.size:
             raise ValueError(f"invalid cell ID for field '{f.name}'")
-        out[c] = f.values[cell_ids]
+        out[c] = np.where(empty, np.float32(EMPTY_CELL_POISON_VALUE),
+                          f.values[ids])
     return out
 
 

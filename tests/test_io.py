@@ -41,13 +41,30 @@ def test_bricks_roundtrip(tmp_path):
 
 
 def test_bricks_rejects_bad_cellid(tmp_path):
+    # IDs below the ALLOW_EMPTY_CELLS sentinel (-1) are corrupt
     p = str(tmp_path / "t.bricks")
     formats.write_bricks(
         p, lower=[[0, 0, 0]], size=[[1, 1, 1]], level=[0],
-        cell_ids_per_brick=[np.array([5])],
+        cell_ids_per_brick=[np.array([-2])],
     )
     with pytest.raises(ValueError):
         formats.read_bricks(p)
+
+    # IDs >= the deduped brick total are legitimate (duplicate removal
+    # keeps ORIGINAL .scalars indices, builder.cpp:301-351) — the hard
+    # bound is the scalar file length, enforced at gather time
+    from owlexabrick_tpu.render.scene import gather_scalars
+    from owlexabrick_tpu.core.types import ScalarField
+
+    p2 = str(tmp_path / "t2.bricks")
+    formats.write_bricks(
+        p2, lower=[[0, 0, 0]], size=[[1, 1, 1]], level=[0],
+        cell_ids_per_brick=[np.array([5])],
+    )
+    _, ids = formats.read_bricks(p2)  # loads with a note, no raise
+    with pytest.raises(ValueError):
+        gather_scalars(ids, [ScalarField.from_values(
+            "f", np.zeros(3, np.float32))])
 
 
 def test_tris_roundtrip(tmp_path):
