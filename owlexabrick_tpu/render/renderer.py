@@ -334,6 +334,51 @@ class Renderer:
             cols[pax] = n_grid[:, k]
         return jnp.stack(cols, axis=1)
 
+    def _ao_shadow_exact(self, pos_w, n_w, key, rw, rh):
+        """Progressive EXACT AO: cfg.ao_samples cosine-hemisphere rays
+        per pixel per frame, each occlusion-tested against the exact
+        surfaces (meshes/streamlines and, when enabled, the wavefront
+        iso march) — the reference's own estimator (exabrick.cu:
+        1612-1645), amortized into progressive accumulation instead of
+        blocking on a converged pass.  ``key`` is frame-seeded, so the
+        accumulated frames average over the hemisphere exactly like the
+        reference's progressive refinement."""
+        from .surfaces import _nearest_surface, _onb
+
+        p_ = pos_w.shape[0]
+        u, v = _onb(n_w)
+        fns = jax.jit(
+            _nearest_surface,
+            static_argnames=("cfg", "include_contours", "include_iso",
+                             "screen"),
+        )
+        hits = jnp.zeros(p_, jnp.float32)
+        for s in range(self.cfg.ao_samples):
+            r = jax.random.uniform(jax.random.fold_in(key, s), (p_, 2))
+            rr = jnp.sqrt(r[:, 0])
+            theta = 2.0 * jnp.pi * r[:, 1]
+            sp = jnp.stack(
+                [rr * jnp.cos(theta), rr * jnp.sin(theta),
+                 jnp.sqrt(1.0 - r[:, 0])], -1,
+            )
+            dir_ = sp[:, 0:1] * u + sp[:, 1:2] * v + sp[:, 2:3] * n_w
+            dir_ = dir_ / jnp.maximum(
+                jnp.linalg.norm(dir_, axis=-1, keepdims=True), 1e-20
+            )
+            at, *_ = fns(
+                self.scene, self.fs, self.surf, self.cfg,
+                pos_w + n_w * 1e-3, dir_,
+                jnp.full(p_, 1e-4, jnp.float32),
+                jnp.full(p_, 1.0, jnp.float32) * self.fs.ao_length,
+                include_contours=False,
+                include_iso=self.cfg.iso_surfaces,
+                current_timestep=self.fs.tracer_timestep,
+                screen=(rw, rh),
+            )
+            hits = hits + jnp.isfinite(at)
+        shadow = hits / self.cfg.ao_samples
+        return jnp.where(jnp.asarray(self.fs.ao_enabled), shadow, 0.0)
+
     def _ao_lattice_dev(self):
         """Device copies of the finest-lattice AO field (cached)."""
         lat = getattr(self, "_ao_lat", None)
@@ -612,25 +657,40 @@ class Renderer:
                 cosf = iso_cos
                 shadow = jnp.zeros(rw * rh, jnp.float32)
                 if ao_fast:
-                    from .ao_sweep import ao_shadow_fast
-
-                    lat = self._ao_lattice_dev()
-                    t_w = t_iso * rnorm
-                    hit_w = o_w + t_w[:, None] * d_unit
                     m = np.asarray(self.scene.voxel_from_world)
-                    hit_v = (
-                        jnp.asarray(hit_w) @ jnp.asarray(m[:, :3].T)
-                        + jnp.asarray(m[:, 3])
-                    )
                     key_ao = jax.random.fold_in(key, 7)
-                    shadow = ao_shadow_fast(
-                        lat, self.fs, hit_v[:, ::-1], n_vox[:, ::-1],
-                        key_ao, ao_samples=self.cfg.ao_samples,
-                        ao_dirs=self.cfg.ao_dirs,
-                    )
-                    shadow = jnp.where(
-                        jnp.asarray(self.fs.ao_enabled), shadow, 0.0
-                    )
+                    if getattr(self, "ao_exact", False):
+                        # exact AO (progressive): per-frame hemisphere
+                        # rays vs the exact surfaces
+                        t_w = t_iso * rnorm
+                        hit_w = o_w + t_w[:, None] * d_unit
+                        n_w = n_vox @ jnp.asarray(
+                            np.asarray(m[:, :3], np.float32))
+                        n_w = n_w / jnp.maximum(
+                            jnp.linalg.norm(n_w, axis=-1, keepdims=True),
+                            1e-20,
+                        )
+                        shadow = self._ao_shadow_exact(
+                            jnp.asarray(hit_w), n_w, key_ao, rw, rh
+                        )
+                    else:
+                        from .ao_sweep import ao_shadow_fast
+
+                        lat = self._ao_lattice_dev()
+                        t_w = t_iso * rnorm
+                        hit_w = o_w + t_w[:, None] * d_unit
+                        hit_v = (
+                            jnp.asarray(hit_w) @ jnp.asarray(m[:, :3].T)
+                            + jnp.asarray(m[:, 3])
+                        )
+                        shadow = ao_shadow_fast(
+                            lat, self.fs, hit_v[:, ::-1], n_vox[:, ::-1],
+                            key_ao, ao_samples=self.cfg.ao_samples,
+                            ao_dirs=self.cfg.ao_dirs,
+                        )
+                        shadow = jnp.where(
+                            jnp.asarray(self.fs.ao_enabled), shadow, 0.0
+                        )
                 if self.cfg.gradient_shading_iso and not ao_combined:
                     iso_bg = jnp.where(
                         has_n[:, None],
@@ -703,16 +763,21 @@ class Renderer:
                     )
                     return jnp.isfinite(at).astype(jnp.float32)
 
-                lat = self._ao_lattice_dev()
                 key_ao = jax.random.fold_in(key, 7)
-                shadow = ao_shadow_fast(
-                    lat, self.fs, pos_v[:, ::-1], n_vox_eff[:, ::-1],
-                    key_ao, ao_samples=self.cfg.ao_samples,
-                    geom_occluder=occ_geom, ao_dirs=self.cfg.ao_dirs,
-                )
-                shadow = jnp.where(
-                    jnp.asarray(self.fs.ao_enabled), shadow, 0.0
-                )
+                if getattr(self, "ao_exact", False):
+                    shadow = self._ao_shadow_exact(
+                        pos_w, n_w_eff, key_ao, rw, rh
+                    )
+                else:
+                    lat = self._ao_lattice_dev()
+                    shadow = ao_shadow_fast(
+                        lat, self.fs, pos_v[:, ::-1], n_vox_eff[:, ::-1],
+                        key_ao, ao_samples=self.cfg.ao_samples,
+                        geom_occluder=occ_geom, ao_dirs=self.cfg.ao_dirs,
+                    )
+                    shadow = jnp.where(
+                        jnp.asarray(self.fs.ao_enabled), shadow, 0.0
+                    )
                 if self.cfg.gradient_shading_iso:
                     iso_shaded = jnp.where(
                         has_n[:, None],

@@ -100,6 +100,8 @@ legend { color:#9ab; }
     <label><input id="ao" type="checkbox" style="width:auto"> enable</label>
     <label>AO length <input id="aolen" type="number" step="any"
       value="__AOLEN__"></label>
+    <label><input id="aox" type="checkbox" style="width:auto"> exact AO
+      (progressive)</label>
   </fieldset>
   <fieldset><legend>tracer</legend>
     <label><input id="tron" type="checkbox" style="width:auto">
@@ -178,7 +180,7 @@ let eye = null, yaw = 0, pitch = 0;
 const t0 = [];
 const ids = ['field','cmap','customcm','lo','hi','os','dt','iso','gsiso',
              'caxis','coff','clip','cx0','cx1','cy0','cy1','cz0','cz1',
-             'gsdvr','skip','astride','ao','aolen','prog','clock',
+             'gsdvr','skip','astride','ao','aolen','aox','prog','clock',
              'tron','trseeds','trsteps','trlen','trcx','trcy','trcz',
              'tr0x','tr0y','tr0z','tr1x','tr1y','tr1z'];
 const $ = id => document.getElementById(id);
@@ -444,11 +446,16 @@ class ViewerState:
         alpha_hex = g1("alpha", "")
         ao = g1("ao", "0") == "1"
         ao_len = float(g1("aolen", "1e20") or "1e20")
+        # exact AO (progressive): per-frame hemisphere rays vs the exact
+        # surfaces, averaged by the accumulation loop — the reference's
+        # own progressive estimator (exabrick.cu:1612-1645) instead of
+        # the sweep shadow volumes
+        ao_exact = g1("aox", "0") == "1"
         tron = g1("tron", "0") == "1"
 
         key = (field, cmap, custom, lo, hi, os_, dt, iso != 0.0, gs_iso,
                gs_dvr, skip, astride, caxis, coff, clip, tuple(cfrac),
-               alpha_hex, ao, ao_len, tron)
+               alpha_hex, ao, ao_len, ao_exact, tron)
         if self.renderer is not None and key == self.key:
             return self.renderer
 
@@ -500,6 +507,7 @@ class ViewerState:
             self._scene_for_field(field), self.width, self.height,
             cfg=rcfg, frame_state=fs, surfaces=surf,
         )
+        self.renderer.ao_exact = ao_exact
         if clip:
             lo3 = self.world_lo + np.asarray(cfrac[:3]) * (
                 self.world_hi - self.world_lo

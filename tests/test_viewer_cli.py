@@ -155,6 +155,17 @@ def test_web_viewer_tracer_ao_clock_progressive(scene_dir):
     assert bool(st.renderer.fs.ao_enabled)
     assert float(st.renderer.fs.ao_length) == 5.0
     assert st.renderer.cfg.ao_samples == 2
+    assert st.renderer.ao_exact is False
+
+    # exact AO (progressive): per-frame hemisphere rays vs the exact
+    # surfaces, averaged by accumulation (VERDICT r3 task 9) — frames
+    # must differ (fresh rays each frame) and accumulate without error
+    a0 = frame(ao=1, aolen=5.0, iso=3.5, aox=1)
+    assert st.renderer.ao_exact is True
+    a1 = frame(frame_n=1, ao=1, aolen=5.0, iso=3.5, aox=1)
+    frame(frame_n=2, ao=1, aolen=5.0, iso=3.5, aox=1)
+    assert int(st.renderer.fs.frame_id) == 3
+    assert a0.shape == a1.shape
 
     # clock heat map overlay replaces the red channel
     plain = frame()
