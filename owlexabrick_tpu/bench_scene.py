@@ -123,6 +123,12 @@ def load_or_build_scale_scene(n: int = 1024, wings: int = 2,
         t0 = time.time()
         with open(path, "rb") as f:
             bricks, scalars, grids, meta = pickle.load(f)
+        # caches written before build_level_grids 8-aligned ny: pad the
+        # y axis (zero-mask rows, exact) so the per-frame camera
+        # products skip the _pad8_rows mid copies
+        from .render.slabs import align_grids_rows
+
+        grids = align_grids_rows(grids)
         meta = dict(meta, cache_load_s=round(time.time() - t0, 1))
         return bricks, scalars, grids, meta
 
@@ -218,6 +224,9 @@ def slab_scene_grids(kind: str, n: int, cache_dir: str = ".bench_cache",
         t0 = time.time()
         with open(path, "rb") as f:
             grids, meta = pickle.load(f)
+        from .render.slabs import align_grids_rows
+
+        grids = align_grids_rows(grids)  # pre-ny8 caches (exact pad)
         meta = dict(meta, cache_load_s=round(time.time() - t0, 1))
         return grids, meta
 

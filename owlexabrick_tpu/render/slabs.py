@@ -176,6 +176,11 @@ def build_level_grids(
             np.ceil(l_hi / cw).astype(np.int64) - org, 1
         )
         nz, ny, nx = int(dims[perm[0]]), int(dims[perm[1]]), int(dims[perm[2]])
+        # 8-align the y (sublane) axis: zero-mask pad rows contribute
+        # nothing to either basis sum (w and w*v both 0), and the camera
+        # products' (S, ny, W) mids then need no _pad8_rows copy — at
+        # 256^3 that pass re-streamed a ~0.5 GB mid through HBM per frame
+        ny = -(-ny // 8) * 8
         v = np.zeros((c, nz, ny, nx), np.float32)
         m = np.zeros((nz, ny, nx), np.float32)
         sel = np.nonzero(bricks.level == L)[0]
@@ -229,6 +234,35 @@ def build_level_grids(
         num_channels=c,
         axis=axis,
         y_bin=tuple(b for _, b in vr_zy),
+    )
+
+
+def align_grids_rows(grids: LevelGrids) -> LevelGrids:
+    """Pad each level's y (sublane) axis to a multiple of 8 with
+    zero-mask rows — exact (w and w*v both 0 there) — so the camera
+    products' (S, ny, W) mids need no per-frame _pad8_rows copy.  For
+    grids built before build_level_grids 8-aligned ny itself (cached
+    scale scenes); no-op when already aligned."""
+    import dataclasses as _dc
+
+    if all(int(m.shape[1]) % 8 == 0 for m in grids.masks):
+        return grids
+    vals, masks, vr, yb = [], [], [], []
+    for v, m in zip(grids.vals, grids.masks):
+        v = np.asarray(v)
+        m = np.asarray(m)
+        pad = (-m.shape[1]) % 8
+        if pad:
+            v = np.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            m = np.pad(m, ((0, 0), (0, pad), (0, 0)))
+        vals.append(v)
+        masks.append(m)
+        r, b = _vrange_zy(v, m)
+        vr.append(r)
+        yb.append(b)
+    return _dc.replace(
+        grids, vals=tuple(vals), masks=tuple(masks),
+        vrange_zy=tuple(vr), y_bin=tuple(yb),
     )
 
 
@@ -1229,6 +1263,12 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             org = grids.origins[li]
             nz, ny, nx = m.shape
             qz = z_s / cw - org[0] - 0.5
+            # occupancy gate folded into the (tiny) z weights: the old
+            # post-einsum `mid * gate` was a separate elementwise pass
+            # re-streaming the full (S, ny, W) f32 mid through HBM
+            # (~4 GB read+write per frame at 256^3); scaling the z taps
+            # is algebraically identical (the whole pipeline is linear)
+            gate = occ_s[li].any().astype(f32)
             if cfg.z_twotap:
                 wz, vol_z = None, None
                 # window the taps exactly like the einsum path windows
@@ -1243,7 +1283,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     jnp.floor(qz.min()).astype(jnp.int32), 0, nz - kz_w))
             else:
                 wz_fn, vol_z, _kz = z_weights_slice(qz, li)
-                wz = wz_fn()  # (S, nz or KZ)
+                wz = gate * wz_fn()  # (S, nz or KZ)
             qx = x_pos / cw - org[2] - 0.5  # (S, W)
 
             prec = (None if cfg.bf16_interp else {
@@ -1395,10 +1435,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 # floor(qz)+1, zero outside [0, nz-1].
                 k0z = jnp.floor(qz).astype(jnp.int32)  # (S,)
                 frz = qz - k0z.astype(f32)
-                wz0 = jnp.where(
+                wz0 = gate * jnp.where(
                     (k0z >= 0) & (k0z < nz), 1.0 - frz, 0.0
                 )[:, None, None]
-                wz1 = jnp.where(
+                wz1 = gate * jnp.where(
                     (k0z + 1 >= 0) & (k0z + 1 < nz), frz, 0.0
                 )[:, None, None]
                 if k_lo_z is None:
@@ -1438,7 +1478,6 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
             def mid(vol, xres=xres, zres=zres):
                 return xres(zres(vol))
 
-            gate = occ_s[li].any().astype(f32)
             mdt = jnp.bfloat16 if cfg.bf16_interp else f32
             use_kmid = False
             if cfg.kernel_mids and not cfg.fold_x and not lat and not late:
@@ -1453,13 +1492,14 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 # fused x stage: tent build + contraction in VMEM
                 # (render/pallas_mids.py); pad columns at -2 so their
                 # tent weights vanish and the padded mids come out
-                # exactly zero, like prepare_chunk's zero pad
+                # exactly zero, like prepare_chunk's zero pad.  The
+                # occupancy gate rides the z weights (above).
                 wp = n_ct_x * tc_x
                 qx_p = (qx if wp == w else jnp.pad(
                     qx, ((0, 0), (0, wp - w)), constant_values=-2.0))
-                zvs = [zres(grids.vals[li][c]) * gate
+                zvs = [zres(grids.vals[li][c])
                        for c in range(cfg.num_channels)]
-                zvs.append(zres(m) * gate)
+                zvs.append(zres(m))
                 outs = xresample_mids(
                     zvs, qx_p, tc_x,
                     precision=cfg.kernel_mids_precision,
@@ -1469,9 +1509,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                              outs[cfg.num_channels]))
             else:
                 mids.append((
-                    [(mid(grids.vals[li][c]) * gate).astype(mdt)
+                    [mid(grids.vals[li][c]).astype(mdt)
                      for c in range(cfg.num_channels)],
-                    (mid(m) * gate).astype(mdt),
+                    mid(m).astype(mdt),
                 ))
             orgs_y.append(org[1])
             cws_l.append(cw)
