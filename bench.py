@@ -425,6 +425,14 @@ def main():
             row["upload_s"] = round(upload_s, 1)
             cam, fs, cfg = _cam_fs_cfg(
                 grids, n, width, height, meta["value_max"], stride)
+            # scale-scene gate: the FULL prepared mids are ~15 GB here,
+            # so the tiered cache keeps a front prefix of chunks; cap it
+            # below the 256^3 default so grids (4.4 GB) + prefix +
+            # per-frame workspace stay inside the 16 GB HBM
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, camera_cache_max_mb=int(
+                os.environ.get("BENCH_SCALE_CACHE_MB", 5120)))
             t0 = time.time()
             scache = {}
             r = render_slabs_camera(grids, fs, cfg, cam, width, height,
@@ -447,6 +455,7 @@ def main():
                 # rate
                 cached_pose=("key" in scache) or scache.get(
                     "declined", "not engaged"),
+                cache_tier=scache.get("tier", "full"),
                 mray_s=round(med * width * height / 1e6, 1),
                 nslabs=cfg.nslabs, compile_s=round(compile_s, 1),
                 hbm_peak_mb=_hbm_peak_mb(), **meta,

@@ -26,6 +26,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from owlexabrick_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from owlexabrick_tpu.bench_scene import slab_scene_grids
     from owlexabrick_tpu.render.camera import Camera
     from owlexabrick_tpu.render.frame import make_frame_state
@@ -86,6 +92,9 @@ def main():
     }
     if not hasattr(cfg, "y_window"):
         variants.pop("orbit_nowindow")
+    if len(sys.argv) > 4:
+        keep = sys.argv[4].split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     for k, f in variants.items():
         f()  # compile

@@ -22,6 +22,12 @@ def main():
     import jax
     import jax.numpy as jnp  # noqa: F401
 
+    from owlexabrick_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from owlexabrick_tpu.bench_scene import slab_scene_grids
     from owlexabrick_tpu.render.camera import Camera
     from owlexabrick_tpu.render.frame import make_frame_state

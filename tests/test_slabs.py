@@ -1021,6 +1021,60 @@ def test_camera_products_cache_bit_identical(amr_fixture):
     )
 
 
+def test_camera_cache_tiered_prefix(amr_fixture):
+    """When the full prepared products exceed camera_cache_max_mb, the
+    tiered cache keeps a front PREFIX of chunks' kernel inputs and the
+    per-frame path finishes the sweep live — output must stay
+    bit-identical to the uncached render, and the cache must record the
+    tier.  (Reference-scale scenes: the 1024^3 bench scene's full mids
+    are ~15 GB, so only a prefix can amortize —
+    exa/OptixRenderer.cpp:531-552's lazy-rebuild economics applied to
+    the slice that fits.)"""
+    scene, bricks, grids = _build(amr_fixture, EX3)
+    w = h = 24
+    cam = Camera.look_at([4.0, 4.0, 26.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=1.0,
+                          opacity_scale=0.8)
+    extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                      extent_z=extent, adaptive_stride=True)
+    live = np.asarray(render_slabs_camera(grids, fs, base, cam, w, h))
+    assert live[:, 3].max() > 0.1
+
+    # walk the gate down until the tier engages (the est for this tiny
+    # scene is a few tens of KB; a gate between one chunk's share and
+    # the total forces the partial path)
+    cache = {}
+    for gate_mb in (0.2, 0.1, 0.05, 0.03, 0.02, 0.012, 0.008, 0.005):
+        cfg = dataclasses.replace(base, camera_cache_max_mb=gate_mb)
+        cache = {}
+        out = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
+                                             camera_cache=cache))
+        if "tier" in cache:
+            break
+    assert "tier" in cache, "no gate engaged the tiered cache"
+    assert "key" in cache and cache["products"] is not None
+    n_chunks = -(-cfg.nslabs // cfg.chunk)
+    assert 1 <= len(cache["products"]) < n_chunks
+    assert np.array_equal(live, out)
+
+    # second frame at the same pose reuses the prefix
+    key0 = cache["key"]
+    again = np.asarray(render_slabs_camera(grids, fs, cfg, cam, w, h,
+                                           camera_cache=cache))
+    assert cache["key"] is key0
+    assert np.array_equal(live, again)
+
+    # TF edit at the same pose still bit-identical through the tier
+    fs2 = dataclasses.replace(fs, xf_opacity_scale=np.float32(0.3))
+    out2 = np.asarray(render_slabs_camera(grids, fs2, cfg, cam, w, h,
+                                          camera_cache=cache))
+    assert cache["key"] is key0
+    assert np.array_equal(
+        out2, np.asarray(render_slabs_camera(grids, fs2, cfg, cam, w, h)))
+
+
 def test_hoisted_tents_bit_identical(amr_fixture):
     """hoist_tents builds the kernel's y-tent weight blocks host-side
     (camera-only, rows-outer grid) with arithmetic mirroring the
