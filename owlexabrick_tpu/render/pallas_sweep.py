@@ -280,10 +280,13 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 # (prepare_chunk rounds them down); multiple_of lets
                 # Mosaic prove the sublane tiling
                 k0v = pl.multiple_of(k0_ref[li, r_i], 8)
+                # mids arrive as a (n_ct, S, ny, tc) column-tile stack
+                # (slabs.py writes each x-einsum block straight into
+                # its slot — no minor-axis concat/pad in HBM); index
+                # the tile, window the rows
                 return pltpu.make_async_copy(
                     hbm_refs[li][ci_].at[
-                        :, pl.ds(k0v, ky_list[li]),
-                        pl.ds(c_i * tc, tc)],
+                        c_i, :, pl.ds(k0v, ky_list[li]), :],
                     scr_refs[ci_].at[
                         slot, :,
                         pl.ds(k_off[li], ky_list[li]), :],
@@ -758,12 +761,17 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
 
 
 def _pad8_rows(a: jax.Array) -> jax.Array:
-    """Zero-pad the row (second) axis of (S, ny, W) to a multiple of 8
+    """Zero-pad the lattice-row axis — axis -2 of (S, ny, W) mids or of
+    the stacked dma layout (n_ct, S, ny, tc) — to a multiple of 8
     (Mosaic sublane alignment); zero rows contribute nothing to the
     tent contraction."""
-    ny = a.shape[1]
+    ny = a.shape[-2]
     pad = (-ny) % 8
-    return a if pad == 0 else jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[-2] = (0, pad)
+    return jnp.pad(a, widths)
 
 
 class ChunkPrep(NamedTuple):
@@ -968,7 +976,7 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
 
         mid_vs_l = [[_pad128(v) for v in vs] for vs in mid_vs_l]
         mid_m_l = [_pad128(m) for m in mid_m_l]
-    ny_list = tuple(m.shape[1] for m in mid_m_l)
+    ny_list = tuple(m.shape[-2] for m in mid_m_l)
 
     tr, tc = tile_shape(height, width, tiles, adaptive_stride)
     n_ct = pl.cdiv(width, tc)
@@ -1032,9 +1040,18 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
             # lattice blocks keep their own (128-padded) lane count
             if lattice_mids:
                 return a
+            if a.ndim == 4:
+                # stacked dma layout (n_ct, S, ny, tc): the x stage
+                # already wrote per-column-tile blocks with padded
+                # columns exactly zero — nothing to pad or concat
+                return a
+            # legacy 3-D (S, ny, W) mids: pad + restack so the kernel's
+            # tile-indexed DMA still works (one extra copy)
             padl = n_ct * tc - a.shape[2]
-            return a if padl == 0 else jnp.pad(
-                a, ((0, 0), (0, 0), (0, padl)))
+            if padl:
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, padl)))
+            return a.reshape(
+                a.shape[0], a.shape[1], n_ct, tc).transpose(2, 0, 1, 3)
 
         lvl_inputs = []
         for li in range(n_levels):
@@ -1255,6 +1272,12 @@ def prepare_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 jnp.broadcast_to(kx1[:, None], (s_, ny, n_ct)), axis=2,
             )
             occ = hi_x - lo_x > 0  # (S, ny, Ct)
+        elif mid_m_l[li].ndim == 4:
+            # stacked dma layout (n_ct, S, ny, tc): per-tile occupancy
+            # is a reduction over the tile's own lanes
+            occ = (
+                mid_m_l[li].astype(jnp.float32) > 0
+            ).any(-1).transpose(1, 2, 0)  # (S, ny, Ct)
         else:
             # pad from the actual lane count: kernel-produced mids
             # (slabs.py kernel_mids) arrive pre-padded to n_ct*tc
@@ -1782,7 +1805,9 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
     )
     ky_list = None
     if dma_mids or lattice_mids:
-        ny_list = tuple(-(-m.shape[1] // 8) * 8 for _, m in mids)
+        # dma mids may arrive as the stacked (n_ct, S, ny, tc) layout;
+        # the lattice-row axis is -2 in both layouts
+        ny_list = tuple(-(-m.shape[-2] // 8) * 8 for _, m in mids)
         ky_list = _dma_layout(ny_list, ky_hints)
     elif concat_levels:
         ny_list = tuple(-(-m.shape[1] // 8) * 8 for _, m in mids)

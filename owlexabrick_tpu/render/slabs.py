@@ -1351,6 +1351,24 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                   else min(int(kx_hints[li]), nx))
             if kx is not None and 4 * kx > 3 * nx:
                 kx = None
+            # dma mode: the x einsum writes each column tile's block
+            # straight into a (n_ct, S, ny, tc) major-axis stack — the
+            # minor-axis concatenate + pad-to-n_ct*tc that used to
+            # follow were two full extra HBM round-trips of the
+            # screen-width mids per frame (~4 GB at 256^3); the kernel
+            # indexes the stack by its column-tile id instead.  The
+            # einsum runs on the REAL columns (identical sums to the
+            # unstacked path — bit-identity contract) and a short last
+            # tile zero-pads its output block (no-op when tc | W, as at
+            # 1080p).
+            wp_x = n_ct_x * tc_x
+            qx_p = (qx if wp_x == w else jnp.pad(
+                qx, ((0, 0), (0, wp_x - w)), constant_values=-2.0))
+
+            def _pad_tile(piece, tc=tc_x):
+                short = tc - piece.shape[2]
+                return piece if short == 0 else jnp.pad(
+                    piece, ((0, 0), (0, 0), (0, short)))
             if cfg.fold_x or lat or late:
                 # lattice-space blocks: fold_x/lattice_mids apply the x
                 # tent inside the kernel per (slab, col-tile); late_x
@@ -1387,12 +1405,26 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     return sv
             elif kx is None:
                 k = jnp.arange(nx, dtype=f32)
-                wx = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(qx[..., None] - k)
-                )  # (S, W, nx)
+                if dma:
+                    def xres(sv, k=k):
+                        parts = x_split(sv)
+                        outs = []
+                        for ct in range(n_ct_x):
+                            qx_t = qx[:, ct * tc_x:
+                                      min(w, (ct + 1) * tc_x)]
+                            wx_t = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(qx_t[..., None] - k)
+                            )  # (S, tcw, nx)
+                            outs.append(_pad_tile(
+                                x_dot(parts, wx_t, "syx,swx->syw")))
+                        return jnp.stack(outs)  # (n_ct, S, ny, tc)
+                else:
+                    wx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(qx[..., None] - k)
+                    )  # (S, W, nx)
 
-                def xres(sv, wx=wx):
-                    return x_dot(x_split(sv), wx, "syx,swx->syw")
+                    def xres(sv, wx=wx):
+                        return x_dot(x_split(sv), wx, "syx,swx->syw")
             else:
                 xwin = []
                 for ct in range(n_ct_x):
@@ -1421,6 +1453,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         )
                         for k0, wx_t in xwin
                     ]
+                    if dma:
+                        return jnp.stack(
+                            [_pad_tile(p) for p in pieces]
+                        )  # (n_ct, S, ny, tc)
                     return jnp.concatenate(pieces, axis=2)
 
             if cfg.z_twotap:
@@ -1495,9 +1531,6 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 # tent weights vanish and the padded mids come out
                 # exactly zero, like prepare_chunk's zero pad.  The
                 # occupancy gate rides the z weights (above).
-                wp = n_ct_x * tc_x
-                qx_p = (qx if wp == w else jnp.pad(
-                    qx, ((0, 0), (0, wp - w)), constant_values=-2.0))
                 zvs = [zres(grids.vals[li][c])
                        for c in range(cfg.num_channels)]
                 zvs.append(zres(m))
@@ -1506,6 +1539,15 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     precision=cfg.kernel_mids_precision,
                     out_dtype=mdt,
                 )
+                if dma:
+                    # restack (S, ny, n_ct*tc) -> (n_ct, S, ny, tc) for
+                    # the stacked DMA layout (one extra transpose on
+                    # this OFF-by-default lane)
+                    outs = [
+                        o.reshape(o.shape[0], o.shape[1], n_ct_x, tc_x)
+                        .transpose(2, 0, 1, 3)
+                        for o in outs
+                    ]
                 mids.append((outs[:cfg.num_channels],
                              outs[cfg.num_channels]))
             else:
@@ -2471,8 +2513,8 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         from .pallas_sweep import tile_shape as _tshape
 
         ns_pad = cfg.nslabs + cfg.chunk
-        tr_, _ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
-                         cfg.adaptive_stride)
+        tr_, tc_ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
+                           cfg.adaptive_stride)
         n_rt_ = -(-h_ // tr_)
         lat_ = (cfg.lattice_mids and not cfg.fold_x
                 and not cfg.fuse_mids and not cfg.hoist_tents
@@ -2500,7 +2542,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
             rows_sum = 0
             for ky, ny, win in lay:
                 if dma_:
-                    # DMA-window preps store the plain unwindowed mids
+                    # DMA-window preps store the stacked unwindowed mids
                     rows_sum += ny
                 elif win:
                     rows_sum += n_rt_ * ky
@@ -2509,7 +2551,9 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                     rows_sum += n_rt_ * ny
                 else:
                     rows_sum += ny
-            est = (ns_pad * rows_sum * w_ * itemsize
+            # dma preps carry the tile-padded column count
+            w_eff = (-(-w_ // tc_)) * tc_ if dma_ else w_
+            est = (ns_pad * rows_sum * w_eff * itemsize
                    * (1 + cfg.num_channels))
         pc = 0  # 0 = cache every chunk
         if est > cfg.camera_cache_max_mb * 1e6:
