@@ -379,9 +379,11 @@ def main():
         if not os.path.exists(
             os.path.join(".bench_cache", f"scale_{n}_2.pkl")
         ):
-            # cold build: ~2800 s of 1-vCPU host work at 1024^3
-            # (SCALE_RUN_r03.md build table), scaling ~n^3
-            est_s += 2800.0 * (n / 1024.0) ** 3
+            # cold build: 745 s of 1-vCPU host work measured at 1024^3
+            # uncontended (PERFORMANCE.md round-4 note 30; the r03
+            # 2800 s figure was taken under session CPU contention);
+            # keep 1.5x headroom, scaling ~n^3
+            est_s += 1100.0 * (n / 1024.0) ** 3
         remaining = budget_s - (time.time() - t_start)
         if remaining < est_s:
             print(f"# scale1024 skipped: est {est_s:.0f}s upload+render"
