@@ -380,10 +380,17 @@ def main():
             os.path.join(".bench_cache", f"scale_{n}_2.pkl")
         ):
             # cold build: 745 s of 1-vCPU host work measured at 1024^3
-            # uncontended (PERFORMANCE.md round-4 note 30; the r03
-            # 2800 s figure was taken under session CPU contention);
-            # keep 1.5x headroom, scaling ~n^3
-            est_s += 1100.0 * (n / 1024.0) ** 3
+            # uncontended (PERFORMANCE.md round-4 note 30); the SAME
+            # host has measured 3.7x slower under session CPU
+            # contention (the r03 2757 s figure), so scale the estimate
+            # by the current 1-min load average, capped at that
+            # observed worst case, with 1.5x headroom
+            try:
+                contention = max(1.0, os.getloadavg()[0])
+            except (OSError, AttributeError):  # pragma: no cover
+                contention = 2.0
+            est_s += 745.0 * 1.5 * min(contention, 3.7) * (
+                n / 1024.0) ** 3
         remaining = budget_s - (time.time() - t_start)
         if remaining < est_s:
             print(f"# scale1024 skipped: est {est_s:.0f}s upload+render"

@@ -1005,6 +1005,92 @@ def kx_hints_for_camera(grids: LevelGrids, cfg: SlabConfig,
     return tuple(hints)
 
 
+def _mode_flags(cfg: SlabConfig, t_start=None):
+    """Resolve the mid-layout lane flags (megakernel / late_x /
+    lattice_mids / dma_mids) with their mutual-exclusion rules."""
+    mega = (cfg.megakernel and not cfg.gradient_shading_dvr
+            and t_start is None)
+    late = cfg.late_x and not cfg.fold_x and not cfg.fuse_mids
+    lat = (cfg.lattice_mids and not cfg.fold_x and not cfg.fuse_mids
+           and not cfg.hoist_tents and not late)
+    dma = (cfg.dma_mids and not lat and not cfg.fold_x
+           and not cfg.fuse_mids and not cfg.hoist_tents and not late)
+    return mega, late, lat, dma
+
+
+def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
+                    width: int, ky_hints, t_start=None) -> int:
+    """The slab chunk render_slabs actually uses: ``cfg.chunk`` capped so
+    the megakernel's double-buffered VMEM mid blocks fit.  Factored out so
+    the camera-product cache sizes its chunk tier from the REAL chunk
+    count (the tier label and prefix size must match what render_slabs
+    slices, not the uncapped cfg.chunk estimate)."""
+    mega, late, lat, dma = _mode_flags(cfg, t_start)
+    s_chunk = cfg.chunk
+    h, w = height, width
+    if mega:
+        # cap the chunk so the megakernel's mid blocks ((1+C) x S x KY x tc
+        # floats, double-buffered by the pipeline) fit VMEM with headroom;
+        # use the tile width the kernel will actually pick (the old 512
+        # estimate clamped 256^3 scenes to 4-slab chunks and their fixed
+        # costs dominated the frame).  y-windowed mids only keep the
+        # window rows resident, so deep volumes keep deep chunks.
+        def rows_resident(li, m):
+            # mirror the kernel's windowing gate (pallas_sweep: windows
+            # only pay off when they at least halve the rows; the DMA
+            # layout instead always windows, +8 alignment margin)
+            ny8 = -(-m.shape[1] // 8) * 8
+            if ky_hints is None:
+                return ny8
+            if dma or lat:
+                return min(int(ky_hints[li]) + 8, ny8)
+            ky = min(int(ky_hints[li]), ny8)
+            return ky if 2 * ky <= ny8 else ny8
+
+        ny_total = sum(
+            rows_resident(li, m) for li, m in enumerate(grids.masks)
+        )
+        tc_est = cfg.tile_cols or next(
+            (t for t in (512, 256, 128) if width % t == 0), 128
+        )
+        budget = 7 * 1024 * 1024
+        if cfg.fold_x or lat:
+            # fold/lattice modes keep whole lattice-x blocks
+            # VMEM-resident per slab: per level rows x (nx padded to
+            # the 128 lane); lattice windows the rows DMA-style (+8).
+            # Lattice's in-kernel temps (per-slab x tents, p_cat, wy)
+            # also scale with the chunk (~2 MB/slab total scoped vmem
+            # measured at 256^3), so the kernel raises Mosaic's scoped
+            # limit to 64 MB (pallas_sweep) and the chunk budget here
+            # only bounds the double-buffered block scratch.
+            lanes_tot = sum(
+                rows_resident(li, m) * (-(-m.shape[2] // 128) * 128)
+                for li, m in enumerate(grids.masks)
+            )
+            per_slab_bytes = (1 + cfg.num_channels) * lanes_tot * 4
+            if lat:
+                budget = 20 * 1024 * 1024
+        else:
+            per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
+        if cfg.hoist_tents:
+            # hoisted tent blocks are also VMEM-resident per slab:
+            # tr x KY lanes (padded to 128) per level
+            from .pallas_sweep import tile_shape as _ts
+
+            tr_est, _ = _ts(h, w, (cfg.tile_rows, cfg.tile_cols),
+                            cfg.adaptive_stride)
+            wy_item = (2 if cfg.bf16_interp
+                       or cfg.dot_precision in ("hi_lo", "default") else 4)
+            lanes = sum(
+                -(-rows_resident(li, m) // 128) * 128
+                for li, m in enumerate(grids.masks)
+            )
+            per_slab_bytes += tr_est * lanes * wy_item
+        cap = max(4, budget // (per_slab_bytes * 2))
+        s_chunk = min(s_chunk, cap)
+    return s_chunk
+
+
 def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  cam_pos, cam_dir00, cam_du, cam_dv,
                  width: int, height: int, knots=None, t_stop=None,
@@ -1128,81 +1214,13 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         )
         lvl_occ.append((o0 + o1) > 0.0)  # (nslabs,)
 
-    s_chunk = cfg.chunk
     # DVR gradient shading needs the per-sample gradient images and the
     # clip-box entry needs per-pixel interval starts — neither is in the
-    # fused megakernel; those configurations use the einsum lane
-    mega = (cfg.megakernel and not cfg.gradient_shading_dvr
-            and t_start is None)
-    # window-then-resample products (see SlabConfig.late_x); only the
-    # non-fused megakernel layouts carry it
-    late = cfg.late_x and not cfg.fold_x and not cfg.fuse_mids
-    # lattice-block mids (see SlabConfig.lattice_mids)
-    lat = (cfg.lattice_mids and not cfg.fold_x and not cfg.fuse_mids
-           and not cfg.hoist_tents and not late)
-    # DMA-window mids (see SlabConfig.dma_mids)
-    dma = (cfg.dma_mids and not lat and not cfg.fold_x
-           and not cfg.fuse_mids and not cfg.hoist_tents and not late)
-    if mega:
-        # cap the chunk so the megakernel's mid blocks ((1+C) x S x KY x tc
-        # floats, double-buffered by the pipeline) fit VMEM with headroom;
-        # use the tile width the kernel will actually pick (the old 512
-        # estimate clamped 256^3 scenes to 4-slab chunks and their fixed
-        # costs dominated the frame).  y-windowed mids only keep the
-        # window rows resident, so deep volumes keep deep chunks.
-        def rows_resident(li, m):
-            # mirror the kernel's windowing gate (pallas_sweep: windows
-            # only pay off when they at least halve the rows; the DMA
-            # layout instead always windows, +8 alignment margin)
-            ny8 = -(-m.shape[1] // 8) * 8
-            if ky_hints is None:
-                return ny8
-            if dma or lat:
-                return min(int(ky_hints[li]) + 8, ny8)
-            ky = min(int(ky_hints[li]), ny8)
-            return ky if 2 * ky <= ny8 else ny8
-
-        ny_total = sum(
-            rows_resident(li, m) for li, m in enumerate(grids.masks)
-        )
-        tc_est = cfg.tile_cols or next(
-            (t for t in (512, 256, 128) if width % t == 0), 128
-        )
-        budget = 7 * 1024 * 1024
-        if cfg.fold_x or lat:
-            # fold/lattice modes keep whole lattice-x blocks
-            # VMEM-resident per slab: per level rows x (nx padded to
-            # the 128 lane); lattice windows the rows DMA-style (+8).
-            # Lattice's in-kernel temps (per-slab x tents, p_cat, wy)
-            # also scale with the chunk (~2 MB/slab total scoped vmem
-            # measured at 256^3), so the kernel raises Mosaic's scoped
-            # limit to 64 MB (pallas_sweep) and the chunk budget here
-            # only bounds the double-buffered block scratch.
-            lanes_tot = sum(
-                rows_resident(li, m) * (-(-m.shape[2] // 128) * 128)
-                for li, m in enumerate(grids.masks)
-            )
-            per_slab_bytes = (1 + cfg.num_channels) * lanes_tot * 4
-            if lat:
-                budget = 20 * 1024 * 1024
-        else:
-            per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
-        if cfg.hoist_tents:
-            # hoisted tent blocks are also VMEM-resident per slab:
-            # tr x KY lanes (padded to 128) per level
-            from .pallas_sweep import tile_shape as _ts
-
-            tr_est, _ = _ts(h, w, (cfg.tile_rows, cfg.tile_cols),
-                            cfg.adaptive_stride)
-            wy_item = (2 if cfg.bf16_interp
-                       or cfg.dot_precision in ("hi_lo", "default") else 4)
-            lanes = sum(
-                -(-rows_resident(li, m) // 128) * 128
-                for li, m in enumerate(grids.masks)
-            )
-            per_slab_bytes += tr_est * lanes * wy_item
-        cap = max(4, budget // (per_slab_bytes * 2))
-        s_chunk = min(s_chunk, cap)
+    # fused megakernel; those configurations use the einsum lane.
+    # late = window-then-resample products (SlabConfig.late_x), lat =
+    # lattice-block mids, dma = DMA-window mids; see _mode_flags.
+    mega, late, lat, dma = _mode_flags(cfg, t_start)
+    s_chunk = effective_chunk(grids, cfg, h, w, ky_hints, t_start)
     n_chunks = -(-cfg.nslabs // s_chunk)
     # pad slab tables to a whole number of chunks (padded slabs inactive;
     # pad z with the last real plane so the z-window slice below stays
@@ -2494,6 +2512,11 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         full pose; None when ineligible."""
         if camera_cache is None:
             return None
+        # the tier/declined labels describe THIS call's configuration;
+        # clear any stale entry from a previous cfg/gate so callers never
+        # read a label from a run that took a different path
+        camera_cache.pop("tier", None)
+        camera_cache.pop("declined", None)
         if cfg.gradient_shading_dvr or not cfg.megakernel \
                 or t_start is not None:
             return None  # einsum lane: no product cache
@@ -2561,12 +2584,13 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
             # gate (reference-scale scenes — est is ~15 GB at 1024^3),
             # but a front PREFIX of chunks does.  Cache the first M
             # chunks' final kernel inputs and let the per-frame path
-            # finish the sweep live; M chunks of the est fit because
-            # m = n_est * gate/est < n_est <= actual chunk count.
-            # cfg.chunk >= the VMEM-capped chunk render_slabs picks, so
-            # n_est <= the actual chunk count and the memory bound holds
-            n_est = -(-cfg.nslabs // cfg.chunk)
-            m = int(cfg.camera_cache_max_mb * 1e6 // (est / n_est))
+            # finish the sweep live.  The chunk count is the REAL one
+            # render_slabs will use (effective_chunk replicates its VMEM
+            # cap), so M chunks of est/n_act fit the gate and the tier
+            # label states the actual prefix.
+            s_eff = effective_chunk(grids, cfg, h_, w_, hints)
+            n_act = -(-cfg.nslabs // s_eff)
+            m = int(cfg.camera_cache_max_mb * 1e6 // (est / n_act))
             if m < 1:
                 # record the decline so callers (bench.py) can label
                 # the measurement honestly
@@ -2577,8 +2601,8 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                 return None
             pc = m
             camera_cache["tier"] = (
-                f"partial: first {m}/{n_est} chunks "
-                f"(~{est/n_est*m/1e6:.0f} of ~{est/1e6:.0f} MB)"
+                f"partial: first {m}/{n_act} chunks "
+                f"(~{est/n_act*m/1e6:.0f} of ~{est/1e6:.0f} MB)"
             )
         key = (key_cam, key_lat, w_, h_, cfg, hints, xhints, pc,
                id(grids.zranges))
