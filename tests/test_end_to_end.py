@@ -154,6 +154,117 @@ def test_flash_to_render(tmp_path):
     assert (img[..., :3] > 8).any(), "blank render"
 
 
+def _write_vtu_hexes(path, lowers, widths, cf, arrays):
+    """Minimal ascii VTU UnstructuredGrid of axis-aligned cube hexes on
+    the LANL lattice (corner = lattice * common factor), the shape
+    readVTU.cpp:239-292 verifies."""
+    pts, conn = [], []
+    for lo, w in zip(lowers, widths):
+        base = len(pts)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    pts.append((np.asarray(lo, float)
+                                + np.asarray([dx, dy, dz]) * w) * cf)
+        # VTK_HEXAHEDRON corner order (bottom CCW, then top)
+        conn += [base + i for i in (0, 1, 3, 2, 4, 5, 7, 6)]
+    n_cells = len(lowers)
+    offs = [8 * (i + 1) for i in range(n_cells)]
+    cell_data = "\n".join(
+        '        <DataArray type="Float32" Name="%s" format="ascii">\n'
+        "          %s\n        </DataArray>" % (
+            name, " ".join("%g" % v for v in vals))
+        for name, vals in arrays.items()
+    )
+    with open(path, "w") as f:
+        f.write(
+            '<VTKFile type="UnstructuredGrid" version="1.0" '
+            'byte_order="LittleEndian" header_type="UInt32">\n'
+            "  <UnstructuredGrid>\n"
+            f'    <Piece NumberOfPoints="{len(pts)}" '
+            f'NumberOfCells="{n_cells}">\n'
+            "      <Points>\n"
+            '        <DataArray type="Float64" NumberOfComponents="3" '
+            'format="ascii">\n          '
+            + " ".join("%.10g" % c for p in pts for c in p)
+            + "\n        </DataArray>\n      </Points>\n"
+            "      <Cells>\n"
+            '        <DataArray type="Int64" Name="connectivity" '
+            'format="ascii">\n          '
+            + " ".join(map(str, conn))
+            + "\n        </DataArray>\n"
+            '        <DataArray type="Int64" Name="offsets" '
+            'format="ascii">\n          '
+            + " ".join(map(str, offs))
+            + "\n        </DataArray>\n"
+            '        <DataArray type="UInt8" Name="types" '
+            'format="ascii">\n          '
+            + " ".join(["12"] * n_cells)
+            + "\n        </DataArray>\n      </Cells>\n"
+            "      <CellData>\n" + cell_data + "\n      </CellData>\n"
+            "    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n"
+        )
+
+
+def test_vtu_time_series(tmp_path):
+    """LANL deep-water workflow (reference README.md:135-147,
+    readVTU.cpp:295-302): a VTU TIME SERIES — one file per timestep,
+    identical hex geometry, evolving cell scalars — converted per
+    timestep, bricked once, and both timesteps rendered through the CLI
+    at a fixed camera + TF.  Golden-checks each frame and asserts the
+    frame delta tracks the scalar change."""
+    from owlexabrick_tpu.builder.__main__ import main as build_main
+    from owlexabrick_tpu.tools.vtu import main as vtu_main
+    from owlexabrick_tpu.viewer.offline import main as view_main
+
+    cf = 5 * 500 / 4  # the deep-water lattice factor (readVTU.cpp:123)
+    # 2x2x2 unit hexes plus one 2-wide (level-1) hex beside them
+    lowers = [(x, y, z) for z in (0, 1) for y in (0, 1) for x in (0, 1)]
+    widths = [1] * 8
+    lowers.append((2, 0, 0))
+    widths.append(2)
+    vals = {
+        0: np.concatenate([np.linspace(0.1, 0.8, 8), [1.0]]),
+        # the hot corner moves and the coarse hex cools
+        1: np.concatenate([np.linspace(0.8, 0.1, 8), [0.3]]),
+    }
+    for t in (0, 1):
+        _write_vtu_hexes(
+            str(tmp_path / f"step{t}.vtu"), lowers, widths, cf,
+            {"temp": vals[t]},
+        )
+        rc = vtu_main([str(tmp_path / f"step{t}.vtu"), "-o",
+                       str(tmp_path / f"step{t}")])
+        assert rc == 0
+    # identical geometry -> identical .cells; brick ONCE, reuse for all
+    # timesteps with per-timestep scalars (the reference's recipe builds
+    # the structure once and the .exa names each timestep's field)
+    c0 = (tmp_path / "step0.cells").read_bytes()
+    assert c0 == (tmp_path / "step1.cells").read_bytes()
+    rc = build_main([str(tmp_path / "step0.cells"), "-o",
+                     str(tmp_path / "series.bricks")])
+    assert rc == 0
+    imgs = []
+    for t in (0, 1):
+        (tmp_path / f"step{t}.exa").write_text(
+            f"bricks series.bricks\nscalar temp step{t}.temp.scalars\n"
+        )
+        out = str(tmp_path / f"vtu_t{t}.png")
+        rc = view_main([
+            str(tmp_path / f"step{t}.exa"), "--size", "32", "24",
+            "--camera", "14", "9", "13", "2", "1", "1", "0", "1", "0",
+            "--fov", "45", "--range", "0", "1", "--dt", "0.7",
+            "--frames", "1", "-o", out,
+        ])
+        assert rc == 0
+        img = read_png(out)
+        assert (img[..., :3] > 8).any(), f"blank render at t{t}"
+        _check_golden(img, f"e2e_vtu_t{t}")
+        imgs.append(img.astype(int))
+    delta = np.abs(imgs[1] - imgs[0])
+    assert delta.max() > 16, "timestep change did not reach the frame"
+
+
 def test_chombo_to_render(tmp_path):
     """Synthetic Chombo-style HDF5 -> converter -> builder -> .exa ->
     rendered frame."""
