@@ -858,6 +858,31 @@ class SlabConfig:
     # only; False restores the einsum (the bit-reference for the
     # products-precision ablations).
     z_twotap: bool = True
+    # y-dot-first lattice mids: HBM keeps the LATTICE-space z-resampled
+    # (S, ny, nx128) blocks (like lattice_mids — screen-width mids never
+    # exist), the kernel DMAs each level's (S, KY, nx128) y-window once
+    # per row tile, and — unlike every prior in-kernel-x experiment
+    # (fold_x/late_x/kernel_mids/lattice_mids, which all kept the
+    # x-before-y contraction order and re-ran the x stage per tile) —
+    # contracts Y FIRST: T1 = wy (tr, KY) @ block (KY, nx128) once per
+    # (slab, row tile) into VMEM scratch, then each column tile pays
+    # only T1 (tr, nx128) @ wx (nx128, tc).  Nothing re-runs: the x
+    # stage's per-tile cost is one tc-wide dot, and the orbit path's
+    # dominant HBM traffic (the (S, ny, W) mid write+read,
+    # PERFORMANCE.md note 23) disappears entirely.  Takes precedence
+    # over dma_mids/lattice_mids; ignored when fuse_mids / fold_x /
+    # hoist_tents / late_x is set.
+    yfirst_mids: bool = False
+    # Stacked DMA mids (dma_mids lane): the x einsum writes each column
+    # tile's block straight into a (n_ct, S, ny, tc) major-axis stack
+    # the kernel's window DMA indexes by tile id — the minor-axis
+    # concatenate + pad-to-tile-multiple it replaces were ~2 extra HBM
+    # round-trips of the screen-width mids per frame (~4 GB at 256^3).
+    # False restores the 3-D (S, ny, W) mids (prepare_chunk pads +
+    # restacks them — the concat'd-layout ablation lane, one transpose
+    # where the old code paid one pad: equivalent traffic).  Output is
+    # bit-identical either way; benchmarks/ab_stack.py measures it.
+    stack_mids: bool = True
     # Pallas x-resample mids (render/pallas_mids.py): build the x tents
     # and run the x contraction INSIDE a kernel per (slab, column-tile)
     # — the dense tent matrices (whose broadcast build materialized
@@ -1011,11 +1036,13 @@ def _mode_flags(cfg: SlabConfig, t_start=None):
     mega = (cfg.megakernel and not cfg.gradient_shading_dvr
             and t_start is None)
     late = cfg.late_x and not cfg.fold_x and not cfg.fuse_mids
-    lat = (cfg.lattice_mids and not cfg.fold_x and not cfg.fuse_mids
-           and not cfg.hoist_tents and not late)
-    dma = (cfg.dma_mids and not lat and not cfg.fold_x
+    yf = (cfg.yfirst_mids and not cfg.fold_x and not cfg.fuse_mids
+          and not cfg.hoist_tents and not late)
+    lat = (cfg.lattice_mids and not yf and not cfg.fold_x
            and not cfg.fuse_mids and not cfg.hoist_tents and not late)
-    return mega, late, lat, dma
+    dma = (cfg.dma_mids and not lat and not yf and not cfg.fold_x
+           and not cfg.fuse_mids and not cfg.hoist_tents and not late)
+    return mega, late, lat, dma, yf
 
 
 def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
@@ -1025,7 +1052,7 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
     the camera-product cache sizes its chunk tier from the REAL chunk
     count (the tier label and prefix size must match what render_slabs
     slices, not the uncapped cfg.chunk estimate)."""
-    mega, late, lat, dma = _mode_flags(cfg, t_start)
+    mega, late, lat, dma, yf = _mode_flags(cfg, t_start)
     s_chunk = cfg.chunk
     h, w = height, width
     if mega:
@@ -1042,7 +1069,7 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
             ny8 = -(-m.shape[1] // 8) * 8
             if ky_hints is None:
                 return ny8
-            if dma or lat:
+            if dma or lat or yf:
                 return min(int(ky_hints[li]) + 8, ny8)
             ky = min(int(ky_hints[li]), ny8)
             return ky if 2 * ky <= ny8 else ny8
@@ -1054,7 +1081,7 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
             (t for t in (512, 256, 128) if width % t == 0), 128
         )
         budget = 7 * 1024 * 1024
-        if cfg.fold_x or lat:
+        if cfg.fold_x or lat or yf:
             # fold/lattice modes keep whole lattice-x blocks
             # VMEM-resident per slab: per level rows x (nx padded to
             # the 128 lane); lattice windows the rows DMA-style (+8).
@@ -1070,6 +1097,24 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
             per_slab_bytes = (1 + cfg.num_channels) * lanes_tot * 4
             if lat:
                 budget = 20 * 1024 * 1024
+            if yf:
+                # yfirst adds per-slab T1 scratch ((C+1) x tr x nx128
+                # f32, single-buffered) on top of the double-buffered
+                # window blocks; the kernel raises Mosaic's scoped
+                # limit to 96 MB, so budget for the blocks accordingly
+                from .pallas_sweep import tile_shape as _ts_y
+
+                tr_y, _ = _ts_y(h, w, (cfg.tile_rows, cfg.tile_cols),
+                                cfg.adaptive_stride)
+                lanes128 = sum(
+                    (-(-m.shape[2] // 128) * 128)
+                    for m in grids.masks
+                )
+                # T1 is not double-buffered: fold it in at half weight
+                # (cap divides by 2 for the block double-buffering)
+                per_slab_bytes += (
+                    (1 + cfg.num_channels) * tr_y * lanes128 * 4) // 2
+                budget = 40 * 1024 * 1024
         else:
             per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
         if cfg.hoist_tents:
@@ -1218,8 +1263,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
     # clip-box entry needs per-pixel interval starts — neither is in the
     # fused megakernel; those configurations use the einsum lane.
     # late = window-then-resample products (SlabConfig.late_x), lat =
-    # lattice-block mids, dma = DMA-window mids; see _mode_flags.
-    mega, late, lat, dma = _mode_flags(cfg, t_start)
+    # lattice-block mids, dma = DMA-window mids, yf = y-dot-first
+    # lattice mids; see _mode_flags.
+    mega, late, lat, dma, yf = _mode_flags(cfg, t_start)
     s_chunk = effective_chunk(grids, cfg, h, w, ky_hints, t_start)
     n_chunks = -(-cfg.nslabs // s_chunk)
     # pad slab tables to a whole number of chunks (padded slabs inactive;
@@ -1387,7 +1433,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 short = tc - piece.shape[2]
                 return piece if short == 0 else jnp.pad(
                     piece, ((0, 0), (0, 0), (0, short)))
-            if cfg.fold_x or lat or late:
+            if cfg.fold_x or lat or yf or late:
                 # lattice-space blocks: fold_x/lattice_mids apply the x
                 # tent inside the kernel per (slab, col-tile); late_x
                 # applies it once in prepare_chunk, after the y-window
@@ -1423,7 +1469,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     return sv
             elif kx is None:
                 k = jnp.arange(nx, dtype=f32)
-                if dma:
+                if dma and cfg.stack_mids:
                     def xres(sv, k=k):
                         parts = x_split(sv)
                         outs = []
@@ -1471,7 +1517,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         )
                         for k0, wx_t in xwin
                     ]
-                    if dma:
+                    if dma and cfg.stack_mids:
                         return jnp.stack(
                             [_pad_tile(p) for p in pieces]
                         )  # (n_ct, S, ny, tc)
@@ -1535,7 +1581,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
 
             mdt = jnp.bfloat16 if cfg.bf16_interp else f32
             use_kmid = False
-            if cfg.kernel_mids and not cfg.fold_x and not lat and not late:
+            if cfg.kernel_mids and not cfg.fold_x and not lat \
+                    and not yf and not late:
                 from .pallas_mids import (
                     kernel_mids_vmem_bytes, xresample_mids,
                 )
@@ -1557,7 +1604,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     precision=cfg.kernel_mids_precision,
                     out_dtype=mdt,
                 )
-                if dma:
+                if dma and cfg.stack_mids:
                     # restack (S, ny, n_ct*tc) -> (n_ct, S, ny, tc) for
                     # the stacked DMA layout (one extra transpose on
                     # this OFF-by-default lane)
@@ -1608,7 +1655,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                      jnp.maximum(r0[..., 1], r1[..., 1])], -1,
                 ))
             tf_cull = (vr_rows, grids.y_bin)
-        x_geom = (x_pos, orgs_x) if (cfg.fold_x or lat) else None
+        x_geom = (x_pos, orgs_x) if (cfg.fold_x or lat or yf) else None
         x_late = (x_entries, x_pos, orgs_x) if late else None
         return mids, orgs_y, cws_l, tf_cull, x_geom, x_late
 
@@ -1650,7 +1697,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 concat_levels=cfg.concat_levels,
                 fold_x=cfg.fold_x, x_geom=x_geom,
                 late_x=late, x_late=x_late, dma_mids=dma,
-                lattice_mids=lat,
+                lattice_mids=lat or yf,
             )
             per_chunk.append((prep, scale))
         return tuple(per_chunk)
@@ -1800,7 +1847,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     concat_levels=cfg.concat_levels,
                     fold_x=cfg.fold_x, x_geom=x_geom,
                     late_x=late, x_late=x_late, dma_mids=dma,
-                    lattice_mids=lat,
+                    lattice_mids=lat, yfirst=yf,
                     knot_unroll=cfg.knot_unroll,
                     prev_trans=((1.0 - alpha).reshape(h, w)
                                 if cfg.carry_termination else None),
@@ -1918,7 +1965,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         cws_list = [float(1 << L) for L in grids.levels]
         domains_list = [fs.xf_domain[c] for c in range(cfg.num_channels)]
         kyl = None
-        if dma or lat:
+        if dma or lat or yf:
             from .pallas_sweep import _dma_layout
 
             ny_list = tuple(
@@ -1958,7 +2005,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                                 if cfg.carry_termination else None),
                     fuse_mids=cfg.fuse_mids,
                     concat_levels=cfg.concat_levels, ky_list=kyl,
-                    knot_unroll=cfg.knot_unroll,
+                    knot_unroll=cfg.knot_unroll, yfirst=yf,
                 )
                 if cfg.carry_termination:
                     color = color + chunk_rgb
@@ -2539,7 +2586,8 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         tr_, tc_ = _tshape(h_, w_, (cfg.tile_rows, cfg.tile_cols),
                            cfg.adaptive_stride)
         n_rt_ = -(-h_ // tr_)
-        lat_ = (cfg.lattice_mids and not cfg.fold_x
+        lat_ = ((cfg.lattice_mids or cfg.yfirst_mids)
+                and not cfg.fold_x
                 and not cfg.fuse_mids and not cfg.hoist_tents
                 and not cfg.late_x)
         dma_ = (cfg.dma_mids and not lat_ and not cfg.fold_x
