@@ -94,6 +94,7 @@ def test_ao_pooled_directions_cut_variance():
     assert fvar4 < 0.7 * fvar1, (fvar1, fvar4)
 
 
+@pytest.mark.slow
 def test_ao_sweep_converges_to_wavefront():
     lower, level, scal = parse_grids_text(EX2)
     scene, *_ = scene_from_cells(lower, level, [scal])
@@ -154,6 +155,7 @@ def test_ao_exact_progressive_converges_to_wavefront():
     assert diff < 0.06, diff
 
 
+@pytest.mark.slow
 def test_ao_sweep_detects_occlusion():
     """Two facing iso planes across a gap: both AO paths must darken the
     facing surfaces by comparable amounts."""
@@ -233,6 +235,7 @@ def test_ao_mesh_with_iso_occluders_stays_fast():
     assert (img[..., :3] > 8).any()
 
 
+@pytest.mark.slow
 def test_ao_combined_mesh_iso_statistics():
     """The combined estimator (lattice iso occlusion + geometric
     occlusion along shared directions) converges to the same darkening

@@ -33,6 +33,7 @@ from conftest import EX2, EX3
 
 @pytest.mark.parametrize("text,flip_dir", [(EX2, 1.0), (EX3, 1.0),
                                            (EX2, -1.0)])
+@pytest.mark.slow
 def test_band_sharded_matches_single_device(text, flip_dir):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")

@@ -260,6 +260,7 @@ def test_golden_multichannel():
     _check(img, "multichannel")
 
 
+@pytest.mark.slow
 def test_golden_ao_exact(scene):
     """Exact per-pixel hemisphere AO (exabrick.cu:1612-1645) accumulated
     over 6 progressive frames — pins the converged estimator image."""

@@ -51,6 +51,7 @@ def _orbit_cameras(n, rng, fov=45.0):
     return cams
 
 
+@pytest.mark.slow
 def test_orbit_sweep_never_hits_wavefront(monkeypatch):
     """>=100 random orbit cameras: every frame renders through the fast
     path (shear-warp or preview) — the exact wavefront step must never

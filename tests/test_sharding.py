@@ -35,6 +35,7 @@ def setup(request):
     return scene, fs, o, d
 
 
+@pytest.mark.slow
 def test_8way_pixel_sharding_matches_single(setup):
     scene, fs, o, d = setup
     assert len(jax.devices()) >= 8
@@ -166,6 +167,7 @@ def test_sharded_slab_render_matches_single(setup):
     np.testing.assert_allclose(out_k, single_k, rtol=1e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_8way_multichannel_streamlines_matches_single():
     """BASELINE 'runnable config': multi-channel + streamlines sharded
     across the mesh.  Segment table large enough (>= 2048) that each

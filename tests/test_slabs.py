@@ -632,6 +632,7 @@ def test_y_window_hints_exact(amr_fixture):
     np.testing.assert_array_equal(a2, b2)
 
 
+@pytest.mark.slow
 def test_late_x_bit_identical(amr_fixture):
     """Window-then-resample camera products (SlabConfig.late_x) are
     bit-exact vs the base pipeline in every layout: the y-window slices
@@ -693,6 +694,7 @@ def test_late_x_bit_identical(amr_fixture):
     np.testing.assert_array_equal(first, live_base)
 
 
+@pytest.mark.slow
 def test_dma_mids_bit_identical(amr_fixture):
     """DMA-window mids (SlabConfig.dma_mids): the kernel copies its own
     y-windows from plain HBM mids instead of consuming pre-windowed /
@@ -751,6 +753,7 @@ def test_dma_mids_bit_identical(amr_fixture):
     np.testing.assert_array_equal(first, live)
 
 
+@pytest.mark.slow
 def test_kernel_mids_agrees(amr_fixture):
     """Pallas x-resample mids (SlabConfig.kernel_mids): the x tent build
     + contraction move into a kernel per (slab, column-tile)
@@ -810,6 +813,7 @@ def test_kernel_mids_agrees(amr_fixture):
     np.testing.assert_array_equal(first, live)
 
 
+@pytest.mark.slow
 def test_lattice_mids_agrees(amr_fixture):
     """Lattice-block mids (SlabConfig.lattice_mids): HBM keeps
     z-resampled lattice blocks, the kernel DMAs per-row-tile y-windows
@@ -895,6 +899,7 @@ def test_banded_reuse_cache(amr_fixture):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_x_window_hints_exact():
     """The column-tiled x-resample (kx_hints) is bit-identical to the
     full einsum: the x tent matrix has <= 2 nonzero entries per column,
