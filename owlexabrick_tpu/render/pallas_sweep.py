@@ -104,6 +104,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  knot_unroll: int = 4,
                  dma: bool = False,
                  lattice: bool = False,
+                 yfirst: bool = False,
                  grid_rc: Tuple[int, int] = (0, 0),
                  dma_sync: bool = False):
     compressed = n_texels > 0
@@ -231,6 +232,13 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             n_scr = (n_channels + 1) * n_levels
             scr_refs = refs[k + 4 : k + 4 + n_scr]  # [comp * L + li]
             dma_sem = refs[k + 4 + n_scr]
+            if yfirst:
+                # y-dot-first lane: per-(comp, level) T1 scratch holds
+                # wy @ block — the y contraction done ONCE per (slab,
+                # row tile) at lattice-x width; column tiles then pay
+                # only the tiny T1 @ wx dot.  Screen-width mids never
+                # exist anywhere (HBM or VMEM).
+                t1_refs = refs[k + 5 + n_scr : k + 5 + 2 * n_scr]
         else:
             r_ref, g_ref, b_ref, t_ref = refs[k:]
         n = n_texels if compressed else lut_ref.shape[1]
@@ -400,6 +408,84 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             ).astype(jnp.float32)
             return jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None] - kk))
 
+        if yfirst:
+            # fill the T1 scratch once per row tile (at the first column
+            # step, after the window DMAs land): per (slab, level, comp)
+            # T1 = wy (tr, ky) @ block (ky, nx128) — the y contraction
+            # at lattice-x width.  Runs for every slab unconditionally
+            # (a later column tile may need a slab this tile gates off);
+            # S x L x (C+1) dots of modest K, amortized over the whole
+            # column sweep.
+            @pl.when(ct_id == 0)
+            def _fill_t1():
+                def fill(s, _):
+                    yp = jnp.sum(
+                        jnp.where(slab_ids == s, ypos_all, 0.0), axis=1)
+                    for li in range(n_levels):
+                        wy = _wy(li, yp)  # (tr, ky)
+                        for comp in range(n_channels + 1):
+                            a = scr_refs[comp * n_levels + li][
+                                cur_slot, s]
+                            if hi_lo:
+                                ah = a.astype(jnp.bfloat16)
+                                al = (a - ah.astype(jnp.float32)).astype(
+                                    jnp.bfloat16)
+                                wyb = wy.astype(jnp.bfloat16)
+                                t1 = (
+                                    jnp.dot(wyb, ah,
+                                            preferred_element_type=
+                                            jnp.float32)
+                                    + jnp.dot(wyb, al,
+                                              preferred_element_type=
+                                              jnp.float32)
+                                )
+                            else:
+                                t1 = jnp.dot(
+                                    wy.astype(a.dtype), a,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                            t1_refs[comp * n_levels + li][s] = t1
+                    return 0
+                jax.lax.fori_loop(0, s_count, fill, 0)
+
+        def _interp_yfirst(s):
+            # column-tile stage of the y-first lane: per level apply the
+            # x tents to the precomputed T1 — (tr, nx128) @ (nx128, tc)
+            # — and sum levels.  hi_lo splits T1 in-register (same
+            # numerics class as the lattice lane's p_cat split).
+            xpos_all = xpos_ref[:]  # (tc, S)
+            sid_x = jax.lax.broadcasted_iota(
+                jnp.int32, xpos_all.shape, 1)
+            xp = jnp.sum(jnp.where(sid_x == s, xpos_all, 0.0), axis=1)
+            wxs = [_wx(li, xp) for li in range(n_levels)]
+            fields = []
+            for comp in range(n_channels + 1):
+                acc = jnp.zeros((tr, tc), jnp.float32)
+                for li in range(n_levels):
+                    t1 = t1_refs[comp * n_levels + li][s]
+                    if hi_lo:
+                        th = t1.astype(jnp.bfloat16)
+                        tl = (t1 - th.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        wxb = wxs[li].astype(jnp.bfloat16)
+                        acc = acc + (
+                            jnp.dot(th, wxb,
+                                    preferred_element_type=jnp.float32)
+                            + jnp.dot(tl, wxb,
+                                      preferred_element_type=jnp.float32)
+                        )
+                    else:
+                        acc = acc + jnp.dot(
+                            t1, wxs[li].astype(t1.dtype),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                fields.append(acc)
+            sw = fields[n_channels]
+            ok = (sw > 1e-20) & inb & (live_ref[s] > 0.0)
+            if has_stop:
+                ok = ok & (t_slab_ref[s] < t_stop_ref[:])
+            return fields, sw, ok
+
         ktot = sum(ky_list)
 
         def _wy_cat(yp):
@@ -509,6 +595,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             return fields, sw, ok
 
         def _interp(s):
+            if yfirst:
+                return _interp_yfirst(s)
             if hoist_wy:
                 yp = None
             else:
@@ -582,7 +670,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             return jax.lax.cond(do, work, lambda c: c, carry)
 
         def _classify(s, payload, sw, ok, carry, w_s):
-                if fold or lattice:
+                if fold or lattice or yfirst:
                     fields = payload
                 else:
                     acc, wys = payload
@@ -593,7 +681,7 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 slab_g = jnp.zeros((tr, tc), jnp.float32)
                 slab_b = jnp.zeros((tr, tc), jnp.float32)
                 for ch in range(n_channels):
-                    if fold or lattice:
+                    if fold or lattice or yfirst:
                         swv = fields[ch]
                     elif fused:
                         swv = acc[:, ch * tc:(ch + 1) * tc]
@@ -1461,7 +1549,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
               adaptive_stride: bool = False, prev_trans=None,
               fuse_mids: bool = True, concat_levels: bool = False,
               ky_list=None, interpret: bool | None = None,
-              knot_unroll: int = 4):
+              knot_unroll: int = 4, yfirst: bool = False):
     """Dispatch the megakernel for one chunk from prepared inputs.
     Static layout (KY, windowed, level count) is inferred from the
     prepared block shapes; ``concat_levels`` preps carry one combined
@@ -1683,6 +1771,14 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             for _ in range(n_channels + 1)
             for li in range(n_levels)
         ] + [pltpu.SemaphoreType.DMA((2, n_channels + 1, n_levels))]
+        if yfirst:
+            # T1 scratch per (comp, level): (S, tr, nx128) f32, filled
+            # once per row tile and reused across the column sweep
+            scratch_shapes += [
+                pltpu.VMEM((s_, tr, nx_list[li]), jnp.float32)
+                for _ in range(n_channels + 1)
+                for li in range(n_levels)
+            ]
 
     # Lattice mode keeps whole (S, KY, nx) level blocks double-buffered
     # in scratch plus per-slab x-tent/p_cat temps, which overflows
@@ -1691,7 +1787,8 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     # VMEM; raise the scoped limit for this layout rather than starving
     # the chunk (shallow chunks re-pay the fixed per-launch cost).
     compiler_params = (
-        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024
+                             if yfirst else 64 * 1024 * 1024)
         if lattice else None
     )
     r, g, b, t = pl.pallas_call(
@@ -1712,6 +1809,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      knot_unroll=knot_unroll,
                      dma=dma,
                      lattice=lattice,
+                     yfirst=yfirst,
                      grid_rc=((pl.cdiv(height, tr), pl.cdiv(width, tc))
                               if (dma or lattice) else (0, 0)),
                      dma_sync=bool(int(
@@ -1768,6 +1866,7 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 late_x: bool = False, x_late=None,
                 dma_mids: bool = False,
                 lattice_mids: bool = False,
+                yfirst: bool = False,
                 interpret: bool | None = None,
                 knot_unroll: int = 4):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
@@ -1797,14 +1896,14 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         fuse_mids=fuse_mids, tf_cull=tf_cull, hoist_wy=hoist_wy,
         concat_levels=concat_levels, fold_x=fold_x, x_geom=x_geom,
         late_x=late_x, x_late=x_late, dma_mids=dma_mids,
-        lattice_mids=lattice_mids,
+        lattice_mids=lattice_mids or yfirst,
     )
     act_f, act_all_f = combine_activity(
         prep, live, luts, domains, cell_widths,
         adaptive_stride=adaptive_stride,
     )
     ky_list = None
-    if dma_mids or lattice_mids:
+    if dma_mids or lattice_mids or yfirst:
         # dma mids may arrive as the stacked (n_ct, S, ny, tc) layout;
         # the lattice-row axis is -2 in both layouts
         ny_list = tuple(-(-m.shape[-2] // 8) * 8 for _, m in mids)
@@ -1819,5 +1918,5 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         dot_precision=dot_precision, adaptive_stride=adaptive_stride,
         prev_trans=prev_trans, fuse_mids=fuse_mids,
         concat_levels=concat_levels, ky_list=ky_list, interpret=interpret,
-        knot_unroll=knot_unroll,
+        knot_unroll=knot_unroll, yfirst=yfirst,
     )

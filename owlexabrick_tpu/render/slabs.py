@@ -858,20 +858,27 @@ class SlabConfig:
     # only; False restores the einsum (the bit-reference for the
     # products-precision ablations).
     z_twotap: bool = True
-    # y-dot-first lattice mids: HBM keeps the LATTICE-space z-resampled
-    # (S, ny, nx128) blocks (like lattice_mids — screen-width mids never
-    # exist), the kernel DMAs each level's (S, KY, nx128) y-window once
-    # per row tile, and — unlike every prior in-kernel-x experiment
-    # (fold_x/late_x/kernel_mids/lattice_mids, which all kept the
-    # x-before-y contraction order and re-ran the x stage per tile) —
-    # contracts Y FIRST: T1 = wy (tr, KY) @ block (KY, nx128) once per
-    # (slab, row tile) into VMEM scratch, then each column tile pays
-    # only T1 (tr, nx128) @ wx (nx128, tc).  Nothing re-runs: the x
-    # stage's per-tile cost is one tc-wide dot, and the orbit path's
-    # dominant HBM traffic (the (S, ny, W) mid write+read,
-    # PERFORMANCE.md note 23) disappears entirely.  Takes precedence
-    # over dma_mids/lattice_mids; ignored when fuse_mids / fold_x /
-    # hoist_tents / late_x is set.
+    # y-dot-first lattice mids — tried, measured 4.5x SLOWER, OFF by
+    # default (the FIFTH and final x-placement experiment): HBM keeps
+    # the LATTICE-space (S, ny, nx128) blocks (like lattice_mids —
+    # screen-width mids never exist), and unlike fold_x / late_x /
+    # kernel_mids / lattice_mids (all x-before-y, re-running the x
+    # stage per tile) the kernel contracts Y FIRST — T1 = wy @ block
+    # once per (slab, row tile) into VMEM scratch, then each column
+    # tile pays only T1 (tr, nx128) @ wx (nx128, tc), so nothing
+    # re-runs.  The MACs argument held but the measurement didn't:
+    # 256^3 blobs 1080p interleaved (benchmarks/ab_yfirst.py) orbit
+    # 5.60 vs 25.08 FPS, cached 7.90 vs 33.86 — the per-(slab, column
+    # tile, level) costs that replace the one concat dot (4 per-level
+    # small dots x hi_lo, 4 (nx128, tc) tent builds, per-use T1 hi/lo
+    # splits) are VPU/issue-bound, the same wall all five experiments
+    # hit.  Conclusion sealed (with notes 16/20/25/26): on this chip
+    # the screen-width mids' ~10 ms HBM round trip is CHEAPER than any
+    # in-kernel x scheme; orbit headroom lives in the product-stage
+    # einsums, chip class, and sharding.  Fidelity holds (CPU 2.4e-7
+    # highest / 8.7e-5 hi_lo vs base; TPU 1.2e-4, zero pixels > 1/255).
+    # Takes precedence over dma_mids/lattice_mids; ignored when
+    # fuse_mids / fold_x / hoist_tents / late_x is set.
     yfirst_mids: bool = False
     # Stacked DMA mids (dma_mids lane): the x einsum writes each column
     # tile's block straight into a (n_ct, S, ny, tc) major-axis stack
