@@ -12,7 +12,7 @@ WRONG for the ablated lanes; this measures cost shares, not fidelity:
               (changes kernel gating too — read with that in mind)
   kx8_nocull  both
 
-Usage: python benchmarks/products_ablate.py [volume] [frames] [rounds]
+Usage: python benchmarks/products_ablate.py [volume] [frames] [rounds] [scene]
 """
 
 import dataclasses
@@ -49,9 +49,10 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 15
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    scene_kind = sys.argv[4] if len(sys.argv) > 4 else "blobs"
     width, height = 1920, 1080
 
-    grids_host, meta = slab_scene_grids("blobs", n)
+    grids_host, meta = slab_scene_grids(scene_kind, n)
     grids = jax.tree.map(jnp.asarray, grids_host)
     cam = Camera.look_at(
         from_=[n / 2, n / 2, n * 2.2], at=[n / 2, n / 2, n / 2],

@@ -6,7 +6,7 @@ plugin are in the image) and aggregates device-plane event durations by
 HLO op category — the ground truth for where the per-frame camera
 products (the orbit-vs-cached gap) actually go.
 
-Usage: python benchmarks/profile_orbit.py [volume] [frames] [cached01]
+Usage: python benchmarks/profile_orbit.py [volume] [frames] [cached01] [kmid] [scene]
 """
 
 import glob
@@ -73,9 +73,10 @@ def main():
     cached = len(sys.argv) > 3 and sys.argv[3] == "1"
     # argv[4]: kernel-mids mode — "" (einsum path), "highest", "hi_lo"
     kmid = sys.argv[4] if len(sys.argv) > 4 else ""
+    scene_kind = sys.argv[5] if len(sys.argv) > 5 else "blobs"
     width, height = 1920, 1080
 
-    grids_host, meta = slab_scene_grids("blobs", n)
+    grids_host, meta = slab_scene_grids(scene_kind, n)
     grids = jax.tree.map(jnp.asarray, grids_host)
     cam = Camera.look_at(
         from_=[n / 2, n / 2, n * 2.2], at=[n / 2, n / 2, n / 2],

@@ -83,8 +83,22 @@ def tile_shape(height: int, width: int, tiles=(0, 0),
     SlabConfig.tile_rows/tile_cols override."""
     tr_cap = 256
     tr = tiles[0] or max(
-        (t for t in range(8, tr_cap + 1, 8) if height % t == 0), default=8
+        (t for t in range(8, tr_cap + 1, 8) if height % t == 0), default=0
     )
+    if tr == 0:
+        # no multiple-of-8 divisor (e.g. 1080p pixel bands: 540/270/135
+        # rows) — the kernel masks padded rows (inb), so pick the
+        # largest tile whose padding waste stays under 12.5%; without
+        # this, such heights collapsed to 8-row tiles whose per-tile
+        # fixed costs dominated (a 540-row band measured 2.6x the full
+        # 1080 frame).  Small frames (tests) keep the old tr=8 — their
+        # adaptive-stride/activity tables are per-tile, so changing the
+        # tile would perturb golden quadrature for no perf stake.
+        tr = 8
+        if height >= 128:
+            for t in range(8, tr_cap + 1, 8):
+                if (-(-height // t) * t - height) * 8 <= height:
+                    tr = t
     tc = tiles[1] or next(
         (t for t in (512, 256, 128) if width % t == 0), 128
     )
@@ -1791,6 +1805,15 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                              if yfirst else 64 * 1024 * 1024)
         if lattice else None
     )
+    if dma and compiler_params is None:
+        # the dma window scratch (2 slots x S x sum(KY) x tc x f32 per
+        # component) can outgrow Mosaic's default 16 MB scoped stack
+        # when the chunk budget is raised (SlabConfig.chunk_budget_mb) —
+        # deep chunks at reference scale.  The chip has 128 MB of VMEM.
+        scr_bytes = 2 * s_ * sum(ky_list) * tc * 4 * (n_channels + 1)
+        if scr_bytes > 12 * 1024 * 1024:
+            compiler_params = pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024)
     r, g, b, t = pl.pallas_call(
         _make_kernel(n_levels, tuple(ky_list), tuple(windowed), n_channels,
                      n_texels=n if knots is not None else 0,

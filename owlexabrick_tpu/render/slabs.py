@@ -814,6 +814,13 @@ class SlabConfig:
     # (exabrick.cu:1694-97; differs only by a <=0.005-transmittance tail
     # the saturated-pixel collapse absorbs)
     carry_termination: bool = True
+    # VMEM budget (MB) for the chunk-depth cap (effective_chunk): the
+    # double-buffered per-slab mid blocks must fit this.  7 MB fits
+    # Mosaic's default 16 MB scoped-vmem stack; raising it (with the
+    # dma lane's scoped-limit raise in run_chunk) deepens chunks —
+    # reference-scale scenes were paying ~100+ shallow chunks' fixed
+    # costs per frame (see PERFORMANCE.md round-5 notes)
+    chunk_budget_mb: int = 7
     # static-camera product cache cap: render_slabs_camera only caches
     # the per-chunk camera products (mids + TF-cull rows) when their
     # estimated size fits this budget (progressive accumulation at a
@@ -1087,7 +1094,7 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
         tc_est = cfg.tile_cols or next(
             (t for t in (512, 256, 128) if width % t == 0), 128
         )
-        budget = 7 * 1024 * 1024
+        budget = cfg.chunk_budget_mb * 1024 * 1024
         if cfg.fold_x or lat or yf:
             # fold/lattice modes keep whole lattice-x blocks
             # VMEM-resident per slab: per level rows x (nx padded to
@@ -1103,7 +1110,7 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
             )
             per_slab_bytes = (1 + cfg.num_channels) * lanes_tot * 4
             if lat:
-                budget = 20 * 1024 * 1024
+                budget = max(budget, 20 * 1024 * 1024)
             if yf:
                 # yfirst adds per-slab T1 scratch ((C+1) x tr x nx128
                 # f32, single-buffered) on top of the double-buffered
@@ -1121,7 +1128,7 @@ def effective_chunk(grids: LevelGrids, cfg: SlabConfig, height: int,
                 # (cap divides by 2 for the block double-buffering)
                 per_slab_bytes += (
                     (1 + cfg.num_channels) * tr_y * lanes128 * 4) // 2
-                budget = 40 * 1024 * 1024
+                budget = max(budget, 40 * 1024 * 1024)
         else:
             per_slab_bytes = (1 + cfg.num_channels) * ny_total * tc_est * 4
         if cfg.hoist_tents:
