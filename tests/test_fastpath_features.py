@@ -81,7 +81,7 @@ def test_fast_path_clip_box():
         clip_hi=np.asarray([6.5, 6.5, 6.5], np.float32),
     )
     cfg = RenderConfig(num_channels=1)
-    a, b = _compare(scene, fs, cfg, frac8=0.93, frac40=0.99)
+    a, b = _compare(scene, fs, cfg, frac8=0.94, frac40=0.99)
     # the clip must actually remove something: corners darker than center
     assert a[0, 0, :3].max() < 8
     assert a[SIZE // 2, SIZE // 2, :3].max() > 8
@@ -100,7 +100,7 @@ def test_fast_path_mesh_composite():
                        seg_radius=np.float32(2.0))
     fs = make_frame_state(_cam(), 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
     cfg = RenderConfig(num_channels=1)
-    a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.91,
+    a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.93,
                     frac40=0.985)
     assert (a[..., :3] > 8).any()
 
@@ -117,7 +117,10 @@ def test_fast_path_streamlines_composite():
     )
     fs = make_frame_state(_cam(), 1, [[0.0, 7.0]], dt=0.1, opacity_scale=0.5)
     cfg = RenderConfig(num_channels=1)
-    _compare(scene, fs, cfg, surf=surf, frac8=0.86, frac40=0.985)
+    # measured r05: frac8=0.897 — the rounded-cone silhouette is
+    # quantized differently by the two renderers at 64^2 (documented
+    # exception to the 0.90 floor)
+    _compare(scene, fs, cfg, surf=surf, frac8=0.88, frac40=0.99)
 
 
 def test_fast_path_contour_plane():
@@ -133,7 +136,7 @@ def test_fast_path_contour_plane():
         contour_channel=np.zeros(3, np.int32),
     )
     cfg = RenderConfig(num_channels=1)
-    _compare(scene, fs, cfg, frac8=0.87, frac40=0.985)
+    _compare(scene, fs, cfg, frac8=0.90, frac40=0.99)
 
 
 def test_fast_path_multichannel_iso_channel():
@@ -147,7 +150,7 @@ def test_fast_path_multichannel_iso_channel():
         iso_channel=np.array([1, 0], np.int32),
     )
     cfg = RenderConfig(num_channels=2, iso_surfaces=True)
-    a, _ = _compare(scene, fs, cfg, frac8=0.87, frac40=0.975)
+    a, _ = _compare(scene, fs, cfg, frac8=0.90, frac40=0.98)
     assert (a[..., :3] > 8).any()
 
 
@@ -158,7 +161,7 @@ def test_fast_path_dvr_gradient_shading():
         gradient_shading_dvr=True,
     )
     cfg = RenderConfig(num_channels=1, gradient_shading_dvr=True)
-    _compare(scene, fs, cfg, frac8=0.89, frac40=0.99)
+    _compare(scene, fs, cfg, frac8=0.91, frac40=0.995)
 
 
 def test_fast_path_iso_gradient_shading_matches_wavefront():
@@ -177,7 +180,7 @@ def test_fast_path_iso_gradient_shading_matches_wavefront():
     # iso silhouettes are binary hit/miss per discretization: ~4-6% of
     # pixels sit on the rim where the slab lattice and the wavefront
     # march land on different sides of the crossing
-    _compare(scene, fs, cfg, frac8=0.90, frac40=0.94)
+    _compare(scene, fs, cfg, frac8=0.92, frac40=0.955)
 
 
 def test_z_window_matches_dense():
@@ -272,7 +275,10 @@ def test_fast_path_iso_composite_with_adaptive_stride():
                        adaptive_stride=True)
     # the stride intentionally coarsens quadrature in coarse-level
     # regions (the reference's per-region dt does the same)
-    a, b = _compare(scene, fs, cfg, frac8=0.80, frac40=0.96)
+    # measured r05: frac8=0.844 — the stride's coarsened quadrature in
+    # coarse-level regions moves the iso rim (documented exception to
+    # the 0.90 floor; the reference's per-region dt coarsens the same)
+    a, b = _compare(scene, fs, cfg, frac8=0.82, frac40=0.965)
     assert a[..., 3].max() > 50  # non-trivial image
 
 
@@ -300,7 +306,9 @@ def test_fast_path_mesh_ao():
     # per-pixel cosine): after 4 frames the sample sets have not converged,
     # so only the coarse budget binds here; convergence of the
     # estimator itself is bounded statistically in test_ao_sweep.py
-    a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.58, frac40=0.95)
+    # measured r05: frac8=0.633 — estimator-design difference, not a
+    # bug (documented exception to the 0.90 floor; see comment above)
+    a, b = _compare(scene, fs, cfg, surf=surf, frac8=0.60, frac40=0.96)
     assert (a[..., :3] > 8).any()
 
     # with iso surfaces enabled the lattice shadow volumes join the
