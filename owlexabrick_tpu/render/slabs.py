@@ -1156,7 +1156,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  lattice=None, t_start=None, ky_hints=None,
                  kx_hints=None, products=None,
                  return_products: bool = False,
-                 products_chunks: int = 0):
+                 products_chunks: int = 0,
+                 light_rest: bool = False):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
     t1 = min(t1, surface t), exabrick.cu:1675-1680).  t_start: optional
@@ -1714,7 +1715,42 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 lattice_mids=lat or yf,
             )
             per_chunk.append((prep, scale))
-        return tuple(per_chunk)
+        if not (light_rest and n_prep < n_chunks):
+            return tuple(per_chunk)
+        # tiered cache v2 (light tier): for the chunks whose mids don't
+        # fit the HBM gate, cache the SMALL camera artifacts — activity
+        # tables, TF-cull value bounds, window starts, y/x positions —
+        # (KBs-MBs per chunk) and let the per-frame path pay only the
+        # mid einsums.  The mids are computed here transiently to derive
+        # the activity tables, then dropped (lvl=()); XLA never
+        # materializes what the graph doesn't return beyond one chunk's
+        # working set.  dma megakernel lane only (its per-frame lvl
+        # rebuild is just the pad8 of the freshly computed mids).
+        if not dma:
+            raise ValueError("light_rest requires the dma_mids lane")
+        light = []
+        for ci0 in range(n_prep, n_chunks):
+            z_s = z_planes_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
+            occ_s = [o[ci0 * s_chunk:(ci0 + 1) * s_chunk]
+                     for o in lvl_occ_p]
+            scale = (z_s - oz) / rz
+            mids, orgs_y, cws_l, tf_cull, x_geom, x_late = \
+                mega_chunk_products(z_s, occ_s, scale)
+            y_pos = oy + scale[:, None] * ry[None, :]
+            prep = prepare_chunk(
+                mids, orgs_y, cws_l, y_pos, h, w,
+                tiles=(cfg.tile_rows, cfg.tile_cols),
+                dot_precision=kdot,
+                adaptive_stride=cfg.adaptive_stride,
+                ky_hints=ky_hints, fuse_mids=cfg.fuse_mids,
+                tf_cull=tf_cull, hoist_wy=cfg.hoist_tents,
+                concat_levels=cfg.concat_levels,
+                fold_x=cfg.fold_x, x_geom=x_geom,
+                late_x=late, x_late=x_late, dma_mids=dma,
+                lattice_mids=lat or yf,
+            )
+            light.append((prep._replace(lvl=()), scale))
+        return {"full": tuple(per_chunk), "light": tuple(light)}
 
     need_grad = cfg.gradient_shading_dvr
 
@@ -1993,6 +2029,10 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 -(-int(m.shape[1]) // 8) * 8 for m in grids.masks
             )
             kyl, _ = _layout(ny_list, ky_hints)
+        light_products = ()
+        if isinstance(products, dict):
+            light_products = products["light"]
+            products = products["full"]
         color, alpha = color0, alpha0
         for ci0, (prep, scale) in enumerate(products):
             a_s = act_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
@@ -2033,11 +2073,71 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 live.any() & (alpha.min() < TERMINATION_THRESHOLD),
                 do, lambda ca: ca, (color, alpha),
             )
-        if len(products) < n_chunks:
+        for k_l, (lprep, scale) in enumerate(light_products):
+            # light tier: the cached prep carries everything EXCEPT the
+            # mid blocks; the frame recomputes only the z/x einsums and
+            # grafts the (pad8'd) stacked mids back in — the activity
+            # cumsum/gather chains, window starts, and TF-cull bounds
+            # are served from the cache
+            ci0 = len(products) + k_l
+            sl = ci0 * s_chunk
+            z_s = z_planes_p[sl:sl + s_chunk]
+            a_s = act_p[sl:sl + s_chunk]
+            occ_s = [o[sl:sl + s_chunk] for o in lvl_occ_p]
+            live = a_s & (scale > 1e-6)
+
+            def do_l(ca, lprep=lprep, scale=scale, z_s=z_s,
+                     occ_s=occ_s, live=live):
+                from .pallas_sweep import _pad8_rows
+
+                color, alpha = ca
+                mids, *_rest = mega_chunk_products(
+                    z_s, occ_s, scale)
+                lvl = []
+                for vs, m_m in mids:
+                    for v in vs:
+                        lvl.append(_pad8_rows(v))
+                    lvl.append(_pad8_rows(m_m))
+                prep2 = lprep._replace(lvl=tuple(lvl))
+                act_f, act_all_f = combine_activity(
+                    prep2, live, luts, domains_list, cws_list,
+                    adaptive_stride=cfg.adaptive_stride,
+                )
+                stop = None
+                if t_stop is not None:
+                    stop = (scale, t_stop.reshape(h, w))
+                chunk_rgb, chunk_trans = run_chunk(
+                    prep2, sec, live, luts, domains_list, dz, h, w,
+                    act_f=act_f, act_all_f=act_all_f,
+                    cell_widths=cws_list, n_channels=cfg.num_channels,
+                    knots=knots, t_stop=stop,
+                    tiles=(cfg.tile_rows, cfg.tile_cols),
+                    dot_precision=kdot,
+                    adaptive_stride=cfg.adaptive_stride,
+                    prev_trans=((1.0 - alpha).reshape(h, w)
+                                if cfg.carry_termination else None),
+                    fuse_mids=cfg.fuse_mids,
+                    concat_levels=cfg.concat_levels, ky_list=kyl,
+                    knot_unroll=cfg.knot_unroll, yfirst=yf,
+                )
+                if cfg.carry_termination:
+                    color = color + chunk_rgb
+                    alpha = 1.0 - chunk_trans
+                else:
+                    color = color + (1.0 - alpha)[None] * chunk_rgb
+                    alpha = 1.0 - (1.0 - alpha) * chunk_trans
+                return color, alpha
+
+            color, alpha = lax.cond(
+                live.any() & (alpha.min() < TERMINATION_THRESHOLD),
+                do_l, lambda ca: ca, (color, alpha),
+            )
+        if len(products) + len(light_products) < n_chunks:
             # partial (tiered) cache: finish the sweep through the live
             # chunk loop, carrying the prefix's accumulation
             _, color, alpha = lax.while_loop(
-                chunk_cond, chunk_body, (len(products), color, alpha)
+                chunk_cond, chunk_body,
+                (len(products) + len(light_products), color, alpha)
             )
     elif cfg.unroll_chunks and mega:
         # moving-camera frames with a statically unrolled chunk chain:
@@ -2565,7 +2665,8 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     f = jax.jit(
         render_slabs,
         static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints",
-                         "return_products", "products_chunks"),
+                         "return_products", "products_chunks",
+                         "light_rest"),
     )
 
     def cached_products(pos_, dir00_, du_, dv_, w_, h_, hints, xhints):
@@ -2666,6 +2767,14 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                 f"partial: first {m}/{n_act} chunks "
                 f"(~{est/n_act*m/1e6:.0f} of ~{est/1e6:.0f} MB)"
             )
+            # light tier for the REST of the chunks (dma stacked lane):
+            # activity tables / TF-cull bounds / window starts cached
+            # for all chunks, mids recomputed per frame only where they
+            # don't fit (VERDICT r4 task 4)
+            if dma_ and cfg.stack_mids:
+                camera_cache["tier"] += (
+                    f" + light artifacts for the remaining {n_act - m}"
+                )
         key = (key_cam, key_lat, w_, h_, cfg, hints, xhints, pc,
                id(grids.zranges))
         # pin the grids object itself: a GC'd grids can recycle its id
@@ -2678,6 +2787,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                 knots=None, lattice=lattice, ky_hints=hints,
                 kx_hints=xhints, return_products=True,
                 products_chunks=pc,
+                light_rest=bool(pc and dma_ and cfg.stack_mids),
             )
             camera_cache["key"] = key
             camera_cache["grids_ref"] = grids.zranges

@@ -1061,7 +1061,14 @@ def test_camera_cache_tiered_prefix(amr_fixture):
     assert "tier" in cache, "no gate engaged the tiered cache"
     assert "key" in cache and cache["products"] is not None
     n_chunks = -(-cfg.nslabs // cfg.chunk)
-    assert 1 <= len(cache["products"]) < n_chunks
+    # v2 two-tier layout: full preps for the prefix + LIGHT preps
+    # (activity/cull/window artifacts, lvl=()) for every other chunk
+    prods = cache["products"]
+    assert isinstance(prods, dict) and "light" in prods
+    assert 1 <= len(prods["full"]) < n_chunks
+    assert len(prods["full"]) + len(prods["light"]) == n_chunks
+    assert all(p.lvl == () for p, _ in prods["light"])
+    assert "light artifacts" in cache["tier"]
     assert np.array_equal(live, out)
 
     # second frame at the same pose reuses the prefix
