@@ -85,10 +85,18 @@ def _cam_fs_cfg(grids, n, width, height, value_max, stride, nslabs=None):
     # slab spacing = dt * finest cell width, like integrateBrick's
     # dt = global_dt * finestLevelCellWidth (exabrick.cu:1129)
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
+    ns = nslabs or int(np.ceil(extent / 1.0))
+    # chunk depth: 12 measured best at 64^3; deep scenes amortize
+    # per-chunk fixed costs — 256^3 interleaved A/B (ab_chunk.py):
+    # chunk 24 orbit 26.1 vs 24.9 FPS, cached 36.0 vs 33.5 (chunk 32
+    # plateaus); the scale scene collapsed to 4-slab chunks under the
+    # old fixed 7 MB budget (258 chunks/frame)
+    chunk, budget = (12, 7) if ns < 200 else (24, 16)
     cfg = SlabConfig(
         num_channels=1,
-        nslabs=nslabs or int(np.ceil(extent / 1.0)),
-        chunk=12,
+        nslabs=ns,
+        chunk=chunk,
+        chunk_budget_mb=budget,
         extent_z=extent,
         adaptive_stride=stride,
         # static-pose rows hold the prepared per-chunk camera products

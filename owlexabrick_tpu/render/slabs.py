@@ -1728,10 +1728,14 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         # rebuild is just the pad8 of the freshly computed mids).
         if not dma:
             raise ValueError("light_rest requires the dma_mids lane")
-        light = []
-        for ci0 in range(n_prep, n_chunks):
-            z_s = z_planes_p[ci0 * s_chunk:(ci0 + 1) * s_chunk]
-            occ_s = [o[ci0 * s_chunk:(ci0 + 1) * s_chunk]
+
+        # one lax.map over the remaining chunks compiles the light-prep
+        # body ONCE (reference-scale scenes have 100-250 chunks; a
+        # python unroll here exploded XLA compile time)
+        def light_of(ci):
+            sl = ci * s_chunk
+            z_s = lax.dynamic_slice_in_dim(z_planes_p, sl, s_chunk)
+            occ_s = [lax.dynamic_slice_in_dim(o, sl, s_chunk)
                      for o in lvl_occ_p]
             scale = (z_s - oz) / rz
             mids, orgs_y, cws_l, tf_cull, x_geom, x_late = \
@@ -1749,8 +1753,11 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 late_x=late, x_late=x_late, dma_mids=dma,
                 lattice_mids=lat or yf,
             )
-            light.append((prep._replace(lvl=()), scale))
-        return {"full": tuple(per_chunk), "light": tuple(light)}
+            return prep._replace(lvl=()), scale
+
+        light_stack = jax.lax.map(
+            light_of, jnp.arange(n_prep, n_chunks, dtype=jnp.int32))
+        return {"full": tuple(per_chunk), "light_stack": light_stack}
 
     need_grad = cfg.gradient_shading_dvr
 
@@ -2029,9 +2036,9 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 -(-int(m.shape[1]) // 8) * 8 for m in grids.masks
             )
             kyl, _ = _layout(ny_list, ky_hints)
-        light_products = ()
+        light_stack = None
         if isinstance(products, dict):
-            light_products = products["light"]
+            light_stack = products["light_stack"]
             products = products["full"]
         color, alpha = color0, alpha0
         for ci0, (prep, scale) in enumerate(products):
@@ -2073,71 +2080,83 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 live.any() & (alpha.min() < TERMINATION_THRESHOLD),
                 do, lambda ca: ca, (color, alpha),
             )
-        for k_l, (lprep, scale) in enumerate(light_products):
-            # light tier: the cached prep carries everything EXCEPT the
-            # mid blocks; the frame recomputes only the z/x einsums and
-            # grafts the (pad8'd) stacked mids back in — the activity
-            # cumsum/gather chains, window starts, and TF-cull bounds
-            # are served from the cache
-            ci0 = len(products) + k_l
-            sl = ci0 * s_chunk
-            z_s = z_planes_p[sl:sl + s_chunk]
-            a_s = act_p[sl:sl + s_chunk]
-            occ_s = [o[sl:sl + s_chunk] for o in lvl_occ_p]
-            live = a_s & (scale > 1e-6)
+        if light_stack is not None:
+            # light tier: one while_loop whose body recomputes only the
+            # z/x mid einsums and grafts the pad8'd stacked mids into
+            # the chunk's CACHED artifacts (activity tables, TF-cull
+            # bounds, window starts, positions), sliced from the
+            # lax.map-stacked light preps — one compiled body for the
+            # 100-250 non-prefix chunks of a reference-scale scene
+            n_pref = len(products)
 
-            def do_l(ca, lprep=lprep, scale=scale, z_s=z_s,
-                     occ_s=occ_s, live=live):
-                from .pallas_sweep import _pad8_rows
+            def light_body(state):
+                ci, color, alpha = state
+                idx = ci - n_pref
+                lprep, scale = jax.tree.map(
+                    lambda a: a[idx], light_stack)
+                sl = ci * s_chunk
+                z_s = lax.dynamic_slice_in_dim(z_planes_p, sl, s_chunk)
+                a_s = lax.dynamic_slice_in_dim(act_p, sl, s_chunk)
+                occ_s = [lax.dynamic_slice_in_dim(o, sl, s_chunk)
+                         for o in lvl_occ_p]
+                live = a_s & (scale > 1e-6)
 
-                color, alpha = ca
-                mids, *_rest = mega_chunk_products(
-                    z_s, occ_s, scale)
-                lvl = []
-                for vs, m_m in mids:
-                    for v in vs:
-                        lvl.append(_pad8_rows(v))
-                    lvl.append(_pad8_rows(m_m))
-                prep2 = lprep._replace(lvl=tuple(lvl))
-                act_f, act_all_f = combine_activity(
-                    prep2, live, luts, domains_list, cws_list,
-                    adaptive_stride=cfg.adaptive_stride,
+                def do_l(ca):
+                    from .pallas_sweep import _pad8_rows
+
+                    color, alpha = ca
+                    mids, *_rest = mega_chunk_products(
+                        z_s, occ_s, scale)
+                    lvl = []
+                    for vs, m_m in mids:
+                        for v in vs:
+                            lvl.append(_pad8_rows(v))
+                        lvl.append(_pad8_rows(m_m))
+                    prep2 = lprep._replace(lvl=tuple(lvl))
+                    act_f, act_all_f = combine_activity(
+                        prep2, live, luts, domains_list, cws_list,
+                        adaptive_stride=cfg.adaptive_stride,
+                    )
+                    stop = None
+                    if t_stop is not None:
+                        stop = (scale, t_stop.reshape(h, w))
+                    chunk_rgb, chunk_trans = run_chunk(
+                        prep2, sec, live, luts, domains_list, dz, h, w,
+                        act_f=act_f, act_all_f=act_all_f,
+                        cell_widths=cws_list,
+                        n_channels=cfg.num_channels,
+                        knots=knots, t_stop=stop,
+                        tiles=(cfg.tile_rows, cfg.tile_cols),
+                        dot_precision=kdot,
+                        adaptive_stride=cfg.adaptive_stride,
+                        prev_trans=((1.0 - alpha).reshape(h, w)
+                                    if cfg.carry_termination else None),
+                        fuse_mids=cfg.fuse_mids,
+                        concat_levels=cfg.concat_levels, ky_list=kyl,
+                        knot_unroll=cfg.knot_unroll, yfirst=yf,
+                    )
+                    if cfg.carry_termination:
+                        color = color + chunk_rgb
+                        alpha = 1.0 - chunk_trans
+                    else:
+                        color = color + (1.0 - alpha)[None] * chunk_rgb
+                        alpha = 1.0 - (1.0 - alpha) * chunk_trans
+                    return color, alpha
+
+                color, alpha = lax.cond(
+                    live.any(), do_l, lambda ca: ca, (color, alpha),
                 )
-                stop = None
-                if t_stop is not None:
-                    stop = (scale, t_stop.reshape(h, w))
-                chunk_rgb, chunk_trans = run_chunk(
-                    prep2, sec, live, luts, domains_list, dz, h, w,
-                    act_f=act_f, act_all_f=act_all_f,
-                    cell_widths=cws_list, n_channels=cfg.num_channels,
-                    knots=knots, t_stop=stop,
-                    tiles=(cfg.tile_rows, cfg.tile_cols),
-                    dot_precision=kdot,
-                    adaptive_stride=cfg.adaptive_stride,
-                    prev_trans=((1.0 - alpha).reshape(h, w)
-                                if cfg.carry_termination else None),
-                    fuse_mids=cfg.fuse_mids,
-                    concat_levels=cfg.concat_levels, ky_list=kyl,
-                    knot_unroll=cfg.knot_unroll, yfirst=yf,
-                )
-                if cfg.carry_termination:
-                    color = color + chunk_rgb
-                    alpha = 1.0 - chunk_trans
-                else:
-                    color = color + (1.0 - alpha)[None] * chunk_rgb
-                    alpha = 1.0 - (1.0 - alpha) * chunk_trans
-                return color, alpha
+                return ci + 1, color, alpha
 
-            color, alpha = lax.cond(
-                live.any() & (alpha.min() < TERMINATION_THRESHOLD),
-                do_l, lambda ca: ca, (color, alpha),
-            )
-        if len(products) + len(light_products) < n_chunks:
-            # partial (tiered) cache: finish the sweep through the live
-            # chunk loop, carrying the prefix's accumulation
             _, color, alpha = lax.while_loop(
-                chunk_cond, chunk_body,
-                (len(products) + len(light_products), color, alpha)
+                chunk_cond, light_body, (n_pref, color, alpha)
+            )
+        elif len(products) < n_chunks:
+            # partial (tiered) cache without a light tier (non-dma
+            # lanes): finish the sweep through the live chunk loop,
+            # carrying the prefix's accumulation
+            _, color, alpha = lax.while_loop(
+                chunk_cond, chunk_body, (len(products), color, alpha)
             )
     elif cfg.unroll_chunks and mega:
         # moving-camera frames with a statically unrolled chunk chain:

@@ -1061,13 +1061,15 @@ def test_camera_cache_tiered_prefix(amr_fixture):
     assert "tier" in cache, "no gate engaged the tiered cache"
     assert "key" in cache and cache["products"] is not None
     n_chunks = -(-cfg.nslabs // cfg.chunk)
-    # v2 two-tier layout: full preps for the prefix + LIGHT preps
-    # (activity/cull/window artifacts, lvl=()) for every other chunk
+    # v2 two-tier layout: full preps for the prefix + a lax.map-stacked
+    # LIGHT tier (activity/cull/window artifacts, lvl=()) for every
+    # other chunk
     prods = cache["products"]
-    assert isinstance(prods, dict) and "light" in prods
+    assert isinstance(prods, dict) and "light_stack" in prods
     assert 1 <= len(prods["full"]) < n_chunks
-    assert len(prods["full"]) + len(prods["light"]) == n_chunks
-    assert all(p.lvl == () for p, _ in prods["light"])
+    lprep, lscale = prods["light_stack"]
+    assert lprep.lvl == ()
+    assert int(lscale.shape[0]) == n_chunks - len(prods["full"])
     assert "light artifacts" in cache["tier"]
     assert np.array_equal(live, out)
 
