@@ -86,12 +86,14 @@ def _cam_fs_cfg(grids, n, width, height, value_max, stride, nslabs=None):
     # dt = global_dt * finestLevelCellWidth (exabrick.cu:1129)
     extent = float(grids.bounds_hi[0] - grids.bounds_lo[0])
     ns = nslabs or int(np.ceil(extent / 1.0))
-    # chunk depth: 12 measured best at 64^3; deep scenes amortize
-    # per-chunk fixed costs — 256^3 interleaved A/B (ab_chunk.py):
-    # chunk 24 orbit 26.1 vs 24.9 FPS, cached 36.0 vs 33.5 (chunk 32
-    # plateaus); the scale scene collapsed to 4-slab chunks under the
-    # old fixed 7 MB budget (258 chunks/frame)
-    chunk, budget = (12, 7) if ns < 200 else (24, 16)
+    # chunk depth: 12 measured best at 64^3; 256^3-class scenes
+    # amortize per-chunk fixed costs with 24 (ab_chunk.py interleaved:
+    # orbit 26.1 vs 24.9 FPS, cached 36.0 vs 33.5; 32 plateaus) — but
+    # at the 1024^3 scale scene deeper chunks LOSE (scale_chunk.py:
+    # c24 3.56/4.24 vs c12 4.16/4.85 — bigger z-windows + coarser
+    # early termination outweigh the amortization), so the deep-scene
+    # default stays 12
+    chunk, budget = (24, 16) if 200 <= ns <= 600 else (12, 7)
     cfg = SlabConfig(
         num_channels=1,
         nslabs=ns,
