@@ -2801,6 +2801,14 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         # would serve the previous scene's mids at a matching pose
         if (camera_cache.get("key") != key
                 or camera_cache.get("grids_ref") is not grids.zranges):
+            # free the PREVIOUS pose's prepared blocks before building
+            # the new ones: at reference scale each prefix is ~5 GB and
+            # holding both while the new prepare runs pushed HBM past
+            # capacity (measured: a 507 s pose switch of allocator
+            # thrash; with the stale blocks dropped the switch costs
+            # only the prepare itself)
+            camera_cache.pop("products", None)
+            camera_cache.pop("key", None)
             camera_cache["products"] = f(
                 grids, fs, cfg, pos_, dir00_, du_, dv_, w_, h_,
                 knots=None, lattice=lattice, ky_hints=hints,
