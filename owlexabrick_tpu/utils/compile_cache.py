@@ -38,4 +38,10 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    if os.environ.get("OWLEXABRICK_EXPLAIN_CACHE") == "1":
+        # debug aid: log WHY a persistent-cache lookup missed
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception:  # pragma: no cover
+            pass
     return cache_dir
