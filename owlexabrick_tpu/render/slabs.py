@@ -942,6 +942,110 @@ def _host_z_bounds(grids: LevelGrids):
     return lo, hi
 
 
+_ORIGIN_CACHE: dict = {}
+
+
+def _host_origins(grids: LevelGrids):
+    """Host copies of the per-level lattice origins (one-time pull per
+    grids, cached like _host_z_bounds)."""
+    key = id(grids.origins[0])
+    hit = _ORIGIN_CACHE.get(key)
+    if hit is not None and hit[0] is grids.origins[0]:
+        return hit[1]
+    orgs = [np.asarray(o, np.float64) for o in grids.origins]
+    if len(_ORIGIN_CACHE) > 64:
+        _ORIGIN_CACHE.clear()
+    _ORIGIN_CACHE[key] = (grids.origins[0], orgs)
+    return orgs
+
+
+def y_crop_for_camera(grids: LevelGrids, cfg: SlabConfig,
+                      cam_pos, cam_dir00, cam_dv, height: int,
+                      lattice=None):
+    """Global per-level y crop (c0, rows) covering every lattice row any
+    of this render's rays can reach over the whole sweep — EXACT (tent
+    weights outside the reach are zero, the same argument as the per-
+    row-tile ky windows).
+
+    A full-frame render reaches ~the whole volume (no crop engages),
+    but a PIXEL-BAND render (parallel/mesh.py, scaling_tpu.py) reaches
+    only ~1/N of the rows — cropping the level grids up front shrinks
+    the entire product stage (z-take, x einsum, tent build, mid
+    writes, occupancy chains) by ~N, which is exactly the
+    slab-proportional per-band cost the scaling measurement identified.
+    c0 aligns to lcm(8, y_bin) so the TF-cull bins slice exactly; only
+    ``rows`` is a static shape (16-bucketed).  Returns None when no
+    level saves >= 25% or the camera is traced."""
+    import math
+
+    if lattice is not None and not isinstance(lattice[1], np.ndarray):
+        return None
+    for v in (cam_pos, cam_dir00, cam_dv):
+        if not isinstance(v, (np.ndarray, list, tuple)):
+            return None
+    pos = np.asarray(cam_pos, np.float64)
+    d00 = np.asarray(cam_dir00, np.float64)
+    rz = float(d00[0])
+    if rz == 0.0:
+        return None
+    if lattice is not None:
+        ry = np.asarray(lattice[1], np.float64)
+    else:
+        dv1 = float(np.asarray(cam_dv, np.float64)[1])
+        ry = d00[1] + (np.arange(height) + 0.5) * dv1
+    z_lo, z_hi = _host_z_bounds(grids)
+    oz, oy = float(pos[0]), float(pos[1])
+    dzs = (z_hi - z_lo) / max(cfg.nslabs, 1)
+    s_ends = [(z_lo + 0.5 * dzs - oz) / rz, (z_hi - 0.5 * dzs - oz) / rz]
+    ys = [oy + s * r for s in s_ends
+          for r in (float(ry.min()), float(ry.max()))]
+    ymin, ymax = min(ys), max(ys)
+    orgs = _host_origins(grids)
+    crops = []
+    engaged = False
+    for li, L in enumerate(grids.levels):
+        cw = float(1 << L)
+        ny = int(grids.masks[li].shape[1])
+        q0 = ymin / cw - float(orgs[li][1]) - 0.5
+        q1 = ymax / cw - float(orgs[li][1]) - 0.5
+        c0 = int(np.floor(q0)) - 2
+        c1 = int(np.ceil(q1)) + 3
+        bin_ = int(grids.y_bin[li]) if grids.y_bin else 1
+        al = math.lcm(8, max(bin_, 1))
+        c0 = max(0, (c0 // al) * al)
+        c1 = min(ny, max(c1, c0 + 1))
+        rows = min(ny - c0, -(-(c1 - c0) // 16) * 16)
+        if rows <= 0:
+            c0, rows = 0, min(ny, 16)
+        crops.append((c0, rows))
+        if 4 * rows <= 3 * ny:
+            engaged = True
+    return tuple(crops) if engaged else None
+
+
+def crop_grids_y(grids: LevelGrids, crops):
+    """Apply a y_crop_for_camera crop: slice each level's rows, shift
+    its origin, and slice the TF-cull bins (exact — c0 is bin-aligned)."""
+    import dataclasses as _dc
+
+    vals, masks, origins, vr = [], [], [], []
+    for li, (c0, rows) in enumerate(crops):
+        masks.append(grids.masks[li][:, c0:c0 + rows, :])
+        vals.append(grids.vals[li][:, :, c0:c0 + rows, :])
+        origins.append(grids.origins[li]
+                       + jnp.asarray([0.0, c0, 0.0], jnp.float32))
+        if grids.vrange_zy:
+            bin_ = int(grids.y_bin[li])
+            b0 = c0 // bin_
+            b1 = -(-(c0 + rows) // bin_)
+            vr.append(grids.vrange_zy[li][:, :, b0:b1, :])
+    return _dc.replace(
+        grids, vals=tuple(vals), masks=tuple(masks),
+        origins=tuple(origins),
+        vrange_zy=tuple(vr) if grids.vrange_zy else (),
+    )
+
+
 def ky_hints_for_camera(grids: LevelGrids, cfg: SlabConfig,
                         cam_pos, cam_dir00, cam_dv, height: int,
                         width: int, lattice=None):
@@ -1157,7 +1261,8 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                  kx_hints=None, products=None,
                  return_products: bool = False,
                  products_chunks: int = 0,
-                 light_rest: bool = False):
+                 light_rest: bool = False,
+                 y_crop=None):
     """t_stop: optional (P,) per-pixel sweep parameter beyond which the
     volume is not integrated (a surface hit; integrateVolume's
     t1 = min(t1, surface t), exabrick.cu:1675-1680).  t_start: optional
@@ -1191,6 +1296,12 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
         and t_start is None
     ):
         raise ValueError("return_products requires the megakernel lane")
+    if y_crop is not None:
+        # global y crop applied IN-GRAPH (static (c0, rows) per level):
+        # eager slicing per frame paid the axon tunnel's per-op
+        # dispatch latency (~70 ms/frame measured at 256^3); in-graph,
+        # XLA fuses the slices into their consumers
+        grids = crop_grids_y(grids, y_crop)
     f32 = jnp.float32
     h, w = height, width
     # separable ray components: r(i,j) = dir00 + (i+.5) du + (j+.5) dv
@@ -2660,6 +2771,19 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
     flip = bool(dir00[0] < 0)
     cfg = dataclasses.replace(cfg, flip=flip)
 
+    # global y crop: slice the level grids to the rows this render's
+    # rays can reach (exact — tent weights outside are zero).  No-op
+    # for full frames; pixel-BAND renders (multi-chip sharding, the
+    # per-band scaling measurement) shrink the whole product stage ~N x.
+    # Passed as a STATIC arg and applied in-graph (render_slabs) — an
+    # eager per-frame slice would pay the tunnel's dispatch latency.
+    y_crop = None
+    if cfg.megakernel and not cfg.gradient_shading_dvr:
+        y_crop = (y_crop_for_camera(grids, cfg, pos, dir00, du, width)
+                  if swapped else
+                  y_crop_for_camera(grids, cfg, pos, dir00, dv, height,
+                                    lattice=lattice))
+
     # host-side PWL breakpoint compression of the transfer function
     # (exact; ~10x fewer classification knots for control-point
     # colormaps).  Only when the frame state is host-resident — a
@@ -2685,7 +2809,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         render_slabs,
         static_argnames=("cfg", "width", "height", "ky_hints", "kx_hints",
                          "return_products", "products_chunks",
-                         "light_rest"),
+                         "light_rest", "y_crop"),
     )
 
     def cached_products(pos_, dir00_, du_, dv_, w_, h_, hints, xhints):
@@ -2795,7 +2919,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                     f" + light artifacts for the remaining {n_act - m}"
                 )
         key = (key_cam, key_lat, w_, h_, cfg, hints, xhints, pc,
-               id(grids.zranges))
+               y_crop, id(grids.zranges))
         # pin the grids object itself: a GC'd grids can recycle its id
         # for a NEW grids (same hazard _host_z_bounds guards), which
         # would serve the previous scene's mids at a matching pose
@@ -2815,6 +2939,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                 kx_hints=xhints, return_products=True,
                 products_chunks=pc,
                 light_rest=bool(pc and dma_ and cfg.stack_mids),
+                y_crop=y_crop,
             )
             camera_cache["key"] = key
             camera_cache["grids_ref"] = grids.zranges
@@ -2830,7 +2955,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
         return f(grids, fs, cfg, pos, dir00, du, dv, width, height,
                  knots=knots, t_stop=t_stop, lattice=lattice,
                  t_start=t_start, ky_hints=hints, kx_hints=xhints,
-                 products=products)
+                 products=products, y_crop=y_crop)
     if t_stop is not None:
         # the internal render is transposed: internal row = final column
         t_stop = t_stop.reshape(height, width).T.reshape(-1)
@@ -2843,7 +2968,7 @@ def render_slabs_camera(grids: LevelGrids, fs, cfg: SlabConfig, camera,
                                hints, xhints)
     rgba = f(grids, fs, cfg, pos, dir00, dv, du, height, width, knots=knots,
              t_stop=t_stop, t_start=t_start, ky_hints=hints,
-             kx_hints=xhints, products=products)
+             kx_hints=xhints, products=products, y_crop=y_crop)
     return (
         rgba.reshape(width, height, 4).transpose(1, 0, 2).reshape(-1, 4)
     )
