@@ -551,11 +551,13 @@ def main():
                   f"{row['tf_drag_fps']} FPS",
                   file=sys.stderr, flush=True)
             # moving-camera rate (per-frame product recompute), a short
-            # batch — at ~3-5 FPS each frame is ~0.2-0.3 s
+            # batch — at ~3-5 FPS each frame is ~0.2-0.3 s, so 3 reps
+            # of 8 frames cost ~6 s against the ±15% chip noise
+            # (VERDICT r4 weak #6: 2x6 was the thinnest row in the JSON)
             med_o, iqr_o, vals_o = _sustained(
                 lambda: render_slabs_camera(
                     grids, fs, cfg, cam, width, height),
-                min(frames, 6), 2,
+                min(frames, 8), 3,
             )
             row.update(fps_orbit=round(med_o, 2),
                        fps_orbit_iqr=round(iqr_o, 2), reps_orbit=vals_o)

@@ -120,7 +120,8 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                  lattice: bool = False,
                  yfirst: bool = False,
                  grid_rc: Tuple[int, int] = (0, 0),
-                 dma_sync: bool = False):
+                 dma_sync: bool = False,
+                 has_acc: bool = False):
     compressed = n_texels > 0
     if not tau:
         tau = (False,) * n_channels
@@ -233,6 +234,16 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
             # form of the reference's terminateRay (exabrick.cu:1694-97)
             pt_ref = refs[k]
             k += 1
+        if has_acc:
+            # fused framebuffer accumulation: the carry starts from the
+            # earlier chunks' accumulated premultiplied rgb (and the pt
+            # input above carries ALPHA, not transmittance) — the
+            # post-kernel `color + chunk_rgb` / `1 - trans` fusions and
+            # the chunk_rgb intermediate never touch HBM
+            rin_ref = refs[k]
+            gin_ref = refs[k + 1]
+            bin_ref = refs[k + 2]
+            k += 3
         if has_stop:
             t_slab_ref = refs[k]
             t_stop_ref = refs[k + 1]
@@ -828,13 +839,23 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
                 )
 
         z = jnp.zeros((tr, tc), jnp.float32)
-        if has_pt:
+        if has_acc:
+            # the pt input carries accumulated ALPHA; derive the
+            # absolute transmittance in-register (out-of-bounds lanes
+            # zeroed so they never keep a saturated tile alive)
+            pt0 = jnp.where(inb, 1.0 - pt_ref[:], 0.0)
+        elif has_pt:
             # absolute-transmittance carry (out-of-bounds lanes zeroed so
             # they never keep a saturated tile alive)
             pt0 = jnp.where(inb, pt_ref[:], 0.0)
         else:
             pt0 = jnp.ones((tr, tc), jnp.float32)
-        init = (z, z, z, pt0)
+        if has_acc:
+            init = (jnp.where(inb, rin_ref[:], 0.0),
+                    jnp.where(inb, gin_ref[:], 0.0),
+                    jnp.where(inb, bin_ref[:], 0.0), pt0)
+        else:
+            init = (z, z, z, pt0)
         # one branch per tile: fully-active tiles take the pipelined
         # dense loop; partially-active tiles gate per slab
         all_act = act_all_ref[rt_id, ct_id] > 0.5
@@ -857,7 +878,9 @@ def _make_kernel(n_levels: int, ky_list: Tuple[int, ...],
         r_ref[:] = r
         g_ref[:] = g
         b_ref[:] = b
-        t_ref[:] = t
+        # fused-accumulation mode hands ALPHA back (saturated tiles
+        # pass alpha = 1 - pt0 = the input alpha through unchanged)
+        t_ref[:] = (1.0 - t) if has_acc else t
 
     return kernel
 
@@ -1563,12 +1586,22 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
               adaptive_stride: bool = False, prev_trans=None,
               fuse_mids: bool = True, concat_levels: bool = False,
               ky_list=None, interpret: bool | None = None,
-              knot_unroll: int = 4, yfirst: bool = False):
+              knot_unroll: int = 4, yfirst: bool = False,
+              accum=None):
     """Dispatch the megakernel for one chunk from prepared inputs.
     Static layout (KY, windowed, level count) is inferred from the
     prepared block shapes; ``concat_levels`` preps carry one combined
     block per part, so the per-level ``ky_list`` (the static y-window
-    row counts prepare_chunk derived) must be passed explicitly."""
+    row counts prepare_chunk derived) must be passed explicitly.
+
+    accum: optional (color (3, H, W), alpha (H, W)) accumulated by the
+    earlier chunks.  When given (supersedes ``prev_trans``), the kernel
+    fuses the framebuffer accumulation: the compositing carry starts
+    from the accumulated rgb, the alpha input replaces the
+    transmittance image, and the returns are (total rgb, total ALPHA)
+    — the caller assigns instead of adding, and the per-chunk
+    ``color + chunk_rgb`` / ``1 - trans`` XLA fusions (plus the
+    chunk_rgb intermediate) never touch HBM (~80 MB/chunk at 1080p)."""
     hi_lo = dot_precision == "hi_lo"
     fold = prep.xpos_t is not None
     dma = prep.k0y is not None
@@ -1743,7 +1776,16 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     tile2 = pl.BlockSpec((tr, tc), imap_tile, memory_space=pltpu.VMEM)
     pt_ins = []
     pt_specs = []
-    if prev_trans is not None:
+    acc_ins = []
+    acc_specs = []
+    if accum is not None:
+        color_in, alpha_in = accum
+        pt_ins = [jnp.asarray(alpha_in, jnp.float32)]
+        pt_specs = [tile2]
+        acc_ins = [jnp.asarray(color_in[c], jnp.float32)
+                   for c in range(3)]
+        acc_specs = [tile2, tile2, tile2]
+    elif prev_trans is not None:
         pt_ins = [jnp.asarray(prev_trans, jnp.float32)]
         pt_specs = [tile2]
     stop_ins = []
@@ -1819,7 +1861,9 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
                      n_texels=n if knots is not None else 0,
                      has_stop=t_stop is not None,
                      dot_precision=dot_precision,
-                     tau=tau_flags, has_pt=prev_trans is not None,
+                     tau=tau_flags,
+                     has_pt=(prev_trans is not None or accum is not None),
+                     has_acc=accum is not None,
                      fused=fuse_mids, hoist_wy=hoist,
                      concat=concat_levels,
                      static_cws=(tuple(float(c) for c in cell_widths)
@@ -1858,6 +1902,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
             *xpos_specs,
             tile2,
             *pt_specs,
+            *acc_specs,
             *([stop_specs[0], tile2] if stop_ins else []),
         ],
         out_specs=(tile2, tile2, tile2, tile2),
@@ -1870,7 +1915,7 @@ def run_chunk(prep: ChunkPrep, sec, live, luts, domains, dz,
     )(params, lut_pack, d_pack, cum_pack, pos_pack,
       live.astype(jnp.float32), act_f, act_all_f, prep.orgy_eff, cws,
       orgx_in, *k0y_ins, *prep.lvl, *prep.wy, prep.y_pos_t, *xpos_ins,
-      sec, *pt_ins, *stop_ins)
+      sec, *pt_ins, *acc_ins, *stop_ins)
     return jnp.stack([r, g, b]), t
 
 
@@ -1891,7 +1936,8 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
                 lattice_mids: bool = False,
                 yfirst: bool = False,
                 interpret: bool | None = None,
-                knot_unroll: int = 4):
+                knot_unroll: int = 4,
+                accum=None):
     """Run the sweep megakernel for one chunk (prepare + combine + run).
 
     mids: per level ([mid_v per channel (S, ny, W)], mid_m (S, ny, W)) —
@@ -1941,5 +1987,5 @@ def sweep_chunk(mids: Sequence[Tuple[Sequence[jax.Array], jax.Array]],
         dot_precision=dot_precision, adaptive_stride=adaptive_stride,
         prev_trans=prev_trans, fuse_mids=fuse_mids,
         concat_levels=concat_levels, ky_list=ky_list, interpret=interpret,
-        knot_unroll=knot_unroll, yfirst=yfirst,
+        knot_unroll=knot_unroll, yfirst=yfirst, accum=accum,
     )

@@ -814,6 +814,18 @@ class SlabConfig:
     # (exabrick.cu:1694-97; differs only by a <=0.005-transmittance tail
     # the saturated-pixel collapse absorbs)
     carry_termination: bool = True
+    # fold the per-chunk framebuffer accumulation into the megakernel
+    # (requires carry_termination): the kernel's compositing carry
+    # starts from the accumulated rgb/alpha tiles and hands back the
+    # totals, so the post-kernel `color + chunk_rgb` / `1 - trans`
+    # fusions and the chunk_rgb intermediate never touch HBM
+    # (~80 MB/chunk at 1080p).  Measured SLOWER on both paths (orbit
+    # -1%, cached -3.6%, PERFORMANCE.md note 35): the 4 extra tile
+    # loads stall the issue-bound kernel's BlockSpec pipeline more
+    # than XLA's coalesced accumulation fusions cost.  OFF by default;
+    # kept as the measured ablation (tests/test_slabs.py pins
+    # agreement)
+    fuse_accum: bool = False
     # VMEM budget (MB) for the chunk-depth cap (effective_chunk): the
     # double-buffered per-slab mid blocks must fit this.  7 MB fits
     # Mosaic's default 16 MB scoped-vmem stack; raising it (with the
@@ -2002,6 +2014,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 stop = None
                 if t_stop is not None:
                     stop = (scale, t_stop.reshape(h, w))
+                facc = cfg.carry_termination and cfg.fuse_accum
                 chunk_rgb, chunk_trans = sweep_chunk(
                     mids, orgs_y, cws_l, y_pos, sec, live,
                     luts, [fs.xf_domain[c] for c in range(cfg.num_channels)],
@@ -2017,10 +2030,18 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     late_x=late, x_late=x_late, dma_mids=dma,
                     lattice_mids=lat, yfirst=yf,
                     knot_unroll=cfg.knot_unroll,
-                    prev_trans=((1.0 - alpha).reshape(h, w)
-                                if cfg.carry_termination else None),
+                    prev_trans=(None if facc else
+                                ((1.0 - alpha).reshape(h, w)
+                                 if cfg.carry_termination else None)),
+                    accum=((color, alpha.reshape(h, w)) if facc
+                           else None),
                 )
-                if cfg.carry_termination:
+                if facc:
+                    # fused accumulation: the kernel returns the TOTALS
+                    # (rgb premultiplied-accumulated, alpha absolute)
+                    color = chunk_rgb
+                    alpha = chunk_trans
+                elif cfg.carry_termination:
                     # absolute-transmittance carry: outputs arrive
                     # premultiplied, trans is absolute
                     color = color + chunk_rgb
@@ -2165,6 +2186,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                 stop = None
                 if t_stop is not None:
                     stop = (scale, t_stop.reshape(h, w))
+                facc = cfg.carry_termination and cfg.fuse_accum
                 chunk_rgb, chunk_trans = run_chunk(
                     prep, sec, live, luts, domains_list, dz, h, w,
                     act_f=act_f, act_all_f=act_all_f,
@@ -2173,13 +2195,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     tiles=(cfg.tile_rows, cfg.tile_cols),
                     dot_precision=kdot,
                     adaptive_stride=cfg.adaptive_stride,
-                    prev_trans=((1.0 - alpha).reshape(h, w)
-                                if cfg.carry_termination else None),
+                    prev_trans=(None if facc else
+                                ((1.0 - alpha).reshape(h, w)
+                                 if cfg.carry_termination else None)),
+                    accum=((color, alpha.reshape(h, w)) if facc
+                           else None),
                     fuse_mids=cfg.fuse_mids,
                     concat_levels=cfg.concat_levels, ky_list=kyl,
                     knot_unroll=cfg.knot_unroll, yfirst=yf,
                 )
-                if cfg.carry_termination:
+                if facc:
+                    color = chunk_rgb
+                    alpha = chunk_trans
+                elif cfg.carry_termination:
                     color = color + chunk_rgb
                     alpha = 1.0 - chunk_trans
                 else:
@@ -2231,6 +2259,7 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                     stop = None
                     if t_stop is not None:
                         stop = (scale, t_stop.reshape(h, w))
+                    facc = cfg.carry_termination and cfg.fuse_accum
                     chunk_rgb, chunk_trans = run_chunk(
                         prep2, sec, live, luts, domains_list, dz, h, w,
                         act_f=act_f, act_all_f=act_all_f,
@@ -2240,13 +2269,19 @@ def render_slabs(grids: LevelGrids, fs, cfg: SlabConfig,
                         tiles=(cfg.tile_rows, cfg.tile_cols),
                         dot_precision=kdot,
                         adaptive_stride=cfg.adaptive_stride,
-                        prev_trans=((1.0 - alpha).reshape(h, w)
-                                    if cfg.carry_termination else None),
+                        prev_trans=(None if facc else
+                                    ((1.0 - alpha).reshape(h, w)
+                                     if cfg.carry_termination else None)),
+                        accum=((color, alpha.reshape(h, w)) if facc
+                               else None),
                         fuse_mids=cfg.fuse_mids,
                         concat_levels=cfg.concat_levels, ky_list=kyl,
                         knot_unroll=cfg.knot_unroll, yfirst=yf,
                     )
-                    if cfg.carry_termination:
+                    if facc:
+                        color = chunk_rgb
+                        alpha = chunk_trans
+                    elif cfg.carry_termination:
                         color = color + chunk_rgb
                         alpha = 1.0 - chunk_trans
                     else:

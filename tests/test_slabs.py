@@ -1233,3 +1233,35 @@ def test_renderer_tf_drag_uses_camera_cache(amr_fixture):
     assert c1 is not None and "key" in c1  # drag pattern engaged it
     for a, b in zip(o1, o2):
         assert np.array_equal(a, b)
+
+
+def test_fuse_accum_agrees(amr_fixture):
+    """Fused in-kernel framebuffer accumulation (SlabConfig.fuse_accum,
+    default ON) must agree with the post-kernel XLA accumulation to
+    float-add reordering (the same contribution terms sum left-to-right
+    with the carried color moved from last to first — ~1 ulp), on both
+    the live (orbit) and cached paths and on the dma and copy lanes."""
+    scene, bricks, grids = _build(amr_fixture, EX3)
+    w = h = 24
+    cam = Camera.look_at([4.0, 4.0, 26.0], [4.0, 4.0, 4.0], [0, 1, 0],
+                         30.0, w, h)
+    fs = make_frame_state(cam, 1, [[0.0, 7.0]], dt=1.0,
+                          opacity_scale=0.8)
+    extent = float(np.asarray(grids.bounds_hi[0] - grids.bounds_lo[0]))
+    for dma in (True, False):
+        base = SlabConfig(num_channels=1, nslabs=16, chunk=4,
+                          extent_z=extent, adaptive_stride=True,
+                          dma_mids=dma)
+        on = dataclasses.replace(base, fuse_accum=True)
+        off = dataclasses.replace(base, fuse_accum=False)
+        a = np.asarray(render_slabs_camera(grids, fs, on, cam, w, h))
+        b = np.asarray(render_slabs_camera(grids, fs, off, cam, w, h))
+        assert a.mean() > 0.01  # non-trivial image
+        np.testing.assert_allclose(a, b, atol=3e-6)
+        # cached path: products prepared once, fused accumulation in
+        # the unrolled chunk loop; must equal its own live path exactly
+        cache = {}
+        c = np.asarray(render_slabs_camera(grids, fs, on, cam, w, h,
+                                           camera_cache=cache))
+        assert "key" in cache
+        assert np.array_equal(a, c)
